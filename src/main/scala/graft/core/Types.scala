@@ -1,0 +1,72 @@
+package graft.core
+
+import org.apache.spark.sql.types.StructType
+
+/** Load-job lifecycle states — int codes match the reference enum
+  * (`/root/reference/ingestion/types.py:5-10`) so status payloads are
+  * wire-compatible.
+  */
+sealed abstract class JobState(val code: Int, val name: String)
+object JobState {
+  case object NotCreated extends JobState(0, "NOT_CREATED")
+  case object Running    extends JobState(1, "RUNNING")
+  case object Success    extends JobState(2, "SUCCESS")
+  case object Failure    extends JobState(3, "FAILURE")
+  val all: Seq[JobState] = Seq(NotCreated, Running, Success, Failure)
+  def fromCode(c: Int): JobState = all.find(_.code == c).getOrElse(
+    throw new IllegalArgumentException(s"unknown JobState code $c"))
+}
+
+/** Source-file parse contract — the reference's fixed CSV load config
+  * (`/root/reference/ingestion/bigquery_interaction.py:17-26`): tab-delimited,
+  * UTF-8, quoting disabled, no header row, schema never inferred
+  * (`CREATE_NEVER` implies a caller-supplied [[StructType]]).
+  */
+final case class CsvOptions(
+    delimiter: String = "\t",
+    quote: String = "",       // empty string disables quoting, like BQ quote_character=''
+    header: Boolean = false,
+    encoding: String = "UTF-8")
+object CsvOptions {
+  /** Spark reader option map equivalent of the reference load config. Spark
+    * interprets an empty `quote` option as "quoting disabled", matching BQ's
+    * `quote_character=''`.
+    */
+  def toReaderOptions(o: CsvOptions): Map[String, String] = Map(
+    "sep" -> o.delimiter,
+    "quote" -> o.quote,
+    "header" -> o.header.toString,
+    "encoding" -> o.encoding,
+    "mode" -> "PERMISSIVE")
+}
+
+/** Static configuration for one landing pipeline: where raw files live, where
+  * the landing table lives, and the schema/partition/cluster contract the
+  * reference leaves as DDL placeholders
+  * (`/root/reference/bq_create_table_ddl.sql:4-9`).
+  *
+  * @param sourceBase      raw-file base URI (`gs://bucket` or `file:/...`)
+  * @param landingPath     landing-table root (parquet, hive-partitioned)
+  * @param schema          fixed record schema (positional CSV match, never inferred)
+  * @param partitionField  TIMESTAMP column fed to hour truncation
+  * @param clusterField    within-partition sort column (BQ `CLUSTER BY`)
+  */
+final case class IngestConfig(
+    sourceBase: String,
+    landingPath: String,
+    schema: StructType,
+    partitionField: String,
+    clusterField: String,
+    csv: CsvOptions = CsvOptions())
+
+/** Immutable job descriptor — the reference's `LoadJobMetadata` NamedTuple
+  * (`/root/reference/ingestion/types.py:19-27`); Scala `copy` replaces
+  * `_replace` (`tasks.py:44`).
+  */
+final case class LoadJobMetadata(
+    jobId: String,
+    partition: PartitionHour,
+    sourceGlob: String,
+    targetTable: String,   // landingPath + "$" + YYYYMMDDHH decorator form for display
+    status: JobState,
+    errorMessage: Option[String] = None)

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.core._
+import graft.sources.{HivePartitionedSource, LandingTable, PartitionProbe}
+import org.apache.spark.sql.SparkSession
+
+import java.util.UUID
+import java.util.concurrent.Executors
+import scala.collection.concurrent.TrieMap
+import scala.concurrent.{ExecutionContext, Future}
+import scala.util.{Failure, Success}
+
+/** J1–J3 — asynchronous load-job launch, registry, and poll (SURVEY §2.1).
+  *
+  * Reference behavior being reproduced:
+  *  - J3 job assembly (`/root/reference/ingestion/tasks.py:16-44`): compose
+  *    partition codec + source glob + decorator target + fresh uuid4 id into a
+  *    [[LoadJobMetadata]], then start.
+  *  - J1 idempotent start (`bigquery_interaction.py:29-75`): empty source ⇒
+  *    skip, `NOT_CREATED` (`:30-32`); duplicate start of a running job ⇒
+  *    report `RUNNING` rather than erroring (`:59-63`); failure ⇒ `FAILURE`
+  *    with message (`:64-69`); already-done ⇒ `SUCCESS` (`:70-73`).
+  *  - J2 poll (`bigquery_interaction.py:78-121`): unknown id ⇒ not-found
+  *    error; else (state, optional error message).
+  *
+  * Spark actions are synchronous, so fire-and-poll is recovered by running the
+  * read→write action in a `Future` tracked in a concurrent registry; a
+  * per-job `setJobGroup` tags all Spark stages with the job id for
+  * observability (and would allow cancel). Deviation from the reference,
+  * documented per SURVEY §7.4: BigQuery job state survives the client process;
+  * our registry is in-process and a restarted driver forgets running jobs.
+  */
+final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
+
+  private case class JobHandle(meta: LoadJobMetadata, future: Future[Unit])
+  private val registry = TrieMap.empty[String, JobHandle]
+  private implicit val ec: ExecutionContext =
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(poolSize))
+
+  sealed trait PollError
+  case class JobNotFound(jobId: String) extends PollError
+
+  /** J3: build metadata for one partition-hour (`tasks.py:16-41`). */
+  def assemble(cfg: IngestConfig, hour: PartitionHour): LoadJobMetadata =
+    LoadJobMetadata(
+      jobId = UUID.randomUUID().toString,
+      partition = hour,
+      sourceGlob = PartitionCodec.toGlob(cfg.sourceBase, hour),
+      targetTable = s"${cfg.landingPath}$$${PartitionCodec.toBqId(hour)}",
+      status = JobState.NotCreated)
+
+  /** J1: start the load asynchronously; returns the post-start state.
+    * Empty partition ⇒ skip with `NotCreated` (`bigquery_interaction.py:30-32`);
+    * an id already in the registry reports its current state instead of
+    * double-starting (`:59-75` exception classification, made deterministic by
+    * `putIfAbsent`).
+    */
+  def start(cfg: IngestConfig, meta: LoadJobMetadata): JobState = {
+    if (!PartitionProbe.globNonEmpty(spark, meta.sourceGlob))
+      return JobState.NotCreated
+
+    registry.get(meta.jobId) match {
+      case Some(h) => stateOf(h)   // duplicate start: report, don't relaunch
+      case None =>
+        val fut = Future {
+          spark.sparkContext.setJobGroup(meta.jobId,
+            s"graft load ${meta.sourceGlob} -> ${meta.targetTable}")
+          try {
+            val df = HivePartitionedSource.readGlob(
+              spark, cfg.schema, cfg.csv, meta.sourceGlob)
+            LandingTable.overwritePartitions(df, cfg)
+          } finally spark.sparkContext.clearJobGroup()
+        }
+        registry.putIfAbsent(meta.jobId, JobHandle(meta, fut)) match {
+          case Some(existing) => stateOf(existing)  // lost the race: same answer
+          case None           => JobState.Running
+        }
+    }
+  }
+
+  /** J2: poll a job id (`bigquery_interaction.py:78-121`). */
+  def poll(jobId: String): Either[PollError, (JobState, Option[String])] =
+    registry.get(jobId) match {
+      case None    => Left(JobNotFound(jobId))
+      case Some(h) => Right(h.future.value match {
+        case None                => (JobState.Running, None)
+        case Some(Success(_))    => (JobState.Success, None)
+        case Some(Failure(e))    => (JobState.Failure, Option(e.getMessage))
+      })
+    }
+
+  private def stateOf(h: JobHandle): JobState = h.future.value match {
+    case None             => JobState.Running
+    case Some(Success(_)) => JobState.Success
+    case Some(Failure(_)) => JobState.Failure
+  }
+
+  /** Block until a job leaves RUNNING (test/driver convenience). */
+  def await(jobId: String, timeoutSec: Int = 600): (JobState, Option[String]) = {
+    val deadline = System.nanoTime() + timeoutSec * 1_000_000_000L
+    while (System.nanoTime() < deadline) {
+      poll(jobId) match {
+        case Right((JobState.Running, _)) => Thread.sleep(50)
+        case Right(done)                  => return done
+        case Left(_) => throw new NoSuchElementException(s"job $jobId not found")
+      }
+    }
+    (JobState.Running, Some(s"timeout after ${timeoutSec}s"))
+  }
+}
