@@ -26,7 +26,10 @@ final case class CsvOptions(
     delimiter: String = "\t",
     quote: String = "",       // empty string disables quoting, like BQ quote_character=''
     header: Boolean = false,
-    encoding: String = "UTF-8")
+    encoding: String = "UTF-8",
+    // BQ CSV canonical timestamp text; microsecond precision round-trips
+    // losslessly (Spark TimestampType and BQ TIMESTAMP are both micros)
+    timestampFormat: String = "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
 object CsvOptions {
   /** Spark reader option map equivalent of the reference load config. Spark
     * interprets an empty `quote` option as "quoting disabled", matching BQ's
@@ -37,7 +40,19 @@ object CsvOptions {
     "quote" -> o.quote,
     "header" -> o.header.toString,
     "encoding" -> o.encoding,
+    "timestampFormat" -> o.timestampFormat,
     "mode" -> "PERMISSIVE")
+
+  /** Writer options for producing files under the same contract (used by the
+    * round-trip parity path and fixture generators).
+    */
+  def toWriterOptions(o: CsvOptions): Map[String, String] = Map(
+    "sep" -> o.delimiter,
+    "quote" -> o.quote,
+    "header" -> o.header.toString,
+    "encoding" -> o.encoding,
+    "timestampFormat" -> o.timestampFormat,
+    "emptyValue" -> "")
 }
 
 /** Static configuration for one landing pipeline: where raw files live, where

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.core._
+import graft.sources.{HivePartitionedSource, LandingTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.nio.file.Files
+
+/** The reference's own pipeline (S1 hive TSV scan, S2 partition-overwrite
+  * sink, S3 partitioned+clustered landing DDL, J1-J3 job machine, O1
+  * workflow) exercised END TO END inside the correctness gate: each query
+  * exports the `events` table to hive-partitioned TSV under the exact file
+  * contract (`/root/reference/ingestion/bigquery_interaction.py:17-26`),
+  * ingests it back through the engine, and returns aggregates of the landing
+  * table that a duckdb oracle reproduces directly from the original parquet.
+  * A lossless round-trip is exactly what hash-equality proves.
+  *
+  * Scale note: the batch ingest uses ONE dynamic-partition-overwrite job for
+  * all hours (Spark-first; per-hour jobs are the reference's BigQuery-ism).
+  * It is shuffle-free: scan -> derive partition cols -> local sort
+  * (clustering) -> fan-out write. The per-hour JobRunner path is exercised by
+  * `j1_job_lifecycle`/`o1_workflow` below on a single hour.
+  */
+object IngestParityQueries {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def cfgFor(base: String, landing: String) = IngestConfig(
+    sourceBase = base, landingPath = landing, schema = eventsSchema,
+    partitionField = "ts", clusterField = "user_id")
+
+  /** Export events as hive-partitioned TSV per the reference contract;
+    * returns (rawBase, landingPath) temp dirs. Memoized per (sfDir, scope) so
+    * the three parity queries share one export; `firstHourOnly` keeps the
+    * control-plane queries (which ingest a single hour) from exporting the
+    * whole month of partitions.
+    */
+  private val exportCache =
+    new scala.collection.concurrent.TrieMap[(String, Boolean), (String, String)]
+
+  private def exportEventsTsv(spark: SparkSession, sfDir: String,
+      firstHourOnly: Boolean = false): (String, String) =
+    exportCache.getOrElseUpdate((sfDir, firstHourOnly), {
+      val raw = Files.createTempDirectory("graft-parity-raw").toString
+      val landing = Files.createTempDirectory("graft-parity-landing").toString
+      val events0 = RelationalQueries.eventsTable(spark, sfDir)
+      val events =
+        if (firstHourOnly)
+          events0.filter(date_trunc("hour", col("ts")) ===
+            events0.agg(min(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0))
+        else events0
+      LandingTable.withPartitionColumns(events, "ts")
+        // co-locate each hour's rows into one task => one file per partition
+        // dir (matches the reference's per-hour file sets; avoids a storm of
+        // tiny files when hours >> tasks)
+        .repartition(LandingTable.PartitionCols.map(col): _*)
+        .write.mode("overwrite")
+        .partitionBy(LandingTable.PartitionCols: _*)
+        .options(CsvOptions.toWriterOptions(CsvOptions()))
+        .csv(s"file:$raw")
+      (s"file:$raw", s"file:$landing")
+    })
+
+  /** Per-hour aggregate of the landing table after a full TSV round-trip
+    * (S1 + S2 + S3). Oracle = same aggregate on the original events parquet:
+    * equality proves the scan/parse/partition/write chain is lossless.
+    */
+  def s1s2IngestRoundtrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, landingPath) = exportEventsTsv(spark, sfDir)
+    val cfg = cfgFor(rawBase, landingPath)
+    val all = HivePartitionedSource.readTree(spark, cfg, rawBase)
+      .select(eventsSchema.fieldNames.map(col): _*) // drop discovered partition cols
+    LandingTable.overwritePartitions(all, cfg)
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("min_ts"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("max_ts"),
+        sum(length(col("props"))).as("props_len"))
+  }
+
+  /** J1-J3: assemble -> start -> poll one load job for the earliest event
+    * hour; returns the terminal job state and the landed row count for that
+    * partition. Oracle reproduces the count from the original parquet and the
+    * expected SUCCESS (code 2) terminal state.
+    */
+  def j1JobLifecycle(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, landingPath) = exportEventsTsv(spark, sfDir, firstHourOnly = true)
+    val cfg = cfgFor(rawBase, landingPath)
+    val firstHour = RelationalQueries.table(spark, sfDir, "events")
+      .agg(min(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0)
+    val hour = PartitionHour.fromInstant(firstHour.toInstant) // session TZ is UTC
+
+    val runner = new JobRunner(spark)
+    val meta = runner.assemble(cfg, hour)
+    runner.start(cfg, meta)
+    val (finalState, _) = runner.await(meta.jobId)
+    val landed = LandingTable.readPartition(spark, cfg, hour).count()
+    import spark.implicits._
+    Seq((finalState.name, finalState.code, landed))
+      .toDF("state", "state_code", "rows_loaded")
+  }
+
+  /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
+    * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
+    * the constant expected state table.
+    */
+  def o1Workflow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, landingPath) = exportEventsTsv(spark, sfDir, firstHourOnly = true)
+    val cfg = cfgFor(rawBase, landingPath)
+    val firstHour = RelationalQueries.table(spark, sfDir, "events")
+      .agg(min(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0)
+    val existing = PartitionHour.fromInstant(firstHour.toInstant) // session TZ is UTC
+    val absent = PartitionHour(1999, 1, 1, 0)
+
+    val runner = new JobRunner(spark)
+    val r1 = Workflow.runAndAwait(spark, runner, cfg, Some(existing))
+    val r2 = Workflow.runAndAwait(spark, runner, cfg, Some(absent))
+    import spark.implicits._
+    Seq(("existing_hour", r1.status.code), ("absent_hour", r2.status.code))
+      .toDF("run", "status_code")
+  }
+}

@@ -34,8 +34,15 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
 
   private case class JobHandle(meta: LoadJobMetadata, future: Future[Unit])
   private val registry = TrieMap.empty[String, JobHandle]
+  // daemon threads: load jobs must not pin the JVM open after the driver's
+  // main returns (a non-daemon pool here deadlocks batch mains on exit)
   private implicit val ec: ExecutionContext =
-    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(poolSize))
+    ExecutionContext.fromExecutorService(Executors.newFixedThreadPool(poolSize,
+      (r: Runnable) => {
+        val t = new Thread(r, s"graft-job-runner")
+        t.setDaemon(true)
+        t
+      }))
 
   sealed trait PollError
   case class JobNotFound(jobId: String) extends PollError

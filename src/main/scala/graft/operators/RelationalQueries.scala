@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational query coverage for the checklist categories of SURVEY §2.2
+  * (projection/filter, joins incl. semi/anti, aggregation, window, sort/topk,
+  * set ops, scalar functions, time bucketing) expressed Spark-first over the
+  * driver's TPC-H-ish tables.
+  *
+  * Determinism-by-construction rules used throughout (the duckdb oracle
+  * hash-compares values):
+  *  - double sums go through DECIMAL (exact, order-independent) and are cast
+  *    back to double at the end — both engines produce identical bits;
+  *  - window/top-k orderings always carry a unique tiebreaker key;
+  *  - no `round()` (Spark is HALF_UP, duckdb differs on ties).
+  *
+  * Scale notes per query are inline; the global ones: aggregations are
+  * partial-before-shuffle by construction (`groupBy().agg()`), the only
+  * broadcast-able dims (`nation`, `region`) are broadcast explicitly, and all
+  * scans project only needed columns so parquet column pruning applies.
+  */
+object RelationalQueries {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") eventsTable(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The events table carries parquet TIMESTAMP(NANOS), which Spark has no
+    * native type for — read it as long ns and truncate to TimestampType µs
+    * (integer `div`: ns epoch values exceed 2^53, float division would lose
+    * precision). Matches duckdb's ns->µs truncation, so oracles agree.
+    */
+  def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Exact decimal sum of a double expr, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    sum(c.cast(s"decimal(30,$scale)")).cast("double")
+
+  /** q1: TPC-H Q1-style full-scan aggregate on lineitem (hash agg with
+    * map-side partial aggregation; shuffle carries only 6 grouped rows per
+    * partition — scales linearly with input, constant shuffle).
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10).as("sum_disc_price"),
+        (sum(col("l_quantity").cast("decimal(30,2)")).cast("double") /
+          count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  /** q2: filter + projection — predicate and column pruning reach the parquet
+    * scan (verify via explain: PushedFilters + 4-column ReadSchema).
+    */
+  def q2FilterProject(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .filter(col("l_discount") > 0.08 && col("l_quantity") < 5.0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_discount"))
+
+  /** q3: multi-join revenue rollup — fact-to-fact joins shuffle on their keys,
+    * the nation dim is broadcast (no shuffle for the small side; at 100 TB the
+    * orders/lineitem join is the only unavoidable exchange and AQE can
+    * re-plan it if skewed).
+    */
+  def q3JoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+    val orders   = table(spark, sfDir, "orders").select("o_orderkey", "o_custkey")
+    val lineitem = table(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val nation   = table(spark, sfDir, "nation").select("n_nationkey", "n_name")
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10).as("revenue"),
+        count(lit(1)).as("line_cnt"))
+  }
+
+  /** q4: window function — per-customer top-3 orders by price (row_number
+    * with unique tiebreak; single shuffle on o_custkey).
+    */
+  def q4Window(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    table(spark, sfDir, "orders")
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+  }
+
+  /** q5: global top-k — Spark plans TakeOrderedAndProject: per-partition
+    * top-10 then driver merge, no full sort/shuffle of the table.
+    */
+  def q5TopK(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+
+  /** q6: set operations — EXCEPT and INTERSECT branches tagged and unioned. */
+  def q6SetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val positive = table(spark, sfDir, "customer")
+      .filter(col("c_acctbal") > 0).select("c_custkey")
+    val fOrders = table(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    positive.except(fOrders).withColumn("op", lit("except"))
+      .unionAll(positive.intersect(fOrders).withColumn("op", lit("intersect")))
+      .select("op", "c_custkey")
+  }
+
+  /** q7: semi + anti joins (existence probes as relational ops — the
+    * engine-level generalization of the reference's P3 file probe).
+    */
+  def q7SemiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = table(spark, sfDir, "customer").select("c_custkey")
+    val orders = table(spark, sfDir, "orders").select("o_custkey")
+    val withOrders = customer.join(orders, col("c_custkey") === col("o_custkey"),
+      "left_semi").withColumn("op", lit("has_orders"))
+    val withoutOrders = customer.join(orders, col("c_custkey") === col("o_custkey"),
+      "left_anti").withColumn("op", lit("no_orders"))
+    withOrders.unionAll(withoutOrders).select("op", "c_custkey")
+  }
+
+  /** q8: ROLLUP aggregation over a broadcast dim join. */
+  /** Expressed via spark.sql: the DataFrame rollup-after-join form trips
+    * Spark's ambiguous-self-join detector (rollup's Expand duplicates the
+    * join-output attributes); SQL text resolves cleanly and plans the same
+    * (broadcast of nation happens via AQE/size estimation).
+    */
+  def q8Rollup(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT n_name, c_mktsegment, count(*) AS cnt,
+         | CAST(sum(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS bal
+         |FROM parquet.`$sfDir/customer.parquet`
+         |JOIN parquet.`$sfDir/nation.parquet` ON c_nationkey = n_nationkey
+         |GROUP BY ROLLUP(n_name, c_mktsegment)""".stripMargin)
+
+  /** q9: scalar string/math functions — all codegen'd built-ins, no UDFs. */
+  def q9Scalar(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      length(col("p_type")).as("type_len"),
+      (col("p_size") % 7).as("size_mod"),
+      abs(col("p_retailprice") - 1000.0).as("price_dist"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+
+  /** q10: distinct aggregation (two-phase: partial distinct per partition,
+    * exchange on group key only).
+    */
+  def q10Distinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("uniq_cust"),
+        count(lit(1)).as("cnt"))
+
+  /** q11: hourly tumbling-window aggregation on the events stream table —
+    * the batch form of the reference's hourly partition cadence; identical
+    * code works under Structured Streaming with a watermark.
+    */
+  def q11HourlyWindow(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("value"), 6).as("sum_value"),
+        countDistinct(col("user_id")).as("uniq_users"))
+      .select(col("window.start").as("hour_ts"), col("cnt"),
+        col("sum_value"), col("uniq_users"))
+
+  /** p1: the reference partition codec as per-row column expressions
+    * (`partition.py:7-27` semantics — BQ id and hive path from a timestamp).
+    */
+  def p1PartitionCodec(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(
+      col("event_id"),
+      date_format(col("ts"), "yyyyMMddHH").as("bq_id"),
+      concat(
+        lit("year="), date_format(col("ts"), "yyyy"),
+        lit("/month="), date_format(col("ts"), "MM"),
+        lit("/day="), date_format(col("ts"), "dd"),
+        lit("/hour="), date_format(col("ts"), "HH")).as("hive_path"))
+
+  /** p2: "previous hour" derivation per row (`app.py:127-133` as a column
+    * expression: truncate to hour, minus one hour, format as BQ id).
+    */
+  def p2LastHour(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events").select(
+      col("event_id"),
+      date_format(date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"),
+        "yyyyMMddHH").as("prev_hour_id"))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + deduplication operators for LLM training-data pipelines
+  * over the `documents` table (doc_id, text, lang, source, n_chars).
+  *
+  * All of these are pure column expressions over codegen'd built-ins — no
+  * UDFs — so they stay inside whole-stage codegen and scale linearly: at
+  * 100 TB each is a single scan with only the final (tiny) aggregate or the
+  * dedup groupBy shuffling, and the dedup shuffle keys on a 128-bit hash,
+  * not the document body (bytes shuffled ≈ 40 B/doc, not the text).
+  */
+object TextQueries {
+
+  import RelationalQueries.table
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** d1: exact deduplication — group on md5(text) (shuffles the 32-char hash,
+    * never the document body), keep the lowest doc_id as the canonical
+    * representative. The survivors list of an exact-dedup pass.
+    */
+  def d1DedupExact(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+
+  /** d2: per-document text statistics — token count, character classes,
+    * punctuation/whitespace ratios, average token length. The feature vector
+    * behind quality filtering.
+    */
+  def d2TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = table(spark, sfDir, "documents")
+    t.select(
+      col("doc_id"),
+      length(col("text")).as("len"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_cnt"),
+      length(regexp_replace(col("text"), "[^aeiou]", "")).as("vowel_cnt"),
+      (length(col("text")).cast("double") / size(tokens(col("text"))))
+        .as("chars_per_token"))
+  }
+
+  /** d3: heuristic quality score — length band, stopword presence, token
+    * shape; documents scoring 0 are the junk-filter rejects.
+    */
+  def d3QualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = table(spark, sfDir, "documents")
+    val nTok = size(tokens(col("text")))
+    val theCnt = size(regexp_extract_all(col("text"), lit("\\bthe\\b"), lit(0)))
+    t.select(
+      col("doc_id"),
+      (when(col("n_chars").between(50, 10000), 1).otherwise(0) +
+        when(nTok >= 10, 1).otherwise(0) +
+        when(theCnt > 0, 1).otherwise(0)).as("quality_score"),
+      theCnt.as("stop_the_cnt"))
+  }
+
+  /** d4: stopword-profile language scoring — per-language marker-word hit
+    * counts (the n-gram-free core of fasttext-style langid); the argmax with
+    * a fixed tie order picks the language. Markers chosen from the synthetic
+    * corpus vocabulary; real deployments swap in real stopword lists.
+    */
+  def d4LangScore(spark: SparkSession, sfDir: String): DataFrame = {
+    def hits(pat: String) =
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+    val en = hits("\\b(the|and|of)\\b")
+    val fn = hits("\\b(fast|slow|small)\\b")
+    val dt = hits("\\b(data|table|row)\\b")
+    table(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"),
+      en.as("score_stop"), fn.as("score_adj"), dt.as("score_data"),
+      when(en >= fn && en >= dt, "stopword")
+        .when(fn >= dt, "adjective").otherwise("dataword").as("profile"))
+  }
+
+  /** d5: order-insensitive document fingerprint — md5 over the sorted token
+    * bag. Near-dup detection for word-reordered copies; the cheap SQL-exact
+    * sibling of MinHash (which needs a custom Aggregator — see SURVEY §2.2
+    * UDAF note).
+    */
+  def d5Fingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bow_fingerprint"))
+
+  /** d6: token-frequency corpus profile — the word-count of training-data
+    * engineering: explode to tokens, count, keep the head. Shuffle carries
+    * (token, partial count) pairs thanks to map-side partial aggregation.
+    */
+  def d6TokenFreq(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 10)
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (vec_id, embedding:
+  * array<float>, label).
+  *
+  * FP determinism contract with the duckdb oracle: both engines fold the
+  * array sequentially left-to-right in DOUBLE (Spark `aggregate` /
+  * duckdb `list_aggregate 'sum'`), so intermediate doubles are bit-identical;
+  * ranking keys round through DECIMAL before comparison so the (measure-zero)
+  * tie-at-boundary case is the only possible divergence.
+  *
+  * Scale design: brute-force top-k is a cartesian join — correct baseline,
+  * O(Q×N). The scale path (e3) buckets by an LSH-style signature first so
+  * candidates shrink to matching buckets; at 100 TB the bucket join replaces
+  * the cartesian product with a key-equality shuffle join.
+  */
+object VectorQueries {
+
+  import RelationalQueries.table
+
+  /** Sequential double fold of sum(f(x)) over an array column — mirrors
+    * duckdb `list_aggregate(list_transform(...), 'sum')` exactly.
+    */
+  private def foldSum(arr: Column, f: Column => Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + f(x.cast("double")))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** e1: per-vector norms and moments — the sanity/profiling pass before any
+    * similarity work (detects unnormalized or degenerate vectors).
+    */
+  def e1Norms(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings").select(
+      col("vec_id"), col("label"),
+      size(col("embedding")).as("dim"),
+      sqrt(foldSum(col("embedding"), x => x * x)).as("l2_norm"),
+      (foldSum(col("embedding"), identity) / size(col("embedding"))).as("mean_val"))
+
+  /** e2: brute-force cosine top-k — exact ANN baseline. Query set = vec_id <
+    * 10; candidates = all vectors (self excluded). Broadcast the small query
+    * side; rank by decimal-rounded similarity with vec_id tiebreak.
+    */
+  def e2KnnBrute(spark: SparkSession, sfDir: String, k: Int = 5): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    val sim = dot(col("q_emb"), col("embedding")) /
+      (sqrt(foldSum(col("q_emb"), x => x * x)) *
+        sqrt(foldSum(col("embedding"), x => x * x)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", sim.cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("cos_sim"))
+  }
+
+  /** e3: LSH-bucketed near-neighbor candidates — the scale path. Signature =
+    * sign bits of the first `bits` dimensions (a fixed random-hyperplane
+    * family degenerates to axis planes for unit-normed synthetic data; real
+    * deployments use seeded random projections). Same-bucket pairs are the
+    * candidate set: the cartesian product becomes an equi-join on the
+    * signature, which shuffles by bucket and scales as sum of squared bucket
+    * sizes, not N².
+    */
+  def e3LshBuckets(spark: SparkSession, sfDir: String, bits: Int = 8): DataFrame = {
+    val sig = (0 until bits).map(i =>
+      when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
+        .cast("string"))
+      .reduce((a, b) => concat(a, b))
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), sig.as("bucket"))
+    val a = emb.select(col("vec_id").as("id_a"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("candidate_pairs"),
+        min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
+  }
+}
