@@ -1,7 +1,7 @@
 package graft
 
-import graft.operators.{IngestParityQueries => IP, RelationalQueries => R,
-  TextQueries => T, VectorQueries => V}
+import graft.operators.{DedupQueries => D, IngestParityQueries => IP,
+  RelationalQueries => R, TextQueries => T, VectorQueries => V}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -47,6 +47,13 @@ object SparkEntry {
     "e1_norms" -> (V.e1Norms _),
     "e2_knn_brute" -> ((s, d) => V.e2KnnBrute(s, d)),
     "e3_lsh_buckets" -> ((s, d) => V.e3LshBuckets(s, d)),
+    "d7_minhash_sig" -> (D.d7MinhashSig _),
+    "d8_simhash" -> (D.d8Simhash _),
+    "d9_ngram_jaccard" -> (D.d9NgramJaccard _),
+    "d10_token_classes" -> (D.d10TokenClasses _),
+    "d11_rolling_hash" -> (D.d11RollingHash _),
+    "m1_binary_meta" -> (D.m1BinaryMeta _),
+    "e4_ivf_assign" -> (D.e4IvfAssign _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -240,5 +247,108 @@ object SparkEntry {
         | CAST(min(a.vec_id) AS INT) AS min_id, CAST(max(b.vec_id) AS INT) AS max_id
         |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |GROUP BY a.bucket""".stripMargin,
+    "d7_minhash_sig" -> d7OracleSql,
+    "d8_simhash" -> d8OracleSql,
+    "d9_ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id,
+        |  CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 3
+        |   THEN list_distinct(list_transform(
+        |     range(1, len(string_split_regex(trim(text), '\s+')) - 1),
+        |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\s+'),
+        |                                     i, i + 2), ' ')))
+        |   ELSE [text] END AS s
+        | FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        | CAST(CAST(
+        |   CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE) /
+        |   (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x))))
+        |  AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1""".stripMargin,
+    "d10_token_classes" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+        | len(regexp_extract_all(text, '[0-9]+')) AS n_nums,
+        | len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+        |FROM documents""".stripMargin,
+    "d11_rolling_hash" ->
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+        |   (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling_hash
+        |FROM documents""".stripMargin,
+    "m1_binary_meta" ->
+      """SELECT doc_id,
+        | octet_length(encode(text)) AS n_bytes,
+        | substr(hex(encode(text)), 1, 16) AS header_hex,
+        | md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "e4_ivf_assign" ->
+      """WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb
+        | FROM embeddings WHERE vec_id < 4),
+        |sims AS (
+        | SELECT e.vec_id, c.centroid_id,
+        |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+        |   AS DECIMAL(20,6)) AS sim_dec
+        | FROM embeddings e, cents c),
+        |ranked AS (
+        | SELECT vec_id, centroid_id, sim_dec,
+        |  row_number() OVER (PARTITION BY vec_id
+        |                     ORDER BY sim_dec DESC, centroid_id ASC) AS rk
+        | FROM sims)
+        |SELECT vec_id, centroid_id, CAST(sim_dec AS DOUBLE) AS centroid_sim
+        |FROM ranked WHERE rk = 1""".stripMargin,
   )
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d7MinhashSig]] — the
+    * permutation arms are generated from the same (a,b) constants.
+    */
+  private def d7OracleSql: String = {
+    val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
+    }.mkString(",\n")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+       |   THEN list_distinct(list_transform(
+       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+       |                                     i, i + 2), ' ')))
+       |   ELSE [text] END AS sh
+       | FROM documents),
+       |hs AS (
+       | SELECT doc_id,
+       |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+       | FROM base),
+       |sigs AS (
+       | SELECT doc_id,
+       |$sigExprs
+       | FROM hs)
+       |SELECT doc_id, sig0, sig1, sig2, sig3, sig4, sig5, sig6, sig7,
+       | concat(sig0, ':', sig1) AS band0, concat(sig2, ':', sig3) AS band1,
+       | concat(sig4, ':', sig5) AS band2, concat(sig6, ':', sig7) AS band3
+       |FROM sigs""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d8Simhash]]. */
+  private def d8OracleSql: String = {
+    val bitExprs = (0 until 8).map { j =>
+      s"  (CASE WHEN list_aggregate(list_transform(h, x -> 2 * ((x >> $j) & 1) - 1), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n")
+    s"""WITH hs AS (
+       | SELECT doc_id,
+       |  list_transform(list_distinct(string_split_regex(trim(text), '\\s+')),
+       |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS h
+       | FROM documents),
+       |sim AS (
+       | SELECT doc_id,
+       |$bitExprs AS simhash8
+       | FROM hs)
+       |SELECT s.doc_id, s.simhash8, c.cluster_size
+       |FROM sim s JOIN (
+       | SELECT simhash8, count(*) AS cluster_size FROM sim GROUP BY simhash8) c
+       | USING (simhash8)""".stripMargin
+  }
 }

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection + fingerprinting for training-data pipelines:
+  * MinHash signatures, SimHash clustering, n-gram Jaccard, rolling hashes,
+  * and binary (multimodal) column metadata.
+  *
+  * Cross-engine-deterministic hashing: every hash is derived from md5 hex
+  * (first 15 hex digits parsed as a 60-bit int) — Spark `conv(substr(md5))`
+  * and duckdb `CAST('0x'||substr(md5))` produce identical values, so the
+  * whole MinHash/SimHash pipeline is oracle-checkable. xxhash64 would be
+  * faster but is Spark-private; swapping the hash is a one-line change and
+  * none of the pipeline shape depends on it.
+  *
+  * Scale design notes:
+  *  - signatures/fingerprints are pure per-row column expressions — single
+  *    scan, no shuffle, whole-stage codegen;
+  *  - LSH banding turns the O(N^2) near-dup join into an equi-join keyed on
+  *    (band, band-hash): shuffle is by bucket and cost is sum of squared
+  *    bucket sizes. Pair enumeration is only ever done per-bucket;
+  *  - the demo pair queries bound their candidate sets (adjacent ids /
+  *    same-signature groups) so results stay O(N) at any scale factor.
+  */
+object DedupQueries {
+
+  import RelationalQueries.table
+
+  private val P = 1000000007L // modulus for permutation hashing
+
+  /** 60-bit deterministic hash of a string, identical in duckdb. */
+  private def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  private def toks(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word 3-gram shingles; docs with <3 tokens fall back to the
+    * whole text as a single shingle.
+    */
+  private def shingles3(text: Column): Column = {
+    val t = toks(text)
+    when(size(t) >= 3,
+      array_distinct(transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", slice(t, i, lit(3))))))
+      .otherwise(array(text))
+  }
+
+  /** (a,b) parameters of the 8 minhash permutations h_i(x) = (a*x + b) mod P. */
+  val MinhashPerms: Seq[(Int, Int)] =
+    Seq((2, 7), (3, 11), (5, 13), (7, 17), (11, 19), (13, 23), (17, 29), (19, 31))
+
+  /** d7: MinHash signatures (k=8) over word-3-gram shingles — the per-doc
+    * half of MinHash-LSH dedup. Follows with band keys (4 bands x 2 rows):
+    * docs sharing any band key are near-dup candidates.
+    */
+  def d7MinhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingles3(col("text"))
+    val hs = transform(sh, s => h60(s))
+    val sigs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(hs, x => pmod(lit(a.toLong) * pmod(x, lit(P)) + b, lit(P))))
+        .as(s"sig$i")
+    }
+    val withSigs = table(spark, sfDir, "documents")
+      .select(col("doc_id") +: sigs: _*)
+    withSigs.select(col("doc_id"),
+      col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+      col("sig4"), col("sig5"), col("sig6"), col("sig7"),
+      concat_ws(":", col("sig0"), col("sig1")).as("band0"),
+      concat_ws(":", col("sig2"), col("sig3")).as("band1"),
+      concat_ws(":", col("sig4"), col("sig5")).as("band2"),
+      concat_ws(":", col("sig6"), col("sig7")).as("band3"))
+  }
+
+  /** d8: SimHash (8-bit demo width) over the distinct-token set, plus the
+    * cluster size of each signature value — identical-simhash groups are
+    * near-dup clusters. GroupBy on the 8-bit value: 256 groups max, no pair
+    * explosion at any scale.
+    */
+  def d8Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val hs = transform(array_distinct(toks(col("text"))), t => h60(t))
+    val bits = (0 until 8).map { j =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
+      when(bitSum > 0, lit(1L << j)).otherwise(0L)
+    }
+    val sim = bits.reduce(_ + _).as("simhash8")
+    val docs = table(spark, sfDir, "documents").select(col("doc_id"), sim)
+    val clusters = docs.groupBy("simhash8")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.join(clusters, "simhash8")
+      .select("doc_id", "simhash8", "cluster_size")
+  }
+
+  /** d9: exact n-gram Jaccard similarity over a bounded pair set (adjacent
+    * doc ids) — the verification half of near-dup detection. At scale the
+    * pair set comes from d7's LSH buckets instead; the measure is the same.
+    */
+  def d9NgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_b") === col("id_a") + 1)
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+          .cast("decimal(10,6)").cast("double").as("jaccard"))
+  }
+
+  /** d10: BPE-ish regex token classes — words / numbers / punctuation piece
+    * counts per document (the shape of a byte-pair pre-tokenizer pass).
+    */
+  def d10TokenClasses(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0))).as("n_words"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_nums"),
+      size(regexp_extract_all(col("text"), lit("[^a-zA-Z0-9\\s]"), lit(0))).as("n_punct"))
+
+  /** d11: polynomial rolling hash over the character stream (mod P, base 31)
+    * — the primitive behind content-defined chunking and Rabin fingerprints.
+    */
+  def d11RollingHash(spark: SparkSession, sfDir: String): DataFrame = {
+    val chars = split(col("text"), "")
+    val rolled = aggregate(chars, lit(0L),
+      (acc, c) => pmod(acc * 31 + ascii(c), lit(P)))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), rolled.as("rolling_hash"))
+  }
+
+  /** m1: multimodal/binary column plumbing — documents as opaque binary
+    * payloads with typed metadata (byte length, header bytes, content hash).
+    * The decode step for real image/audio payloads plugs in at
+    * [[graft.operators.MultimodalOps]]; this query verifies the binary
+    * schema/metadata path end to end.
+    */
+  def m1BinaryMeta(spark: SparkSession, sfDir: String): DataFrame = {
+    val bin = encode(col("text"), "UTF-8")
+    table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      octet_length(col("text")).as("n_bytes"),
+      substring(hex(bin), 1, 16).as("header_hex"),
+      md5(col("text")).as("content_hash"))
+  }
+
+  /** e4: IVF(-flat) assignment — vectors binned to their nearest centroid
+    * from a fixed codebook (vec_id < 4 as demo centroids; real deployments
+    * train the codebook). The partition step of IVF ANN search: at query
+    * time only the probed centroid's bin is scanned. Broadcast codebook,
+    * single pass, no shuffle beyond the final tiny aggregate.
+    */
+  def e4IvfAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val dotCol = aggregate(
+      zip_with(col("embedding"), col("c_emb"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim_dec", dotCol.cast("decimal(20,6)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("centroid_id"),
+        col("sim_dec").cast("double").as("centroid_sim"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.core.{CsvOptions, IngestConfig}
+import graft.sources.LandingTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured Streaming form of the reference pipeline (SURVEY §2.2
+  * "Streaming", §7.4): the reference implements late-data tolerance as a
+  * *schedule offset* — hourly cron at minute :40 gives records 40 minutes to
+  * arrive before their hour is loaded (`/root/reference/commands.sh:73`,
+  * `README.md:41-47`). The streaming-native translation:
+  *
+  *  - the hive TSV tree becomes a file *stream* source (new files are
+  *    discovered per micro-batch — the event push the reference's cron poll
+  *    approximates);
+  *  - the 40-minute grace becomes `withWatermark("ts", "40 minutes")`;
+  *  - the hourly partition becomes a 1-hour tumbling window;
+  *  - the truncate-and-replace partition load becomes Append-mode windowed
+  *    aggregation + `foreachBatch` dynamic partition overwrite: a window is
+  *    emitted exactly once, when the watermark passes hour-end + grace — i.e.
+  *    each landing partition is written once, complete, like the reference's
+  *    `WRITE_TRUNCATE` decorator load.
+  *
+  * Scale notes: the only state is one (window, agg) row per open hour —
+  * bounded by the watermark, independent of throughput. Raw landing
+  * (`rawToLanding`) is stateless pass-through with file-listing as the only
+  * driver-side cost; use partitioned directories + `maxFilesPerTrigger` to
+  * bound batch size on a 100 TB/day feed.
+  */
+object StreamingIngest {
+
+  /** Continuous raw landing: stream new TSV files into the hive-partitioned
+    * landing tree (append; a partition accumulates files as they arrive).
+    */
+  def rawToLanding(spark: SparkSession, cfg: IngestConfig,
+      checkpoint: String, trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(cfg.schema)
+      .options(CsvOptions.toReaderOptions(cfg.csv))
+      .csv(s"${cfg.sourceBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+    LandingTable.withPartitionColumns(raw, cfg.partitionField)
+      .writeStream
+      .partitionBy(LandingTable.PartitionCols: _*)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", cfg.landingPath)
+      .start()
+  }
+
+  /** Watermarked hourly aggregate stream: emits each hour's final (count,
+    * sum) exactly once, 40 minutes (grace) after the hour closes, and
+    * overwrites that hour's partition of the stats table — the streaming
+    * equivalent of the reference's idempotent hourly load.
+    */
+  def hourlyStats(spark: SparkSession, cfg: IngestConfig, statsPath: String,
+      checkpoint: String, graceMinutes: Int = 40,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(cfg.schema)
+      .options(CsvOptions.toReaderOptions(cfg.csv))
+      .csv(s"${cfg.sourceBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+    val agg = raw
+      .withWatermark(cfg.partitionField, s"$graceMinutes minutes")
+      .groupBy(window(col(cfg.partitionField), "1 hour"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("hour_ts"), col("cnt"))
+
+    val statsCfg = cfg.copy(landingPath = statsPath,
+      partitionField = "hour_ts", clusterField = "hour_ts")
+    agg.writeStream
+      .outputMode("append") // final windows only (watermark-closed)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          LandingTable.overwritePartitions(batch, statsCfg)
+      }
+      .start()
+  }
+}
