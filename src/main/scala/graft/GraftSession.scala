@@ -1,0 +1,28 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.plans.RequirePartitionFilter
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** One-stop session construction with all graft extensions installed:
+  * the require-partition-filter guard rule and the custom function registry.
+  */
+object GraftSession {
+
+  def installAll(ext: SparkSessionExtensions): Unit = {
+    RequirePartitionFilter.install(ext)
+    GraftFunctions.install(ext)
+  }
+
+  /** Local session builder with the engine's defaults (UTC, AQE on by Spark
+    * default, shuffle partitions sized to cores — not the 200 default, which
+    * at local scale just makes 168 empty tasks per exchange).
+    */
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(installAll)
+}

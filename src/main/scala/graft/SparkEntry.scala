@@ -47,6 +47,13 @@ object SparkEntry {
     "e1_norms" -> (V.e1Norms _),
     "e2_knn_brute" -> ((s, d) => V.e2KnnBrute(s, d)),
     "e3_lsh_buckets" -> ((s, d) => V.e3LshBuckets(s, d)),
+    "p1b_hour_bucket" -> (R.p1bHourBucket _),
+    "q12_json" -> (R.q12Json _),
+    "q13_cube" -> (R.q13Cube _),
+    "q14_range_join" -> (R.q14RangeJoin _),
+    "q15_asof" -> (R.q15AsOf _),
+    "q16_median" -> (R.q16Median _),
+    "q17_approx" -> (R.q17Approx _),
     "d7_minhash_sig" -> (D.d7MinhashSig _),
     "d8_simhash" -> (D.d8Simhash _),
     "d9_ngram_jaccard" -> (D.d9NgramJaccard _),
@@ -247,6 +254,48 @@ object SparkEntry {
         | CAST(min(a.vec_id) AS INT) AS min_id, CAST(max(b.vec_id) AS INT) AS max_id
         |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         |GROUP BY a.bucket""".stripMargin,
+    "p1b_hour_bucket" ->
+      """SELECT event_id,
+        | CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS bucket_id
+        |FROM events""".stripMargin,
+    "q12_json" ->
+      """SELECT (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) AS k_mod,
+        | count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)""".stripMargin,
+    "q13_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+    "q14_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        | VALUES ('low', 0.0, 50.0), ('mid', 50.0, 120.0), ('high', 120.0, 1e9))
+        |SELECT band, count(*) AS cnt,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events JOIN bands ON value >= lo AND value < hi
+        |GROUP BY band""".stripMargin,
+    "q15_asof" ->
+      """SELECT event_id, user_id, ts,
+        | lag(event_id, 1) OVER w AS prev_event_id,
+        | lag(ts, 1) OVER w AS prev_ts,
+        | CASE WHEN lag(ts, 1) OVER w IS NOT NULL
+        |  THEN CAST(floor(epoch(ts)) AS BIGINT) -
+        |       CAST(floor(epoch(lag(ts, 1) OVER w)) AS BIGINT) END AS gap_sec
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)""".stripMargin,
+    "q16_median" ->
+      """WITH ranked AS (
+        | SELECT o_orderstatus, o_totalprice, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderstatus) AS n
+        | FROM orders)
+        |SELECT o_orderstatus, o_totalprice AS median_price
+        |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
+    // q17_approx intentionally has no oracle: sketch estimates are
+    // implementation-defined; the driver records a rows-only check.
     "d7_minhash_sig" -> d7OracleSql,
     "d8_simhash" -> d8OracleSql,
     "d9_ngram_jaccard" ->
@@ -346,9 +395,8 @@ object SparkEntry {
        | SELECT doc_id,
        |$bitExprs AS simhash8
        | FROM hs)
-       |SELECT s.doc_id, s.simhash8, c.cluster_size
-       |FROM sim s JOIN (
-       | SELECT simhash8, count(*) AS cluster_size FROM sim GROUP BY simhash8) c
-       | USING (simhash8)""".stripMargin
+       |SELECT doc_id, simhash8,
+       | count(*) OVER (PARTITION BY simhash8) AS cluster_size
+       |FROM sim""".stripMargin
   }
 }

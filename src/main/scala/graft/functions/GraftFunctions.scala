@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for graft's custom Catalyst functions.
+  *
+  * Install alongside the partition-filter rule:
+  * {{{
+  * SparkSession.builder.withExtensions { ext =>
+  *   graft.plans.RequirePartitionFilter.install(ext)
+  *   graft.functions.GraftFunctions.install(ext)
+  * }
+  * }}}
+  * After install, `graft_hour_bucket(ts)` is available in SQL text and via
+  * [[hourBucket]] in the Column API.
+  */
+object GraftFunctions {
+
+  def install(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_hour_bucket"),
+      new ExpressionInfo(classOf[HourBucket].getName, "graft_hour_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_hour_bucket takes 1 argument")
+        HourBucket(children.head)
+      }))
+
+  /** Column-API form of `graft_hour_bucket` (requires [[install]]ed session). */
+  def hourBucket(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_hour_bucket", c)
+}

@@ -86,9 +86,10 @@ object DedupQueries {
     }
     val sim = bits.reduce(_ + _).as("simhash8")
     val docs = table(spark, sfDir, "documents").select(col("doc_id"), sim)
-    val clusters = docs.groupBy("simhash8")
-      .agg(count(lit(1)).as("cluster_size"))
-    docs.join(clusters, "simhash8")
+    // window count instead of groupBy+self-join: one scan, one exchange, and
+    // the (md5-heavy) signature is computed exactly once per document
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash8")
+    docs.withColumn("cluster_size", count(lit(1)).over(w))
       .select("doc_id", "simhash8", "cluster_size")
   }
 

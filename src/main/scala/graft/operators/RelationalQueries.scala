@@ -202,4 +202,91 @@ object RelationalQueries {
       col("event_id"),
       date_format(date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"),
         "yyyyMMddHH").as("prev_hour_id"))
+
+  /** p1b: the custom codegen'd [[graft.functions.HourBucket]] expression on
+    * the hot ingest-derivation path — integer math instead of
+    * formatter+string for the per-row partition id.
+    */
+  def p1bHourBucket(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("event_id"),
+        graft.functions.GraftFunctions.hourBucket(col("ts")).as("bucket_id"))
+
+  /** q12: JSON extraction from the events props payload — semi-structured
+    * columns stay codegen'd (`get_json_object`), no UDF/parse-to-driver.
+    */
+  def q12Json(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .groupBy((col("k_val") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("k_val")).as("sum_k"))
+
+  /** q13: CUBE aggregation (all grouping-set combinations). */
+  def q13Cube(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+         | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
+         |FROM parquet.`$sfDir/orders.parquet`
+         |GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin)
+
+  /** q14: range (interval) join — events banded into value ranges via a
+    * broadcast non-equi join against a small bands table. The band table is
+    * broadcast, so the theta-join never shuffles the fact side.
+    */
+  def q14RangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = spark.createDataFrame(Seq(
+      ("low", 0.0, 50.0), ("mid", 50.0, 120.0), ("high", 120.0, 1e9)
+    )).toDF("band", "lo", "hi")
+    table(spark, sfDir, "events")
+      .join(broadcast(bands),
+        col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+  }
+
+  /** q15: as-of join — each event paired with the same user's most recent
+    * PRIOR event (composition via lag window, SURVEY §2.2 preference (a):
+    * built-in ops express the semantics; no custom operator needed). One
+    * shuffle on user_id.
+    */
+  def q15AsOf(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        lag(col("event_id"), 1).over(w).as("prev_event_id"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .withColumn("gap_sec",
+        when(col("prev_ts").isNotNull,
+          col("ts").cast("long") - col("prev_ts").cast("long")))
+  }
+
+  /** q16: exact median per group via row_number composition (identical
+    * semantics in both engines, unlike interpolating percentile variants).
+    */
+  def q16Median(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+    val ranked = table(spark, sfDir, "orders")
+      .select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(w))
+    val counts = ranked.groupBy("o_orderstatus").agg(count(lit(1)).as("n"))
+    ranked.join(counts, "o_orderstatus")
+      .filter(col("rn") === expr("(n + 1) div 2")) // lower median, 1-based
+      .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+  }
+
+  /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
+    * cross-engine oracle exists by construction (estimates are
+    * implementation-defined); the driver records a rows-only check. The
+    * point at 100 TB: these replace exact distinct/percentile shuffles with
+    * fixed-size mergeable sketches.
+    */
+  def q17Approx(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
 }
