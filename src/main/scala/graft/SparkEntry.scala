@@ -61,6 +61,8 @@ object SparkEntry {
     "d11_rolling_hash" -> (D.d11RollingHash _),
     "m1_binary_meta" -> (D.m1BinaryMeta _),
     "e4_ivf_assign" -> (D.e4IvfAssign _),
+    "d12_minhash_udaf" -> (D.d12MinhashUdaf _),
+    "e5_cosine_neardup" -> ((s, d) => D.e5CosineNearDup(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -298,6 +300,8 @@ object SparkEntry {
     // implementation-defined; the driver records a rows-only check.
     "d7_minhash_sig" -> d7OracleSql,
     "d8_simhash" -> d8OracleSql,
+    "d12_minhash_udaf" -> d12OracleSql,
+    "e5_cosine_neardup" -> e5OracleSql,
     "d9_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,
@@ -349,6 +353,55 @@ object SparkEntry {
         |SELECT vec_id, centroid_id, CAST(sim_dec AS DOUBLE) AS centroid_sim
         |FROM ranked WHERE rk = 1""".stripMargin,
   )
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d12MinhashUdaf]] — the
+    * Aggregator must equal the column-expression formulation, so the oracle
+    * is d7's signature CTE without the band keys.
+    */
+  private def d12OracleSql: String = {
+    val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
+    }.mkString(",\n")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+       |   THEN list_distinct(list_transform(
+       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+       |                                     i, i + 2), ' ')))
+       |   ELSE [text] END AS sh
+       | FROM documents),
+       |hs AS (
+       | SELECT doc_id,
+       |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+       | FROM base)
+       |SELECT doc_id,
+       |$sigExprs
+       |FROM hs""".stripMargin
+  }
+
+  private def e5OracleSql: String = {
+    val bucketExpr = (1 to 8).map(i =>
+      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
+    s"""WITH sigs AS (
+       | SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |pairs AS (
+       | SELECT a.bucket,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT bucket, count(*) AS pairs,
+       | CAST(sum(CASE WHEN sim_dec >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
+       | CAST(max(sim_dec) AS DOUBLE) AS max_sim
+       |FROM pairs GROUP BY bucket""".stripMargin
+  }
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d7MinhashSig]] — the
     * permutation arms are generated from the same (a,b) constants.

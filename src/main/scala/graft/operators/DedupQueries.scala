@@ -145,6 +145,55 @@ object DedupQueries {
       md5(col("text")).as("content_hash"))
   }
 
+  /** d12: the MinHash signature computed through the typed `Aggregator` UDAF
+    * ([[graft.functions.MinHashAgg]]) over EXPLODED shingle hashes — the
+    * aggregation-shaped form of d7 (one row per shingle in, k-long signature
+    * out, map-side combinable). Signatures are bit-identical to d7's.
+    */
+  def d12MinhashUdaf(spark: SparkSession, sfDir: String): DataFrame = {
+    val udafCol = udaf(graft.functions.MinHashAgg.default,
+      org.apache.spark.sql.Encoders.scalaLong)
+    val exploded = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(shingles3(col("text"))).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h"))
+    val sigged = exploded.groupBy("doc_id").agg(udafCol(col("h")).as("sig"))
+    sigged.select(col("doc_id") +:
+      (0 until MinhashPerms.length).map(i =>
+        element_at(col("sig"), i + 1).as(s"sig$i")): _*)
+  }
+
+  /** e5: embedding-cosine near-dup — exact cosine over SAME-LSH-BUCKET pairs
+    * only (the candidate set from e3's signature banding), aggregated per
+    * bucket. The O(N^2) pair scan becomes sum-of-squared-bucket-sizes; the
+    * output is bounded by bucket count at any scale.
+    */
+  def e5CosineNearDup(spark: SparkSession, sfDir: String, bits: Int = 8,
+      threshold: Double = 0.2): DataFrame = {
+    val sig = (0 until bits).map(i =>
+      when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
+        .cast("string"))
+      .reduce((a, b) => concat(a, b))
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"), sig.as("bucket"))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("emb_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("emb_b"))
+    val dotAB = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim_dec",
+        (dotAB / (norm(col("emb_a")) * norm(col("emb_b")))).cast("decimal(20,6)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("pairs"),
+        sum(when(col("sim_dec") >= threshold, 1).otherwise(0)).as("near_dups"),
+        max(col("sim_dec")).cast("double").as("max_sim"))
+  }
+
   /** e4: IVF(-flat) assignment — vectors binned to their nearest centroid
     * from a fixed codebook (vec_id < 4 as demo centroids; real deployments
     * train the codebook). The partition step of IVF ANN search: at query
