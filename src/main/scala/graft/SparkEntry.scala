@@ -54,6 +54,7 @@ object SparkEntry {
     "q15_asof" -> (R.q15AsOf _),
     "q16_median" -> (R.q16Median _),
     "q17_approx" -> (R.q17Approx _),
+    "q18_sessionize" -> (R.q18Sessionize _),
     "d7_minhash_sig" -> (D.d7MinhashSig _),
     "d8_simhash" -> (D.d8Simhash _),
     "d9_ngram_jaccard" -> (D.d9NgramJaccard _),
@@ -296,6 +297,26 @@ object SparkEntry {
         | FROM orders)
         |SELECT o_orderstatus, o_totalprice AS median_price
         |FROM ranked WHERE rn = (n + 1) // 2""".stripMargin,
+    "q18_sessionize" ->
+      """WITH g AS (
+        | SELECT event_id, user_id, ts,
+        |  lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        | FROM events),
+        |b AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL OR
+        |   CAST(floor(epoch(ts)) AS BIGINT) -
+        |   CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |  THEN 1 ELSE 0 END AS is_break FROM g),
+        |s AS (
+        | SELECT user_id, ts,
+        |  CAST(sum(is_break) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |   AS session_seq
+        | FROM b)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+        |FROM s GROUP BY user_id, session_seq""".stripMargin,
     // q17_approx intentionally has no oracle: sketch estimates are
     // implementation-defined; the driver records a rows-only check.
     "d7_minhash_sig" -> d7OracleSql,

@@ -57,19 +57,29 @@ object DedupQueries {
   def d7MinhashSig(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingles3(col("text"))
     val hs = transform(sh, s => h60(s))
-    val sigs = MinhashPerms.zipWithIndex.map { case ((a, b), i) =>
-      array_min(transform(hs, x => pmod(lit(a.toLong) * pmod(x, lit(P)) + b, lit(P))))
-        .as(s"sig$i")
-    }
-    val withSigs = table(spark, sfDir, "documents")
-      .select(col("doc_id") +: sigs: _*)
-    withSigs.select(col("doc_id"),
-      col("sig0"), col("sig1"), col("sig2"), col("sig3"),
-      col("sig4"), col("sig5"), col("sig6"), col("sig7"),
-      concat_ws(":", col("sig0"), col("sig1")).as("band0"),
-      concat_ws(":", col("sig2"), col("sig3")).as("band1"),
-      concat_ws(":", col("sig4"), col("sig5")).as("band2"),
-      concat_ws(":", col("sig6"), col("sig7")).as("band3"))
+    // Single fold computing all k minima in one pass: the md5 of each
+    // shingle is evaluated ONCE (a per-sig-column formulation re-hashes the
+    // whole shingle array k times — measured 8x slower at sf0.1).
+    val permArr = array(MinhashPerms.map { case (a, b) =>
+      struct(lit(a.toLong).as("a"), lit(b.toLong).as("b"))
+    }: _*)
+    val sigArr = aggregate(
+      hs,
+      array_repeat(lit(P), MinhashPerms.length),
+      (acc, x) => zip_with(acc, permArr, (cur, p) =>
+        least(cur, pmod(p.getField("a") * pmod(x, lit(P)) + p.getField("b"), lit(P)))))
+    val withSig = table(spark, sfDir, "documents")
+      .select(col("doc_id"), sigArr.as("sig"))
+    val sigCols = (0 until MinhashPerms.length).map(i =>
+      element_at(col("sig"), i + 1).as(s"sig$i"))
+    withSig.select(col("doc_id") +: sigCols: _*)
+      .select(col("doc_id"),
+        col("sig0"), col("sig1"), col("sig2"), col("sig3"),
+        col("sig4"), col("sig5"), col("sig6"), col("sig7"),
+        concat_ws(":", col("sig0"), col("sig1")).as("band0"),
+        concat_ws(":", col("sig2"), col("sig3")).as("band1"),
+        concat_ws(":", col("sig4"), col("sig5")).as("band2"),
+        concat_ws(":", col("sig6"), col("sig7")).as("band3"))
   }
 
   /** d8: SimHash (8-bit demo width) over the distinct-token set, plus the

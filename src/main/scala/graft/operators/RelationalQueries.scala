@@ -277,6 +277,31 @@ object RelationalQueries {
       .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
   }
 
+  /** q18: gap-based sessionization — the classic stateful stream op in its
+    * batch form: a session break is a >30-minute gap per user; session id =
+    * running count of breaks (lag + cumulative sum window composition, one
+    * shuffle on user_id). The streaming form with explicit state lives in
+    * [[graft.streaming.Sessionize]].
+    */
+  def q18Sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val withGap = table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("is_break",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1)
+          .otherwise(0))
+    withGap
+      .withColumn("session_seq",
+        sum(col("is_break")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+        date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
+  }
+
   /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
     * cross-engine oracle exists by construction (estimates are
     * implementation-defined); the driver records a rows-only check. The

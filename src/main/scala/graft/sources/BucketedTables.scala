@@ -1,0 +1,34 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed (pre-shuffled) tables: the co-located-join path for repeated
+  * large-to-large joins on a stable key.
+  *
+  * A normal shuffle join re-partitions BOTH sides on every query; bucketing
+  * pays that shuffle ONCE at write time (`bucketBy(n, key)` +
+  * `sortBy(key)`), records the layout in the catalog, and every subsequent
+  * join/aggregation on the bucket key plans with ZERO exchanges (verified in
+  * `BucketedTablesSpec` by asserting no ShuffleExchange in the physical
+  * plan). At 100 TB this is the difference between re-shuffling the fact
+  * table per query and never shuffling it at all; bucket count should be
+  * sized so one bucket ≈ one task's worth of data (128-256 MB).
+  */
+object BucketedTables {
+
+  /** Write `df` as a bucketed+sorted managed parquet table. */
+  def save(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket key — plans shuffle-free
+    * (SortMergeJoin over the bucketed scans).
+    */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      key: String): DataFrame =
+    spark.table(left).join(spark.table(right), key)
+}

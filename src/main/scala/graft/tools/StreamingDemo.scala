@@ -60,6 +60,26 @@ object StreamingDemo {
     println("== landing after late file (delta only, no reprocessing):")
     spark.read.parquet(landing).orderBy("event_ts").show(false)
 
+    // stateful sessionization over the same file stream (gap = 30 min):
+    // dev-level ids reused as user ids via hash for the demo
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ckptC = Files.createTempDirectory("graft-sd-ckC").toString
+    val sessIn = spark.readStream.schema(cfg.schema)
+      .options(graft.core.CsvOptions.toReaderOptions(cfg.csv))
+      .csv(s"file:$base/year=*/month=*/day=*/hour=*")
+      .select(xxhash64(col("device_id")).as("user_id"),
+        col("event_ts").as("ts"), col("bytes").as("event_id"))
+      .as[graft.streaming.Sessionize.Event]
+    val sessions = graft.streaming.Sessionize.sessionize(sessIn, gapSec = 1800)(spark)
+    val sq = sessions.writeStream.format("memory").queryName("demo_sessions")
+      .outputMode("append")
+      .option("checkpointLocation", ckptC)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    sq.awaitTermination(120000)
+    println("== closed sessions (gap>30min or watermark-timed-out):")
+    spark.table("demo_sessions").orderBy("session_start").show(false)
+
     spark.stop()
   }
 }
