@@ -24,5 +24,11 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE on explicitly (runtime re-plan: shuffle coalescing, skew-join
+      // splitting, dynamic broadcast demotion) — the cluster-side answer to
+      // stats being wrong at 100 TB
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .withExtensions(installAll)
 }

@@ -66,13 +66,20 @@ object CsvOptions {
   * @param partitionField  TIMESTAMP column fed to hour truncation
   * @param clusterField    within-partition sort column (BQ `CLUSTER BY`)
   */
+/** @param strictPartition when true, a per-hour load job FAILS if any record's
+  *   `partitionField` hour differs from the target partition — BigQuery's
+  *   behavior for a `table$YYYYMMDDHH` decorator load (rows outside the
+  *   decorator's partition are rejected). Default false: records land where
+  *   their content says (Spark-first; a late record is data, not an error).
+  */
 final case class IngestConfig(
     sourceBase: String,
     landingPath: String,
     schema: StructType,
     partitionField: String,
     clusterField: String,
-    csv: CsvOptions = CsvOptions())
+    csv: CsvOptions = CsvOptions(),
+    strictPartition: Boolean = false)
 
 /** Immutable job descriptor — the reference's `LoadJobMetadata` NamedTuple
   * (`/root/reference/ingestion/types.py:19-27`); Scala `copy` replaces

@@ -75,6 +75,21 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
           try {
             val df = HivePartitionedSource.readGlob(
               spark, cfg.schema, cfg.csv, meta.sourceGlob)
+            if (cfg.strictPartition) {
+              // BQ decorator-load parity: any record outside the target hour
+              // rejects the whole job (bigquery_interaction WRITE_TRUNCATE to
+              // table$YYYYMMDDHH). limit(1) short-circuits the probe.
+              import org.apache.spark.sql.functions.{col, date_trunc, lit}
+              val target = java.sql.Timestamp.from(meta.partition.toInstant)
+              val offenders = df.filter(
+                date_trunc("hour", col(cfg.partitionField)) =!= lit(target) ||
+                  col(cfg.partitionField).isNull)
+              if (!offenders.limit(1).isEmpty)
+                throw new IllegalStateException(
+                  s"strictPartition: records outside target partition " +
+                    s"${PartitionCodec.toBqId(meta.partition)} (or with null " +
+                    s"${cfg.partitionField}) present in ${meta.sourceGlob}")
+            }
             LandingTable.overwritePartitions(df, cfg)
           } finally spark.sparkContext.clearJobGroup()
         }

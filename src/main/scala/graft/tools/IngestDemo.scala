@@ -76,6 +76,16 @@ object IngestDemo {
     println("== landing table after re-ingest (h12 replaced, h13 untouched):")
     LandingTable.read(spark, cfg).orderBy("event_ts").show(false)
 
+    // strict decorator-load parity: an hour-13 dir containing an hour-14
+    // record must fail the job like BigQuery's partition-mismatch reject
+    writeTsv(h13, "late.tsv", Seq("2023-06-27 14:05:00\tdev-8\tlate\tz\t9"))
+    val strict = cfg.copy(strictPartition = true)
+    val sm = runner.assemble(strict, h13)
+    runner.start(strict, sm)
+    val (sState, sMsg) = runner.await(sm.jobId)
+    println(s"== strict ingest with out-of-hour record -> ${sState.name} " +
+      sMsg.map(_.take(100)).getOrElse(""))
+
     println("== require_partition_filter guard:")
     RequirePartitionFilter.protect(cfg.landingPath)
     try {

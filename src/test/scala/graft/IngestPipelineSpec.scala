@@ -134,6 +134,21 @@ class IngestPipelineSpec extends SparkSpec {
     assert(last.status == JobState.Success) // last hour = 12, which exists
   }
 
+  test("strictPartition: out-of-hour record rejects the job like a BQ decorator load") {
+    // a file in hour=13's directory containing an hour-14 record
+    writeTsv(h13, "late.tsv", Seq("2023-06-27 14:05:00\tdev-8\tlate\tz\t9"))
+    val strictCfg = cfg.copy(strictPartition = true)
+    val r = new JobRunner(spark)
+    val m = r.assemble(strictCfg, h13)
+    r.start(strictCfg, m)
+    val (st, msg) = r.await(m.jobId)
+    assert(st == JobState.Failure)
+    assert(msg.exists(_.contains("strictPartition")))
+    // non-strict: same files load fine, record lands in its content hour
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(base.toString, PartitionCodec.toHivePath(h13), "late.tsv"))
+  }
+
   test("landing read prunes partitions: direct-path read sees only its hour") {
     val h12df = LandingTable.readPartition(spark, cfg, h12)
     assert(h12df.count() == 2)
