@@ -68,4 +68,25 @@ object Workflow {
     }
     last
   }
+
+  /** Backfill a past hour range (inclusive), one idempotent run per hour —
+    * the reference's manual backfill procedure (`README.md:49-60`,
+    * `commands.sh:56-64`: re-run the workflow with an explicit partition)
+    * as a first-class call. Absent hours are skipped like the scheduled
+    * path; each present hour converges because the sink truncates exactly
+    * that partition.
+    */
+  def backfill(
+      spark: SparkSession,
+      runner: JobRunner,
+      cfg: IngestConfig,
+      from: PartitionHour,
+      to: PartitionHour,
+      policy: Policy = Policy()): Seq[(PartitionHour, RunResult)] = {
+    require(!from.toInstant.isAfter(to.toInstant), "backfill: from after to")
+    Iterator.iterate(from)(_.plusHours(1))
+      .takeWhile(h => !h.toInstant.isAfter(to.toInstant))
+      .map(h => h -> runAndAwait(spark, runner, cfg, Some(h), policy))
+      .toSeq
+  }
 }

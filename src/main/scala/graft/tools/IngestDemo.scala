@@ -86,6 +86,12 @@ object IngestDemo {
     println(s"== strict ingest with out-of-hour record -> ${sState.name} " +
       sMsg.map(_.take(100)).getOrElse(""))
 
+    // backfill a 5-hour range: present hours converge, absent hours skip
+    val bf = Workflow.backfill(spark, runner, cfg,
+      PartitionHour(2023, 6, 27, 10), PartitionHour(2023, 6, 27, 14))
+    println("== backfill 10..14 -> " + bf.map { case (h, r) =>
+      s"${h.hour}:${r.status.name}" }.mkString(" "))
+
     println("== require_partition_filter guard:")
     RequirePartitionFilter.protect(cfg.landingPath)
     try {

@@ -153,4 +153,15 @@ class IngestPipelineSpec extends SparkSpec {
     val h12df = LandingTable.readPartition(spark, cfg, h12)
     assert(h12df.count() == 2)
   }
+
+  test("O2: backfill over a range ingests present hours, skips absent ones") {
+    val r = new JobRunner(spark)
+    val results = Workflow.backfill(spark, r, cfg,
+      PartitionHour(2023, 6, 27, 10), PartitionHour(2023, 6, 27, 14))
+    assert(results.length == 5)
+    val byHour = results.map { case (h, res) => h.hour -> res.status }.toMap
+    assert(byHour(12) == JobState.Success && byHour(13) == JobState.Success)
+    assert(byHour(10) == JobState.NotCreated && byHour(11) == JobState.NotCreated &&
+      byHour(14) == JobState.NotCreated)
+  }
 }
