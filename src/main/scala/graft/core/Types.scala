@@ -79,7 +79,11 @@ final case class IngestConfig(
     partitionField: String,
     clusterField: String,
     csv: CsvOptions = CsvOptions(),
-    strictPartition: Boolean = false)
+    strictPartition: Boolean = false,
+    // raw-file format under the hive tree: "csv" (the reference's TSV
+    // contract), "parquet", or "json" — the schema contract is identical
+    // (explicit, never inferred) for all three
+    sourceFormat: String = "csv")
 
 /** Immutable job descriptor — the reference's `LoadJobMetadata` NamedTuple
   * (`/root/reference/ingestion/types.py:19-27`); Scala `copy` replaces

@@ -24,24 +24,43 @@ object HivePartitionedSource {
 
   /** Read exactly one partition-hour's files as typed rows. */
   def read(spark: SparkSession, cfg: IngestConfig, hour: PartitionHour): DataFrame =
-    readGlob(spark, cfg.schema, cfg.csv, PartitionCodec.toGlob(cfg.sourceBase, hour))
+    readGlob(spark, cfg.schema, cfg.csv,
+      PartitionCodec.toGlob(cfg.sourceBase, hour), cfg.sourceFormat)
 
-  /** Read an arbitrary glob with the reference CSV contract. */
+  /** Read an arbitrary glob with the configured format; the schema is always
+    * caller-supplied (the reference's CREATE_NEVER discipline), never
+    * inferred — for parquet that also means mismatched files fail loudly
+    * instead of silently widening the schema.
+    */
   def readGlob(spark: SparkSession, schema: StructType, csv: CsvOptions,
-               glob: String): DataFrame =
-    spark.read
-      .schema(schema)
-      .options(CsvOptions.toReaderOptions(csv))
-      .csv(glob)
+               glob: String, format: String = "csv"): DataFrame = format match {
+    case "csv" =>
+      spark.read.schema(schema).options(CsvOptions.toReaderOptions(csv)).csv(glob)
+    case "parquet" =>
+      spark.read.schema(schema).parquet(glob)
+    case "json" =>
+      spark.read.schema(schema)
+        .option("timestampFormat", csv.timestampFormat).json(glob)
+    case other =>
+      throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
+  }
 
   /** Read a whole hive-partitioned tree (partition columns year/month/day/hour
     * surface as columns via Spark partition discovery). Used for multi-hour
     * reads / backfill verification; per-hour ingest prefers [[read]].
     */
-  def readTree(spark: SparkSession, cfg: IngestConfig, basePath: String): DataFrame =
-    spark.read
+  def readTree(spark: SparkSession, cfg: IngestConfig, basePath: String): DataFrame = {
+    val r = spark.read
       .schema(cfg.schema)
       .options(CsvOptions.toReaderOptions(cfg.csv))
       .option("basePath", basePath)
-      .csv(basePath + "/year=*/month=*/day=*/hour=*")
+    val pattern = basePath + "/year=*/month=*/day=*/hour=*"
+    cfg.sourceFormat match {
+      case "csv"     => r.csv(pattern)
+      case "parquet" => r.parquet(pattern)
+      case "json"    => r.json(pattern)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
+    }
+  }
 }

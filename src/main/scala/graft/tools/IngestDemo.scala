@@ -92,6 +92,19 @@ object IngestDemo {
     println("== backfill 10..14 -> " + bf.map { case (h, r) =>
       s"${h.hour}:${r.status.name}" }.mkString(" "))
 
+    // maintenance: compact h12 (multi-file from the two loads), register as
+    // a SQL table, expire everything before h13
+    val (nb, na) = graft.sources.LandingMaintenance.compactPartition(spark, cfg, h12)
+    println(s"== compact h12: files $nb -> $na")
+    graft.sources.LandingMaintenance.register(spark, cfg, "demo_landing")
+    val cnt = spark.sql(
+      "SELECT count(*) FROM demo_landing WHERE year='2023' AND month='06' AND day='27' AND hour='12'")
+      .collect()(0).getLong(0)
+    println(s"== registered SQL table, pruned count(h12) = $cnt")
+    val dropped = graft.sources.LandingMaintenance.expirePartitions(spark, cfg, h13)
+    println(s"== expired before h13: ${dropped.map(PartitionCodec.toBqId)}")
+    spark.sql("DROP TABLE demo_landing")
+
     println("== require_partition_filter guard:")
     RequirePartitionFilter.protect(cfg.landingPath)
     try {
@@ -102,8 +115,8 @@ object IngestDemo {
         println(s"  full scan rejected: ${e.getMessage.linesIterator.next()}")
     }
     val n = LandingTable.read(spark, cfg)
-      .filter("year = '2023' and month = '06' and day = '27' and hour = '12'").count()
-    println(s"  filtered scan allowed, rows=$n")
+      .filter("year = '2023' and month = '06' and day = '27' and hour = '13'").count()
+    println(s"  filtered scan allowed, rows=$n (h13; h12 was expired above)")
     RequirePartitionFilter.clear()
     spark.stop()
   }

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Compaction preserves content while merging files; registration enables
+  * pruned SQL; retention drops only expired hours. Also covers the
+  * parquet-format raw source.
+  */
+class LandingMaintenanceSpec extends SparkSpec {
+
+  val schema = StructType(Seq(
+    StructField("event_ts", TimestampType),
+    StructField("device_id", StringType),
+    StructField("bytes", LongType)))
+
+  def freshCfg(): IngestConfig = {
+    val landing = Files.createTempDirectory("graft-maint").toString + "/t"
+    IngestConfig("unused", s"file:$landing", schema, "event_ts", "device_id")
+  }
+
+  def load(cfg: IngestConfig, rows: Seq[(String, String, Long)], parts: Int = 4): Unit = {
+    import spark.implicits._
+    val df = rows.toDF("s", "device_id", "bytes")
+      .selectExpr("CAST(s AS TIMESTAMP) AS event_ts", "device_id", "bytes")
+      .repartition(parts)
+    LandingTable.overwritePartitions(df, cfg)
+  }
+
+  test("compactPartition merges files, preserves rows and sibling partitions") {
+    val cfg = freshCfg()
+    load(cfg, Seq(
+      ("2023-06-27 12:01:00", "d1", 1L), ("2023-06-27 12:02:00", "d2", 2L),
+      ("2023-06-27 12:03:00", "d3", 3L), ("2023-06-27 12:04:00", "d4", 4L),
+      ("2023-06-27 13:01:00", "d5", 5L)), parts = 4)
+    val h12 = PartitionHour(2023, 6, 27, 12)
+    val before = LandingTable.readPartition(spark, cfg, h12)
+      .orderBy("event_ts").collect().map(_.toString).toSeq
+
+    val (nBefore, nAfter) = LandingMaintenance.compactPartition(spark, cfg, h12)
+    assert(nBefore > 1 && nAfter == 1, s"before=$nBefore after=$nAfter")
+    val after = LandingTable.readPartition(spark, cfg, h12)
+      .orderBy("event_ts").collect().map(_.toString).toSeq
+    assert(after == before)
+    assert(LandingTable.readPartition(spark, cfg, PartitionHour(2023, 6, 27, 13))
+      .count() == 1)
+    // compacting an absent partition is a no-op
+    assert(LandingMaintenance.compactPartition(spark, cfg,
+      PartitionHour(1999, 1, 1, 0)) == ((0, 0)))
+  }
+
+  test("register exposes a pruned SQL table over the landing tree") {
+    val cfg = freshCfg()
+    load(cfg, Seq(
+      ("2023-06-27 12:01:00", "d1", 1L), ("2023-06-28 09:00:00", "d2", 2L)))
+    LandingMaintenance.register(spark, cfg, "maint_landing")
+    val n = spark.sql(
+      "SELECT count(*) FROM maint_landing WHERE year='2023' AND month='06' AND day='27'")
+      .collect()(0).getLong(0)
+    assert(n == 1)
+    spark.sql("DROP TABLE maint_landing")
+  }
+
+  test("expirePartitions drops only hours before the cutoff") {
+    val cfg = freshCfg()
+    load(cfg, Seq(
+      ("2023-06-27 10:00:00", "d1", 1L),
+      ("2023-06-27 11:00:00", "d2", 2L),
+      ("2023-06-27 12:00:00", "d3", 3L)))
+    val dropped = LandingMaintenance.expirePartitions(spark, cfg,
+      PartitionHour(2023, 6, 27, 12))
+    assert(dropped.map(_.hour).sorted == Seq(10, 11))
+    val left = LandingTable.read(spark, cfg)
+    assert(left.count() == 1 && left.collect()(0).getAs[Long]("bytes") == 3L)
+  }
+
+  test("parquet raw format: hive tree of parquet files ingests identically") {
+    import spark.implicits._
+    val rawBase = Files.createTempDirectory("graft-praw").toString
+    val h = PartitionHour(2023, 6, 27, 12)
+    val dir = PartitionCodec.toDir(s"file:$rawBase", h)
+    Seq(("2023-06-27 12:30:00", "p1", 7L)).toDF("s", "device_id", "bytes")
+      .selectExpr("CAST(s AS TIMESTAMP) AS event_ts", "device_id", "bytes")
+      .write.mode("overwrite").parquet(dir)
+
+    val cfg = freshCfg().copy(sourceBase = s"file:$rawBase", sourceFormat = "parquet")
+    assert(PartitionProbe.exists(spark, cfg, h))
+    val df = HivePartitionedSource.read(spark, cfg, h)
+    assert(df.count() == 1 && df.collect()(0).getAs[Long]("bytes") == 7L)
+    LandingTable.overwritePartitions(df, cfg)
+    assert(LandingTable.readPartition(spark, cfg, h).count() == 1)
+  }
+}
