@@ -204,6 +204,46 @@ object DedupQueries {
         max(col("sim_dec")).cast("double").as("max_sim"))
   }
 
+  /** e6: the full IVF query path — top-k neighbors for each query vector
+    * searched ONLY within the query's probed (nearest) centroid bin:
+    * codebook assignment (e4) partitions the corpus; the per-query scan
+    * shrinks from N to N/C. Recall loss vs exact (e2) is the IVF tradeoff;
+    * nprobe>1 recovers it by unioning more bins. One broadcast of the tiny
+    * query set, candidate join keyed on centroid_id — no cartesian product.
+    */
+  def e6IvfSearch(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+    // assign every vector (corpus and queries alike) to its nearest centroid
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("a_sim", dotOf(col("embedding"), col("c_emb")).cast("decimal(20,6)"))
+      .withColumn("a_rk", row_number().over(wAssign))
+      .filter(col("a_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    assigned
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("centroid_id"))
+      .join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dotOf(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e4: IVF(-flat) assignment — vectors binned to their nearest centroid
     * from a fixed codebook (vec_id < 4 as demo centroids; real deployments
     * train the codebook). The partition step of IVF ANN search: at query

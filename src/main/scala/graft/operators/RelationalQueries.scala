@@ -302,6 +302,20 @@ object RelationalQueries {
         date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"))
   }
 
+  /** q19: explicit GROUPING SETS with grouping_id — finer than cube/rollup:
+    * exactly the requested combinations, tagged so consumers can tell a
+    * real NULL key from a superaggregate row.
+    */
+  def q19GroupingSets(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderstatus, o_orderpriority,
+         | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+         | CAST(grouping(o_orderpriority) AS BIGINT) AS g_priority,
+         | count(*) AS cnt
+         |FROM parquet.`$sfDir/orders.parquet`
+         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+         |                        (o_orderstatus, o_orderpriority))""".stripMargin)
+
   /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
     * cross-engine oracle exists by construction (estimates are
     * implementation-defined); the driver records a rows-only check. The
