@@ -66,6 +66,8 @@ object SparkEntry {
     "e5_cosine_neardup" -> ((s, d) => D.e5CosineNearDup(s, d)),
     "q19_grouping_sets" -> (R.q19GroupingSets _),
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
+    "q20_pivot" -> (R.q20Pivot _),
+    "q21_unpivot" -> (R.q21Unpivot _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -325,6 +327,21 @@ object SparkEntry {
     "d8_simhash" -> d8OracleSql,
     "d12_minhash_udaf" -> d12OracleSql,
     "e5_cosine_neardup" -> e5OracleSql,
+    "q20_pivot" ->
+      """SELECT (user_id % 100) AS user_mod,
+        | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        | CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY (user_id % 100)""".stripMargin,
+    "q21_unpivot" ->
+      """SELECT p_partkey, attr, val FROM (
+        | SELECT p_partkey, 'size' AS attr, CAST(p_size AS BIGINT) AS val FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'name_len', CAST(length(p_name) AS BIGINT) FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'type_len', CAST(length(p_type) AS BIGINT) FROM part) t""".stripMargin,
     "q19_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
         | CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,

@@ -316,6 +316,30 @@ object RelationalQueries {
          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
          |                        (o_orderstatus, o_orderpriority))""".stripMargin)
 
+  /** q20: pivot — event counts per user hour, event types to columns. The
+    * pivot value set is declared (not discovered) so the plan is a single
+    * hash aggregation; discovery would need an extra distinct pass.
+    */
+  def q20Pivot(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy((col("user_id") % 100).as("user_mod"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+
+  /** q21: unpivot (melt) — wide part attributes back to (key, attr, value)
+    * rows; the inverse reshape, one Generate (expand) node, no shuffle.
+    */
+  def q21Unpivot(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        col("p_size").cast("long").as("size"),
+        length(col("p_name")).cast("long").as("name_len"),
+        length(col("p_type")).cast("long").as("type_len"))
+      .unpivot(Array(col("p_partkey")),
+        Array(col("size"), col("name_len"), col("type_len")),
+        "attr", "val")
+
   /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
     * cross-engine oracle exists by construction (estimates are
     * implementation-defined); the driver records a rows-only check. The
