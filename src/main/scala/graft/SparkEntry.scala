@@ -68,6 +68,7 @@ object SparkEntry {
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
+    "q22_scalar_subquery" -> (R.q22ScalarSubquery _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -327,6 +328,11 @@ object SparkEntry {
     "d8_simhash" -> d8OracleSql,
     "d12_minhash_udaf" -> d12OracleSql,
     "e5_cosine_neardup" -> e5OracleSql,
+    "q22_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice,
+        | (SELECT max(l_quantity) FROM lineitem
+        |  WHERE l_orderkey = o_orderkey) AS max_line_qty
+        |FROM orders""".stripMargin,
     "q20_pivot" ->
       """SELECT (user_id % 100) AS user_mod,
         | CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,

@@ -340,6 +340,17 @@ object RelationalQueries {
         Array(col("size"), col("name_len"), col("type_len")),
         "attr", "val")
 
+  /** q22: correlated scalar subquery — Catalyst decorrelates it into a left
+    * outer aggregate join (no per-row re-execution; check the plan for the
+    * single Aggregate+Join, not a subquery loop).
+    */
+  def q22ScalarSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT o_orderkey, o_totalprice,
+         | (SELECT max(l_quantity) FROM parquet.`$sfDir/lineitem.parquet`
+         |  WHERE l_orderkey = o_orderkey) AS max_line_qty
+         |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
+
   /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
     * cross-engine oracle exists by construction (estimates are
     * implementation-defined); the driver records a rows-only check. The
