@@ -16,11 +16,15 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // One throwaway action so JVM/classloading/codegen warmup isn't billed
+    // to whichever query happens to sort first.
+    spark.range(1000).write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
       val sec = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $name ${sec}%.2fs")
@@ -29,7 +33,14 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // Also write straight to fd 1: when run under sbt, the logger prefixes
+    // println with "[info] ", which breaks line-oriented JSON parsers.
+    val fd1 = new java.io.PrintStream(
+      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
+    fd1.println(json)
     spark.stop()
   }
 }

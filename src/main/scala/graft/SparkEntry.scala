@@ -69,6 +69,11 @@ object SparkEntry {
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
     "q22_scalar_subquery" -> (R.q22ScalarSubquery _),
+    "q23_exists_subquery" -> (R.q23ExistsSubquery _),
+    "q24_lateral_explode" -> (R.q24LateralExplode _),
+    "q25_setops_all" -> (R.q25SetOpsAll _),
+    "q26_stats_agg" -> (R.q26StatsAgg _),
+    "q27_window_range" -> (R.q27WindowRange _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -437,6 +442,53 @@ object SparkEntry {
         | FROM sims)
         |SELECT vec_id, centroid_id, CAST(sim_dec AS DOUBLE) AS centroid_sim
         |FROM ranked WHERE rk = 1""".stripMargin,
+    "q23_exists_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderstatus = 'F' AND o_totalprice < 5000)""".stripMargin,
+    "q24_lateral_explode" ->
+      """SELECT pos, word, count(*) AS cnt, min(p_partkey) AS first_key FROM (
+        | SELECT p_partkey,
+        |        unnest(range(0, len(string_split(p_type, ' ')))) AS pos,
+        |        unnest(string_split(p_type, ' ')) AS word
+        | FROM part) t
+        |GROUP BY pos, word""".stripMargin,
+    "q25_setops_all" ->
+      """WITH l AS (SELECT l_suppkey % 50 AS k FROM lineitem),
+        |     o AS (SELECT o_custkey % 50 AS k FROM orders),
+        |     ic AS (SELECT k, count(*) AS n_intersect FROM
+        |              (SELECT k FROM l INTERSECT ALL SELECT k FROM o) GROUP BY k),
+        |     ec AS (SELECT k, count(*) AS n_except FROM
+        |              (SELECT k FROM l EXCEPT ALL SELECT k FROM o) GROUP BY k)
+        |SELECT COALESCE(ic.k, ec.k) AS k,
+        |       COALESCE(n_intersect, 0) AS n_intersect,
+        |       COALESCE(n_except, 0) AS n_except
+        |FROM ic FULL OUTER JOIN ec ON ic.k = ec.k""".stripMargin,
+    "q26_stats_agg" ->
+      """WITH s AS (
+        | SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sx,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+        |  CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sxx,
+        |  CAST(sum(CAST(l_discount * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS syy,
+        |  CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(20,6))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        | (sxx - sx * sx / n) / n AS var_pop_qty,
+        | (sxy - sx * sy / n) /
+        |   (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS corr_qty_disc
+        |FROM s""".stripMargin,
+    "q27_window_range" ->
+      """SELECT o_orderkey, o_custkey,
+        | count(*) OVER w AS n_30d,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE) AS spend_30d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d12MinhashUdaf]] — the

@@ -18,7 +18,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
 
-  def install(ext: SparkSessionExtensions): Unit =
+  def install(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("graft_hour_bucket"),
       new ExpressionInfo(classOf[HourBucket].getName, "graft_hour_bucket"),
@@ -26,8 +26,20 @@ object GraftFunctions {
         require(children.length == 1, "graft_hour_bucket takes 1 argument")
         HourBucket(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_h60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "graft_h60"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_h60 takes 1 argument")
+        Md5Prefix60(children.head)
+      }))
+  }
 
   /** Column-API form of `graft_hour_bucket` (requires [[install]]ed session). */
   def hourBucket(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_hour_bucket", c)
+
+  /** Column-API form of `graft_h60` (requires [[install]]ed session). */
+  def h60(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_h60", c)
 }

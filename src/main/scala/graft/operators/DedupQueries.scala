@@ -29,9 +29,12 @@ object DedupQueries {
 
   private val P = 1000000007L // modulus for permutation hashing
 
-  /** 60-bit deterministic hash of a string, identical in duckdb. */
-  private def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+  /** 60-bit deterministic hash of a string, identical in duckdb: the custom
+    * codegen expression [[graft.functions.Md5Prefix60]] (bit-identical to
+    * `conv(substr(md5(c),1,15),16,10)`, ~2x cheaper per value — no hex
+    * string / substring / radix-parse churn on the per-shingle hot path).
+    */
+  private def h60(c: Column): Column = graft.functions.GraftFunctions.h60(c)
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 

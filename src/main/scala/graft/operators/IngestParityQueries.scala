@@ -6,8 +6,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import java.nio.file.Files
-
 /** The reference's own pipeline (S1 hive TSV scan, S2 partition-overwrite
   * sink, S3 partitioned+clustered landing DDL, J1-J3 job machine, O1
   * workflow) exercised END TO END inside the correctness gate: each query
@@ -46,11 +44,25 @@ object IngestParityQueries {
   private val exportCache =
     new scala.collection.concurrent.TrieMap[(String, Boolean), (String, String)]
 
+  /** Parity scratch space lives under the build's own `target/` (same
+    * filesystem as the repo, never cleaned by external tmp reapers — a /tmp
+    * export tree disappearing mid-bench is a failure mode we have hit).
+    * Dirs are keyed by (sfDir, scope) and rewritten with mode=overwrite, so
+    * re-runs converge instead of littering.
+    */
+  private def parityDir(kind: String, sfDir: String, firstHourOnly: Boolean): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val scope = if (firstHourOnly) "first" else "full"
+    val d = new java.io.File(s"target/parity/$kind-$scope-$sf").getAbsoluteFile
+    d.mkdirs()
+    d.toString
+  }
+
   private def exportEventsTsv(spark: SparkSession, sfDir: String,
       firstHourOnly: Boolean = false): (String, String) =
     exportCache.getOrElseUpdate((sfDir, firstHourOnly), {
-      val raw = Files.createTempDirectory("graft-parity-raw").toString
-      val landing = Files.createTempDirectory("graft-parity-landing").toString
+      val raw = parityDir("raw", sfDir, firstHourOnly)
+      val landing = parityDir("landing", sfDir, firstHourOnly)
       val events0 = RelationalQueries.eventsTable(spark, sfDir)
       val events =
         if (firstHourOnly)
@@ -66,6 +78,9 @@ object IngestParityQueries {
         .partitionBy(LandingTable.PartitionCols: _*)
         .options(CsvOptions.toWriterOptions(CsvOptions()))
         .csv(s"file:$raw")
+      val written = new java.io.File(raw).listFiles()
+      require(written != null && written.exists(_.getName.startsWith("year=")),
+        s"parity TSV export produced no partition dirs under $raw")
       (s"file:$raw", s"file:$landing")
     })
 

@@ -363,4 +363,100 @@ object RelationalQueries {
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+
+  /** q23: correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
+    * left-semi and left-anti hash joins on c_custkey (one shuffle each, no
+    * per-row subquery execution; `.explain` shows Join LeftSemi + LeftAnti).
+    */
+  def q23ExistsSubquery(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name FROM parquet.`$sfDir/customer.parquet`
+         |WHERE EXISTS (SELECT 1 FROM parquet.`$sfDir/orders.parquet`
+         |              WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+         |  AND NOT EXISTS (SELECT 1 FROM parquet.`$sfDir/orders.parquet`
+         |                  WHERE o_custkey = c_custkey
+         |                    AND o_orderstatus = 'F' AND o_totalprice < 5000)""".stripMargin)
+
+  /** q24: lateral explode (generator / UDTF surface) — posexplode of the
+    * tokenized p_type, aggregated per (position, word). One Generate node
+    * feeding a partial-agg'd groupBy: the expand is pipelined, no extra
+    * shuffle beyond the final aggregation.
+    */
+  def q24LateralExplode(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "part")
+      .select(col("p_partkey"),
+        posexplode(split(col("p_type"), " ")).as(Seq("pos", "word")))
+      .groupBy(col("pos").cast("long").as("pos"), col("word"))
+      .agg(count(lit(1)).as("cnt"), min("p_partkey").as("first_key"))
+
+  /** q25: multiset set ops — INTERSECT ALL / EXCEPT ALL keep duplicate
+    * cardinality (unlike q6's DISTINCT forms). Spark plans both as
+    * aggregate+generate over per-key counts: one shuffle per side, no join
+    * explosion. Output re-aggregated per key so it stays bounded.
+    */
+  def q25SetOpsAll(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = table(spark, sfDir, "lineitem").select((col("l_suppkey") % 50).as("k"))
+    val o = table(spark, sfDir, "orders").select((col("o_custkey") % 50).as("k"))
+    l.intersectAll(o).groupBy("k").agg(count(lit(1)).as("n_intersect"))
+      .join(
+        l.exceptAll(o).groupBy("k").agg(count(lit(1)).as("n_except")),
+        Seq("k"), "full_outer")
+      .na.fill(0L, Seq("n_intersect", "n_except"))
+  }
+
+  /** q26: statistical aggregates (variance / correlation) computed from
+    * EXACT decimal power sums — var_pop = (nΣx² − (Σx)²)/n², corr via the
+    * analogous product-moment identity. Both engines produce bit-identical
+    * decimal sums, so the final double arithmetic is deterministic —
+    * unlike the built-in one-pass `corr`/`var_pop`, whose float merge order
+    * varies run to run. Single scan, map-side partial sums; the identity
+    * form is also how you'd compute grouped stats over 100 TB without a
+    * second pass.
+    */
+  def q26StatsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    // Power sums as exact decimals: per-row products in double (IEEE-exact,
+    // engine-identical), cast to DECIMAL(20,6) (tie points aren't binary-
+    // representable, so both engines round identically), summed exactly.
+    // Magnitudes (quantity<=50, discount<=0.1) keep every sum's unscaled
+    // value far below 2^53 so the final decimal->double cast is exact.
+    val x = col("l_quantity")
+    val y = col("l_discount")
+    def dsum6(c: org.apache.spark.sql.Column) =
+      sum(c.cast("decimal(20,6)")).cast("double")
+    val s = table(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum6(x).as("sx"), dsum6(y).as("sy"),
+        dsum6(x * x).as("sxx"), dsum6(y * y).as("syy"),
+        dsum6(x * y).as("sxy"))
+    s.select(
+      col("l_returnflag"), col("n").cast("long").as("n"),
+      ((col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+        .as("var_pop_qty"),
+      ((col("sxy") - col("sx") * col("sy") / col("n")) /
+        (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+          sqrt(col("syy") - col("sy") * col("sy") / col("n"))))
+        .as("corr_qty_disc"))
+  }
+
+  /** q27: RANGE-framed window — per customer, rolling 30-day order count
+    * and exact-decimal spend ending at each order. Range frames need a
+    * numeric order key: epoch seconds. One shuffle on o_custkey; the frame
+    * scan is per-partition and streaming (no quadratic re-scan).
+    */
+  def q27WindowRange(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-30L * 86400, 0)
+    table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        // orderdate is parquet TIMESTAMP_NTZ; go through TIMESTAMP (session
+        // TZ is pinned UTC) to get epoch seconds, matching duckdb epoch().
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch_s"))
+      .withColumn("n_30d", count(lit(1)).over(w))
+      .withColumn("spend_30d",
+        sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
+      .select("o_orderkey", "o_custkey", "n_30d", "spend_30d")
+  }
 }
