@@ -1,7 +1,8 @@
 package graft
 
 import graft.operators.{DedupQueries => D, IngestParityQueries => IP,
-  RelationalQueries => R, TextQueries => T, VectorQueries => V}
+  MultimodalOps => M, RelationalQueries => R, TextQueries => T,
+  VectorQueries => V}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -74,6 +75,10 @@ object SparkEntry {
     "q25_setops_all" -> (R.q25SetOpsAll _),
     "q26_stats_agg" -> (R.q26StatsAgg _),
     "q27_window_range" -> (R.q27WindowRange _),
+    "d13_lsh_pairs" -> (D.d13LshPairs _),
+    "d14_langid_chargram" -> (T.d14LangIdChargram _),
+    "m2_media_decode" -> (M.m2MediaDecode _),
+    "st1_streaming_hourly" -> (IP.st1StreamingHourly _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -489,7 +494,85 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "d13_lsh_pairs" -> d13OracleSql,
+    "d14_langid_chargram" -> {
+      def occ(p: String) =
+        s"CAST((length(lower(text)) - length(replace(lower(text), '$p', ''))) / 3 AS BIGINT)"
+      def prof(ps: Seq[String]) = ps.map(occ).mkString("(", " + ", ")")
+      val en = prof(Seq("the", "and", "ing"))
+      val dt = prof(Seq("dat", "tab", "row"))
+      val aj = prof(Seq("fas", "slo", "sma"))
+      s"""SELECT doc_id, lang,
+         | $en AS tri_en, $dt AS tri_data, $aj AS tri_adj,
+         | CASE WHEN $en >= $dt AND $en >= $aj THEN 'english'
+         |      WHEN $dt >= $aj THEN 'dataish'
+         |      ELSE 'adjish' END AS tri_profile
+         |FROM documents""".stripMargin
+    },
+    "m2_media_decode" ->
+      """SELECT doc_id,
+        | CAST(n AS INT) AS n_bytes,
+        | CASE WHEN n % 2 = 0 THEN 'img/fake-a' ELSE 'img/fake-b' END AS format,
+        | CAST(16 + (b0 % 64) * 16 AS INT) AS width,
+        | CAST(16 + (b1 % 64) * 16 AS INT) AS height,
+        | CAST(1 + (n % 3) AS INT) AS channels
+        |FROM (
+        | SELECT doc_id, octet_length(encode(text)) AS n,
+        |  CASE WHEN octet_length(encode(text)) > 0
+        |   THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE 0 END AS b0,
+        |  CASE WHEN octet_length(encode(text)) > 1
+        |   THEN CAST('0x' || substr(hex(encode(text)), 3, 2) AS INT) ELSE 0 END AS b1
+        | FROM documents) t""".stripMargin,
+    "st1_streaming_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+        |FROM events
+        |GROUP BY date_trunc('hour', ts)
+        |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
   )
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d13LshPairs]] — d7's
+    * signature CTEs extended with banding, bucket self-join, and exact
+    * Jaccard verification of the candidates.
+    */
+  private def d13OracleSql: String = {
+    val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
+    }.mkString(",\n")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+       |   THEN list_distinct(list_transform(
+       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+       |                                     i, i + 2), ' ')))
+       |   ELSE [text] END AS sh
+       | FROM documents),
+       |hs AS (
+       | SELECT doc_id,
+       |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+       | FROM base),
+       |sigs AS (
+       | SELECT doc_id,
+       |$sigExprs
+       | FROM hs),
+       |bands AS (
+       | SELECT doc_id, 0 AS band_idx, concat(sig0, ':', sig1) AS bkey FROM sigs
+       | UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sigs
+       | UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sigs
+       | UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sigs),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b,
+       | CAST(CAST(
+       |   CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+       |   (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+       |  AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       |FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b""".stripMargin
+  }
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d12MinhashUdaf]] — the
     * Aggregator must equal the column-expression formulation, so the oracle

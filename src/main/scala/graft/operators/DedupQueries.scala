@@ -85,6 +85,36 @@ object DedupQueries {
         concat_ws(":", col("sig6"), col("sig7")).as("band3"))
   }
 
+  /** d13: the full MinHash-LSH near-dup pipeline — d7's signatures banded
+    * (4 bands x 2 rows), candidate pairs from same-(band,key) buckets, then
+    * exact shingle-Jaccard verification of each candidate. This is the
+    * at-scale shape of near-dup dedup: the O(N^2) pair space never
+    * materializes — the bucket equi-join's cost is the sum of squared
+    * bucket sizes, and only candidates (a vanishing fraction of pairs) pay
+    * the exact-Jaccard array intersection.
+    */
+  def d13LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val sig = d7MinhashSig(spark, sfDir)
+    val bands = sig.select(col("doc_id"),
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
+        .as(Seq("band_idx", "bkey")))
+    val cand = bands
+      .select(col("band_idx"), col("bkey"), col("doc_id").as("id_a"))
+      .join(bands.select(col("band_idx"), col("bkey"), col("doc_id").as("id_b")),
+        Seq("band_idx", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sh = table(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+          .cast("decimal(10,6)").cast("double").as("jaccard"))
+  }
+
   /** d8: SimHash (8-bit demo width) over the distinct-token set, plus the
     * cluster size of each signature value — identical-simhash groups are
     * near-dup clusters. GroupBy on the 8-bit value: 256 groups max, no pair

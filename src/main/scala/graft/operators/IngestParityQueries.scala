@@ -128,6 +128,35 @@ object IngestParityQueries {
       .toDF("state", "state_code", "rows_loaded")
   }
 
+  /** st1: the Structured Streaming pipeline end-to-end inside the gate —
+    * file-stream the TSV export, 40-minute watermark, 1-hour tumbling
+    * windows, append-once `foreachBatch` partition overwrite
+    * ([[graft.streaming.StreamingIngest.hourlyStats]]), then read the stats
+    * table back. Only watermark-closed hours land (window.end <= final
+    * watermark = max(ts) - 40min), which the oracle reproduces exactly —
+    * the late-data semantics of the reference's :40 cron, stream-native.
+    */
+  def st1StreamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val stats = parityDir("stream-stats", sfDir, firstHourOnly = false)
+    val ckpt = parityDir("stream-ckpt", sfDir, firstHourOnly = false)
+    // fresh deterministic run: file-stream checkpoints track processed
+    // paths, so a stale checkpoint would silently skip the (re)export
+    def wipe(dir: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
+    }
+    wipe(stats); wipe(ckpt)
+    val cfg = cfgFor(rawBase, "unused")
+    val q = graft.streaming.StreamingIngest.hourlyStats(
+      spark, cfg, s"file:$stats", ckpt, graceMinutes = 40)
+    q.awaitTermination()
+    spark.read.option("basePath", s"file:$stats").parquet(s"file:$stats")
+      .select(col("hour_ts"), col("cnt"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.

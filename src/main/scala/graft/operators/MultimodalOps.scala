@@ -83,4 +83,16 @@ object MultimodalOps {
         rows.map { case (id, payload) => decoder.decode(id, payload) }
       }
   }
+
+  /** m2 gate query: the whole multimodal path — documents wrapped as binary
+    * media, decoded per-partition via [[FakeDecoder]] (real `mapPartitions`
+    * plumbing, stubbed codec), features out. The oracle reproduces the
+    * fake's byte arithmetic in SQL, proving payload bytes survive the
+    * binary column + typed-Dataset round trip exactly.
+    */
+  def m2MediaDecode(spark: SparkSession, sfDir: String): DataFrame =
+    decodeFeatures(
+      asMediaTable(RelationalQueries.table(spark, sfDir, "documents"),
+        "doc_id", "text"),
+      FakeDecoder).toDF()
 }

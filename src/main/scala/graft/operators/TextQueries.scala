@@ -86,6 +86,30 @@ object TextQueries {
       col("doc_id"),
       md5(concat_ws(" ", array_sort(tokens(col("text"))))).as("bow_fingerprint"))
 
+  /** d14: char-trigram language ID — occurrence counts of per-language
+    * character-trigram profiles (the n-gram core of fasttext-style langid;
+    * d4 is the word-level sibling). Occurrences are counted with literal
+    * `replace` length deltas — no regex, stays in whole-stage codegen, and
+    * both engines share non-overlapping left-to-right replace semantics so
+    * the counts are oracle-exact. Single scan, zero shuffle.
+    */
+  def d14LangIdChargram(spark: SparkSession, sfDir: String): DataFrame = {
+    val low = lower(col("text"))
+    def occ(pat: String): Column =
+      ((length(low) - length(replace(low, lit(pat), lit("")))) / lit(pat.length))
+        .cast("long")
+    def profile(pats: Seq[String]): Column =
+      pats.map(occ).reduce(_ + _)
+    val en = profile(Seq("the", "and", "ing"))
+    val dt = profile(Seq("dat", "tab", "row"))
+    val aj = profile(Seq("fas", "slo", "sma"))
+    table(spark, sfDir, "documents").select(
+      col("doc_id"), col("lang"),
+      en.as("tri_en"), dt.as("tri_data"), aj.as("tri_adj"),
+      when(en >= dt && en >= aj, "english")
+        .when(dt >= aj, "dataish").otherwise("adjish").as("tri_profile"))
+  }
+
   /** d6: token-frequency corpus profile — the word-count of training-data
     * engineering: explode to tokens, count, keep the head. Shuffle carries
     * (token, partial count) pairs thanks to map-side partial aggregation.

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-2 training-data pipeline operators (the oracle
+  * gate proves value equality; these prove the semantic shape).
+  */
+class PipelineQueriesSpec extends SparkSpec {
+
+  test("d13: every candidate pair shares at least one LSH band") {
+    val sig = DedupQueries.d7MinhashSig(spark, sfDir)
+      .select(col("doc_id"),
+        array(col("band0"), col("band1"), col("band2"), col("band3")).as("bands"))
+    val pairs = DedupQueries.d13LshPairs(spark, sfDir)
+    val joined = pairs
+      .join(sig.select(col("doc_id").as("id_a"), col("bands").as("ba")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("bands").as("bb")), "id_b")
+    // no candidate without a shared band, no self/duplicate pairs
+    assert(joined.filter(size(array_intersect(col("ba"), col("bb"))) === 0).isEmpty)
+    assert(pairs.filter(col("id_a") >= col("id_b")).isEmpty)
+    assert(pairs.groupBy("id_a", "id_b").count().filter(col("count") > 1).isEmpty)
+    // jaccard is a valid similarity
+    assert(pairs.filter(col("jaccard") < 0 || col("jaccard") > 1).isEmpty)
+  }
+
+  test("d14: profile is the argmax of the trigram scores with fixed ties") {
+    val r = TextQueries.d14LangIdChargram(spark, sfDir)
+    val bad = r.filter(
+      (col("tri_profile") === "english" &&
+        (col("tri_en") < col("tri_data") || col("tri_en") < col("tri_adj"))) ||
+      (col("tri_profile") === "dataish" && col("tri_data") < col("tri_adj")))
+    assert(bad.isEmpty)
+  }
+
+  test("m2: decode features are a pure function of payload bytes") {
+    val r = MultimodalOps.m2MediaDecode(spark, sfDir)
+    assert(r.filter(col("width") % 16 =!= 0 || col("height") % 16 =!= 0).isEmpty)
+    assert(r.filter(col("channels") < 1 || col("channels") > 3).isEmpty)
+    // n_bytes matches the binary payload length exactly
+    val docs = RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("expect_bytes"))
+    assert(r.join(docs, "doc_id")
+      .filter(col("n_bytes") =!= col("expect_bytes")).isEmpty)
+  }
+
+  test("st1: emits exactly the watermark-closed hours with exact counts") {
+    val events = RelationalQueries.eventsTable(spark, sfDir)
+    val wm = events.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
+      .minusSeconds(40 * 60)
+    val expected = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("hour_ts") + expr("INTERVAL 1 HOUR") <= lit(java.sql.Timestamp.from(wm)))
+    val got = IngestParityQueries.st1StreamingHourly(spark, sfDir)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+}
