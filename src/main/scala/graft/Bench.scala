@@ -16,9 +16,11 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // One throwaway action so JVM/classloading/codegen warmup isn't billed
-    // to whichever query happens to sort first.
+    // Throwaway actions so JVM/classloading/codegen/parquet-reader warmup
+    // isn't billed to whichever query happens to sort first.
     spark.range(1000).write.format("noop").mode("overwrite").save()
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -30,5 +30,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // commit algorithm v2: task outputs move to the final location at task
+      // commit instead of a second driver-side sequential rename pass at job
+      // commit — on a 720-partition hive write that pass is pure dead time
+      // (tradeoff, documented: a failed job can leave partial files; our
+      // sink is truncate-and-replace idempotent, so a retry converges)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .withExtensions(installAll)
 }

@@ -79,6 +79,10 @@ object SparkEntry {
     "d14_langid_chargram" -> (T.d14LangIdChargram _),
     "m2_media_decode" -> (M.m2MediaDecode _),
     "st1_streaming_hourly" -> (IP.st1StreamingHourly _),
+    "e7_ivf_recall" -> ((s, d) => V.e7IvfRecall(s, d)),
+    "q28_salted_agg" -> (R.q28SaltedAgg _),
+    "q29_star_join" -> (R.q29StarJoin _),
+    "d15_corpus_dedup" -> (D.d15CorpusDedup _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -529,7 +533,142 @@ object SparkEntry {
         |GROUP BY date_trunc('hour', ts)
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
         |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+    "q28_salted_agg" ->
+      """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q29_star_join" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,4)))
+        |   AS DOUBLE) AS revenue,
+        | count(*) AS line_cnt
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "e7_ivf_recall" -> e7OracleSql,
+    "d15_corpus_dedup" -> d15OracleSql,
   )
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the
+    * e2 (brute) and e6 (IVF) oracle pipelines composed into recall@3.
+    */
+  private def e7OracleSql: String =
+    """WITH dots AS (
+      | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |  CAST(
+      |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+      |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(q.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(n.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+      |  AS DECIMAL(20,6)) AS sim_dec
+      | FROM embeddings q, embeddings n
+      | WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+      |brute AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+      |  FROM dots) WHERE rank <= 3),
+      |cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb
+      | FROM embeddings WHERE vec_id < 4),
+      |asg0 AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS a_sim
+      | FROM embeddings e, cents c),
+      |asg AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
+      | WHERE a_rk = 1),
+      |q AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      | FROM asg WHERE vec_id < 10),
+      |cand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+      |  AND a.vec_id <> q.query_id),
+      |ivf AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
+      | WHERE rank <= 3),
+      |hits AS (
+      | SELECT b.query_id, count(*) AS hits
+      | FROM brute b JOIN ivf i
+      |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+      | GROUP BY b.query_id)
+      |SELECT q.query_id, COALESCE(h.hits, 0) AS hits,
+      | COALESCE(h.hits, 0) / 3.0 AS recall_at_3
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN hits h ON q.query_id = h.query_id""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d15CorpusDedup]] —
+    * d13's pair pipeline + exact-dedup keepers + pairwise near-dup removal,
+    * grouped by source.
+    */
+  private def d15OracleSql: String = {
+    val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
+      case ((a, b), i) =>
+        s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
+    }.mkString(",\n")
+    s"""WITH base AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+       |   THEN list_distinct(list_transform(
+       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+       |                                     i, i + 2), ' ')))
+       |   ELSE [text] END AS sh
+       | FROM documents),
+       |hs AS (
+       | SELECT doc_id,
+       |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
+       | FROM base),
+       |sigs AS (
+       | SELECT doc_id,
+       |$sigExprs
+       | FROM hs),
+       |bands AS (
+       | SELECT doc_id, 0 AS band_idx, concat(sig0, ':', sig1) AS bkey FROM sigs
+       | UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sigs
+       | UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sigs
+       | UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sigs),
+       |cand AS (
+       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       | FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |pairs AS (
+       | SELECT id_a, id_b,
+       |  CAST(CAST(
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+       |   AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       | FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b),
+       |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
+       |exact_keep AS (
+       | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |survivors AS (
+       | SELECT k.doc_id FROM exact_keep k
+       | WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id))
+       |SELECT d.source, count(*) AS survivors,
+       | min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
+       |FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+       |GROUP BY d.source""".stripMargin
+  }
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d13LshPairs]] — d7's
     * signature CTEs extended with banding, bucket self-join, and exact

@@ -33,6 +33,20 @@ object GraftFunctions {
         require(children.length == 1, "graft_h60 takes 1 argument")
         Md5Prefix60(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("graft_cclass"),
+      new ExpressionInfo(classOf[CharClassCount].getName, "graft_cclass"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_cclass takes (text, kind, set)")
+        def litStr(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(
+                v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case _ => throw new IllegalArgumentException(
+            s"graft_cclass $what must be a string literal")
+        }
+        CharClassCount(children.head,
+          litStr(children(1), "kind"), litStr(children(2), "set"))
+      }))
   }
 
   /** Column-API form of `graft_hour_bucket` (requires [[install]]ed session). */
@@ -42,4 +56,10 @@ object GraftFunctions {
   /** Column-API form of `graft_h60` (requires [[install]]ed session). */
   def h60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_h60", c)
+
+  /** Column-API form of `graft_cclass` (requires [[install]]ed session). */
+  def cclass(c: Column, kind: String, set: String): Column =
+    org.apache.spark.sql.functions.call_function("graft_cclass", c,
+      org.apache.spark.sql.functions.lit(kind),
+      org.apache.spark.sql.functions.lit(set))
 }

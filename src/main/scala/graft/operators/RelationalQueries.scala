@@ -440,6 +440,42 @@ object RelationalQueries {
         .as("corr_qty_disc"))
   }
 
+  /** q28: skew-safe salted aggregation IN the gate — the two-phase
+    * [[SkewUtils.saltedSumCount]] (hot keys spread over 16 reducers before
+    * the per-key combine) must equal the plain one-phase groupBy exactly;
+    * the oracle is that plain form. Long sums are associative, so salting
+    * is result-invisible by construction.
+    */
+  def q28SaltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    SkewUtils.saltedSumCount(
+      table(spark, sfDir, "events").select("event_type", "event_id", "user_id"),
+      keyCols = Seq("event_type"), valueCol = "event_id",
+      saltSource = "user_id")
+
+  /** q29: 6-table star join (TPC-H Q5 shape) — lineitem fact against the
+    * orders/customer/supplier/nation/region dimension chain with a region
+    * filter. Exercises Catalyst's join reordering + broadcast selection:
+    * nation/region/supplier are broadcast (no shuffle), the fact table
+    * shuffles only for the orders join and the final 5-group aggregate.
+    */
+  def q29StarJoin(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "lineitem")
+      .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(table(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(table(spark, sfDir, "supplier")),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(table(spark, sfDir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("line_cnt"))
+
   /** q27: RANGE-framed window — per customer, rolling 30-day order count
     * and exact-decimal spend ending at each order. Range frames need a
     * numeric order key: epoch seconds. One shuffle on o_custkey; the frame

@@ -32,13 +32,15 @@ object TextQueries {
     * behind quality filtering.
     */
   def d2TextStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cclass
     val t = table(spark, sfDir, "documents")
     t.select(
       col("doc_id"),
       length(col("text")).as("len"),
       size(tokens(col("text"))).as("n_tokens"),
-      length(regexp_replace(col("text"), "[^.!?,;:]", "")).as("punct_cnt"),
-      length(regexp_replace(col("text"), "[^aeiou]", "")).as("vowel_cnt"),
+      // single-pass bitmap counts; == length(regexp_replace(text,'[^..]',''))
+      cclass(col("text"), "count", ".!?,;:").as("punct_cnt"),
+      cclass(col("text"), "count", "aeiou").as("vowel_cnt"),
       (length(col("text")).cast("double") / size(tokens(col("text"))))
         .as("chars_per_token"))
   }

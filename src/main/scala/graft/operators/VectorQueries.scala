@@ -73,6 +73,25 @@ object VectorQueries {
     * signature, which shuffles by bucket and scales as sum of squared bucket
     * sizes, not N².
     */
+  /** e7: recall@k of the IVF probe search (e6) against the exact
+    * brute-force top-k (e2) — the quality metric every ANN deployment
+    * tracks. Pure composition of the two search paths plus a semi-join per
+    * query; both inputs are deterministic, so recall is oracle-exact.
+    */
+  def e7IvfRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val brute = e2KnnBrute(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivf = DedupQueries.e6IvfSearch(spark, sfDir, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = brute.join(ivf, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .na.fill(0L, Seq("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits") / lit(k.toDouble)).as(s"recall_at_$k"))
+  }
+
   def e3LshBuckets(spark: SparkSession, sfDir: String, bits: Int = 8): DataFrame = {
     val sig = (0 until bits).map(i =>
       when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
