@@ -12,6 +12,7 @@ object GraftSession {
   def installAll(ext: SparkSessionExtensions): Unit = {
     RequirePartitionFilter.install(ext)
     GraftFunctions.install(ext)
+    graft.plans.AsOfJoin.install(ext)
   }
 
   /** Local session builder with the engine's defaults (UTC, AQE on by Spark

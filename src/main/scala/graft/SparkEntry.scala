@@ -83,6 +83,7 @@ object SparkEntry {
     "q28_salted_agg" -> (R.q28SaltedAgg _),
     "q29_star_join" -> (R.q29StarJoin _),
     "d15_corpus_dedup" -> (D.d15CorpusDedup _),
+    "q30_asof_native" -> (R.q30AsofNative _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -552,6 +553,13 @@ object SparkEntry {
         |GROUP BY n_name""".stripMargin,
     "e7_ivf_recall" -> e7OracleSql,
     "d15_corpus_dedup" -> d15OracleSql,
+    "q30_asof_native" ->
+      """WITH p AS (
+        | SELECT user_id AS p_user, epoch_us(ts) AS p_tsl, max(value) AS p_val
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, p.p_tsl, p.p_val
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.p_user AND epoch_us(e.ts) >= p.p_tsl""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the

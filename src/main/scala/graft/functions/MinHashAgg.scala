@@ -43,10 +43,15 @@ class MinHashAgg(perms: Seq[(Int, Int)]) extends Aggregator[Long, Array[Long], S
 
   override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
 
-  override def bufferEncoder: Encoder[Array[Long]] =
+  // encoders built once per aggregator instance, not per call — encoder
+  // construction resolves + code-generates serializers, which dominated the
+  // first run of the whole UDAF path when rebuilt per task
+  private val bufEnc: Encoder[Array[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
-  override def outputEncoder: Encoder[Seq[Long]] =
+  private val outEnc: Encoder[Seq[Long]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  override def bufferEncoder: Encoder[Array[Long]] = bufEnc
+  override def outputEncoder: Encoder[Seq[Long]] = outEnc
 }
 
 object MinHashAgg {

@@ -476,6 +476,24 @@ object RelationalQueries {
           .as("revenue"),
         count(lit(1)).as("line_cnt"))
 
+  /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
+    * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
+    * time), single forward merge per partition) attaching each event's
+    * latest at-or-before purchase. Same semantics as q15's window-lag
+    * composition, O(L+R) instead of union-sort-everything; oracle is
+    * DuckDB's built-in ASOF LEFT JOIN.
+    */
+  def q30AsofNative(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+    val left = events.select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("tsl"))
+    val right = events.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), unix_micros(col("ts")).as("p_tsl"))
+      .agg(max(col("value")).as("p_val"))
+    graft.plans.AsOfJoin.asof(left, right, "user_id", "p_user", "tsl", "p_tsl")
+      .select(col("event_id"), col("user_id"), col("p_tsl"), col("p_val"))
+  }
+
   /** q27: RANGE-framed window — per customer, rolling 30-day order count
     * and exact-decimal spend ending at each order. Range frames need a
     * numeric order key: epoch seconds. One shuffle on o_custkey; the frame

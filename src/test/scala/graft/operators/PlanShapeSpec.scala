@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Plan-shape assertions: the properties that make these queries scale are
+  * locked in here so a refactor that silently loses a pushdown, a
+  * broadcast, or the top-k operator fails the build — at 100 TB those
+  * regressions are the difference between a scan and an outage.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q2: filters and projection reach the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan(l_discount"), p)
+    // pruned read schema: only the 4 needed columns
+    assert(!p.contains("l_extendedprice"), p)
+  }
+
+  test("q29: all five dimensions broadcast, fact never broadcast") {
+    val p = plan("q29_star_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q5: top-k plans as TakeOrderedAndProject, not global sort") {
+    val p = plan("q5_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q7: EXISTS/NOT EXISTS decorrelate to semi/anti joins") {
+    val p = plan("q23_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("d13: the shared shingle cache is reused, not recomputed") {
+    val p = plan("d13_lsh_pairs")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q30: native as-of join with sorted, co-partitioned children") {
+    val p = plan("q30_asof_native")
+    assert(p.contains("AsOfJoin"), p)
+    assert(p.contains("Sort "), p)
+  }
+
+  test("q1: aggregation is partial before the shuffle") {
+    val p = plan("q1_agg")
+    // partial + final HashAggregate pair around the exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
