@@ -84,6 +84,7 @@ object SparkEntry {
     "q29_star_join" -> (R.q29StarJoin _),
     "d15_corpus_dedup" -> (D.d15CorpusDedup _),
     "q30_asof_native" -> (R.q30AsofNative _),
+    "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -560,6 +561,28 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, p.p_tsl, p.p_val
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user AND epoch_us(e.ts) >= p.p_tsl""".stripMargin,
+    "st2_streaming_sessions" ->
+      """WITH se AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s2 AS (
+        | SELECT user_id, tu,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+        |                 ROWS UNBOUNDED PRECEDING) AS seq
+        | FROM se),
+        |sess AS (
+        | SELECT user_id, seq, min(tu) AS session_start_us,
+        |  max(tu) AS session_end_us, count(*) AS n_events
+        | FROM s2 GROUP BY user_id, seq)
+        |SELECT user_id, session_start_us, session_end_us, n_events
+        |FROM sess
+        |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
+        |   OR session_end_us + 1800000000 <
+        |      (SELECT epoch_us(max(ts)) - 2400000000 FROM events)""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the

@@ -157,6 +157,45 @@ object IngestParityQueries {
       .select(col("hour_ts"), col("cnt"))
   }
 
+  /** st2: stateful streaming sessionization end-to-end in the gate —
+    * file-stream the TSV export through
+    * [[graft.streaming.Sessionize.sessionize]] (flatMapGroupsWithState,
+    * 30-min gap, event-time timeout) into a memory sink. Emitted sessions =
+    * every gap-closed session plus timeout-closed ones (last event + gap
+    * strictly below the final watermark = max(ts) - 40min); the oracle
+    * reproduces both rules from the batch window form.
+    */
+  def st2StreamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("sess-ckpt", sfDir, firstHourOnly = false)
+    def wipe(dir: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
+    }
+    wipe(ckpt)
+    val qn = "st2_sessions_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    import spark.implicits._
+    implicit val s: SparkSession = spark
+    val raw = spark.readStream
+      .schema(eventsSchema)
+      .options(graft.core.CsvOptions.toReaderOptions(graft.core.CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[graft.streaming.Sessionize.Event]
+    val q = graft.streaming.Sessionize.sessionize(raw)
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
