@@ -85,6 +85,8 @@ object SparkEntry {
     "d15_corpus_dedup" -> (D.d15CorpusDedup _),
     "q30_asof_native" -> (R.q30AsofNative _),
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
+    "q31_salted_join" -> (R.q31SaltedJoin _),
+    "b1_bucketed_join" -> (R.b1BucketedJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -583,6 +585,18 @@ object SparkEntry {
         |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
         |   OR session_end_us + 1800000000 <
         |      (SELECT epoch_us(max(ts)) - 2400000000 FROM events)""".stripMargin,
+    "q31_salted_join" ->
+      """WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT e.event_type, count(*) AS cnt,
+        | CAST(sum(d.user_total) AS BIGINT) AS sum_user_total
+        |FROM events e JOIN d ON e.user_id = d.user_id
+        |GROUP BY e.event_type""".stripMargin,
+    "b1_bucketed_join" ->
+      """WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
+        |SELECT e.user_id % 50 AS user_mod, count(*) AS cnt,
+        | CAST(sum(d.user_total) AS BIGINT) AS sum_user_total
+        |FROM events e JOIN d ON e.user_id = d.user_id
+        |GROUP BY e.user_id % 50""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the

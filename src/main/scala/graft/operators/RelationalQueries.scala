@@ -476,6 +476,38 @@ object RelationalQueries {
           .as("revenue"),
         count(lit(1)).as("line_cnt"))
 
+  /** q31: skew-safe salted JOIN in the gate — [[SkewUtils.saltedJoin]]
+    * spreads each hot key's rows over 16 (key, salt) tasks against a
+    * replicated small side; the result must equal the plain equi-join
+    * exactly (the oracle is that plain form).
+    */
+  def q31SaltedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val events = table(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type")
+    val userDim = events.groupBy("user_id")
+      .agg(count(lit(1)).as("user_total"))
+    SkewUtils.saltedJoin(events, userDim, "user_id", saltSource = "event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("user_total")).as("sum_user_total"))
+  }
+
+  /** b1: bucketed co-located join — both sides written `bucketBy(8,
+    * user_id)` once, then joined with ZERO exchanges (the shuffle was paid
+    * at write time; `BucketedTablesSpec` asserts the plan). The oracle is
+    * the plain join: bucketing must be invisible in the result.
+    */
+  def b1BucketedJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sfx = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val e = table(spark, sfDir, "events").select("event_id", "user_id")
+    val d = e.groupBy("user_id").agg(count(lit(1)).as("user_total"))
+    graft.sources.BucketedTables.save(e, s"b1_events_$sfx", "user_id", 8)
+    graft.sources.BucketedTables.save(d, s"b1_users_$sfx", "user_id", 8)
+    graft.sources.BucketedTables
+      .bucketedJoin(spark, s"b1_events_$sfx", s"b1_users_$sfx", "user_id")
+      .groupBy((col("user_id") % 50).as("user_mod"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_total")).as("sum_user_total"))
+  }
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's

@@ -16,14 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
-  /** Write `df` as a bucketed+sorted managed parquet table. */
-  def save(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit =
+  /** Write `df` as a bucketed+sorted managed parquet table. Re-runs from a
+    * fresh session must converge: an in-memory catalog forgets the table
+    * between JVMs while its warehouse directory survives, and CREATE on a
+    * non-empty managed location is an error — so drop both first.
+    */
+  def save(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(warehouse, table.toLowerCase)
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    if (dir.exists()) rec(dir)
     df.write
       .format("parquet")
       .mode("overwrite")
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket key — plans shuffle-free
     * (SortMergeJoin over the bucketed scans).
