@@ -87,6 +87,7 @@ object SparkEntry {
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
+    "m3_frame_sample" -> (M.m3FrameSample _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -518,7 +519,15 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "m2_media_decode" ->
-      """SELECT doc_id,
+      """SELECT doc_id, n_bytes, format, width, height, channels,
+        | CAST(CASE WHEN greatest(width, height) > 256
+        |  THEN greatest(1, floor(width * 256 / greatest(width, height)))
+        |  ELSE width END AS INT) AS resize_w,
+        | CAST(CASE WHEN greatest(width, height) > 256
+        |  THEN greatest(1, floor(height * 256 / greatest(width, height)))
+        |  ELSE height END AS INT) AS resize_h
+        |FROM (
+        |SELECT doc_id,
         | CAST(n AS INT) AS n_bytes,
         | CASE WHEN n % 2 = 0 THEN 'img/fake-a' ELSE 'img/fake-b' END AS format,
         | CAST(16 + (b0 % 64) * 16 AS INT) AS width,
@@ -530,7 +539,27 @@ object SparkEntry {
         |   THEN CAST('0x' || substr(hex(encode(text)), 1, 2) AS INT) ELSE 0 END AS b0,
         |  CASE WHEN octet_length(encode(text)) > 1
         |   THEN CAST('0x' || substr(hex(encode(text)), 3, 2) AS INT) ELSE 0 END AS b1
-        | FROM documents) t""".stripMargin,
+        | FROM documents) t) f""".stripMargin,
+    "m3_frame_sample" ->
+      """WITH base AS (
+        | SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS hx,
+        |        greatest(octet_length(encode(text)) // 4, 1) AS stride
+        | FROM documents),
+        |frames AS (
+        | SELECT doc_id, n, hx, stride, unnest(range(0, 4)) AS fi
+        | FROM base),
+        |cut AS (
+        | SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |        CAST(fi * stride AS INT) AS frame_off,
+        |        LEAST(8, n - fi * stride) AS flen,
+        |        substr(hx, CAST(fi * stride * 2 + 1 AS BIGINT),
+        |               CAST(LEAST(8, n - fi * stride) * 2 AS BIGINT)) AS frame_hex
+        | FROM frames WHERE fi * stride < n)
+        |SELECT doc_id, frame_idx, frame_off, frame_hex,
+        | CAST(list_aggregate(list_transform(range(0, flen),
+        |   j -> CAST('0x' || substr(frame_hex, CAST(2*j+1 AS BIGINT), 2) AS BIGINT)
+        |        * (j + 1)), 'sum') AS BIGINT) AS checksum
+        |FROM cut""".stripMargin,
     "st1_streaming_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
         |FROM events

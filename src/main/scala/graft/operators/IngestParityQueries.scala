@@ -58,6 +58,16 @@ object IngestParityQueries {
     d.toString
   }
 
+  /** Recreate a scratch dir empty — streaming checkpoints track processed
+    * paths, so a stale checkpoint would silently skip a (re)exported tree.
+    */
+  private def wipe(dir: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
+  }
+
   private def exportEventsTsv(spark: SparkSession, sfDir: String,
       firstHourOnly: Boolean = false): (String, String) =
     exportCache.getOrElseUpdate((sfDir, firstHourOnly), {
@@ -140,14 +150,6 @@ object IngestParityQueries {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
     val stats = parityDir("stream-stats", sfDir, firstHourOnly = false)
     val ckpt = parityDir("stream-ckpt", sfDir, firstHourOnly = false)
-    // fresh deterministic run: file-stream checkpoints track processed
-    // paths, so a stale checkpoint would silently skip the (re)export
-    def wipe(dir: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-      }
-      rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
-    }
     wipe(stats); wipe(ckpt)
     val cfg = cfgFor(rawBase, "unused")
     val q = graft.streaming.StreamingIngest.hourlyStats(
@@ -168,12 +170,6 @@ object IngestParityQueries {
   def st2StreamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
     val ckpt = parityDir("sess-ckpt", sfDir, firstHourOnly = false)
-    def wipe(dir: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-      }
-      rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
-    }
     wipe(ckpt)
     val qn = "st2_sessions_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
     import spark.implicits._

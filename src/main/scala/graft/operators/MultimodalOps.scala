@@ -86,13 +86,75 @@ object MultimodalOps {
 
   /** m2 gate query: the whole multimodal path — documents wrapped as binary
     * media, decoded per-partition via [[FakeDecoder]] (real `mapPartitions`
-    * plumbing, stubbed codec), features out. The oracle reproduces the
-    * fake's byte arithmetic in SQL, proving payload bytes survive the
-    * binary column + typed-Dataset round trip exactly.
+    * plumbing, stubbed codec), features out, plus the resize planning step
+    * (fit into a 256px box, integer math — the metadata half of a resize;
+    * the pixel transform itself belongs to the stubbed codec). The oracle
+    * reproduces the byte arithmetic in SQL, proving payload bytes survive
+    * the binary column + typed-Dataset round trip exactly.
     */
   def m2MediaDecode(spark: SparkSession, sfDir: String): DataFrame =
-    decodeFeatures(
+    resizePlan(decodeFeatures(
       asMediaTable(RelationalQueries.table(spark, sfDir, "documents"),
         "doc_id", "text"),
-      FakeDecoder).toDF()
+      FakeDecoder).toDF(), maxDim = 256)
+
+  /** Resize planning: scale (width, height) to fit `maxDim` preserving
+    * aspect ratio, integer arithmetic only (floor, min 1px). Pure column
+    * math — at scale this decides per asset whether the (expensive) decode
+    * stage needs to produce a downscaled surface at all.
+    */
+  def resizePlan(features: DataFrame, maxDim: Int): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    val needs = longest > maxDim
+    // floor of a double quotient of small ints is exact in both engines
+    // (the quotient is never within an ulp of a non-attained integer)
+    def scaled(c: org.apache.spark.sql.Column) =
+      when(needs, greatest(lit(1), floor(c * maxDim / longest)))
+        .otherwise(c).cast("int")
+    features
+      .withColumn("resize_w", scaled(col("width")))
+      .withColumn("resize_h", scaled(col("height")))
+  }
+
+  /** One sampled frame: an 8-byte window of the payload at a stride-derived
+    * offset, with its hex image and a positional checksum.
+    */
+  final case class Frame(
+      doc_id: Long,
+      frame_idx: Int,
+      frame_off: Int,
+      frame_hex: String,
+      checksum: Long)
+
+  /** m3 gate query: frame sampling — the video-pipeline shape of the
+    * multimodal path. Up to 4 evenly-strided 8-byte "frames" per payload
+    * are cut per-partition (`mapPartitions`, the same slot a real
+    * keyframe extractor occupies); the oracle re-derives every byte from
+    * the hex of the payload, so offsets, windowing, and byte identity are
+    * all proven. The checksum weights each byte by its 1-based position —
+    * plain integer math both engines share.
+    */
+  def m3FrameSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val media = asMediaTable(
+      RelationalQueries.table(spark, sfDir, "documents"), "doc_id", "text")
+    import spark.implicits._
+    media.select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val n = payload.length
+          val stride = math.max(n / 4, 1)
+          (0 until 4).iterator
+            .map(i => (i, i * stride))
+            .takeWhile { case (_, off) => off < n }
+            .map { case (i, off) =>
+              val frame = payload.slice(off, math.min(off + 8, n))
+              val hex = frame.map(b => f"${b & 0xff}%02X").mkString
+              val checksum = frame.zipWithIndex
+                .map { case (b, j) => (b & 0xff).toLong * (j + 1) }.sum
+              Frame(id, i, off, hex, checksum)
+            }
+        }
+      }.toDF()
+  }
 }
