@@ -88,6 +88,8 @@ object SparkEntry {
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
+    "d16_char_entropy" -> (T.d16CharEntropy _),
+    "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -614,6 +616,36 @@ object SparkEntry {
         |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
         |   OR session_end_us + 1800000000 <
         |      (SELECT epoch_us(max(ts)) - 2400000000 FROM events)""".stripMargin,
+    "d16_char_entropy" ->
+      """WITH cc AS (
+        | SELECT doc_id, ch, count(*) AS c FROM (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents) t
+        | GROUP BY doc_id, ch),
+        |wn AS (
+        | SELECT doc_id, c,
+        |  CAST(sum(c) OVER (PARTITION BY doc_id) AS DOUBLE) AS n
+        | FROM cc)
+        |SELECT doc_id, count(*) AS distinct_chars,
+        | CAST(-sum(CAST((c / n) * log2(c / n) AS DECIMAL(20,6))) AS DOUBLE)
+        |   AS char_entropy
+        |FROM wn GROUP BY doc_id""".stripMargin,
+    "d17_shingle_udtf" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |r2 AS (
+        | SELECT doc_id, i, array_to_string(list_slice(t, i, i + 2), ' ') AS sh
+        | FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+        |       FROM toks WHERE len(t) >= 3) u),
+        |d AS (SELECT doc_id, sh, min(i) AS first_i FROM r2 GROUP BY doc_id, sh),
+        |pos AS (
+        | SELECT doc_id, sh AS shingle,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY first_i) - 1 AS INT)
+        |    AS pos
+        | FROM d
+        | UNION ALL
+        | SELECT doc_id, text, 0 FROM documents
+        | WHERE len(string_split_regex(trim(text), '\s+')) < 3)
+        |SELECT doc_id, pos, shingle FROM pos WHERE pos < 3""".stripMargin,
     "q31_salted_join" ->
       """WITH d AS (SELECT user_id, count(*) AS user_total FROM events GROUP BY user_id)
         |SELECT e.event_type, count(*) AS cnt,

@@ -34,6 +34,13 @@ object GraftFunctions {
         Md5Prefix60(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_shingles takes 1 argument")
+        WordShingles(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cclass"),
       new ExpressionInfo(classOf[CharClassCount].getName, "graft_cclass"),
       (children: Seq[Expression]) => {

@@ -112,6 +112,42 @@ object TextQueries {
         .when(dt >= aj, "dataish").otherwise("adjish").as("tri_profile"))
   }
 
+  /** d16: character-entropy quality score — Shannon entropy of the per-doc
+    * character distribution (low entropy = repetitive/junk text, a standard
+    * pretraining quality filter). Each p·log2(p) term rounds through
+    * DECIMAL(20,6) before the exact decimal sum, so the engines' (≤ ulp)
+    * transcendental differences can't reach the result. One explode + two
+    * aggregations, all map-side combinable.
+    */
+  def d16CharEntropy(spark: SparkSession, sfDir: String): DataFrame = {
+    val cc = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    cc.withColumn("n", sum(col("c")).over(w).cast("double"))
+      .withColumn("term",
+        ((col("c") / col("n")) * log2(col("c") / col("n")))
+          .cast("decimal(20,6)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("distinct_chars"),
+        (-sum(col("term"))).cast("double").as("char_entropy"))
+  }
+
+  /** d17: shingling as a custom GENERATOR (`graft_shingles`, the UDTF
+    * extension surface) — streams (pos, shingle) rows without materializing
+    * the per-document shingle array the column form builds. First three
+    * shingles per document, proving emission order, dedup-keeping-first,
+    * and the short-document fallback.
+    */
+  def d17ShingleUdtf(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "documents").createOrReplaceTempView("d17_docs")
+    spark.sql(
+      """SELECT doc_id, s.pos, s.shingle
+        |FROM d17_docs
+        |LATERAL VIEW graft_shingles(text) s AS pos, shingle
+        |WHERE s.pos < 3""".stripMargin)
+  }
+
   /** d6: token-frequency corpus profile — the word-count of training-data
     * engineering: explode to tokens, count, keep the head. Shuffle carries
     * (token, partial count) pairs thanks to map-side partial aggregation.
