@@ -90,6 +90,7 @@ object SparkEntry {
     "m3_frame_sample" -> (M.m3FrameSample _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
+    "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -629,6 +630,7 @@ object SparkEntry {
         | CAST(-sum(CAST((c / n) * log2(c / n) AS DECIMAL(20,6))) AS DOUBLE)
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
+    "e8_lsh_projections" -> e8OracleSql,
     "d17_shingle_udtf" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -659,6 +661,28 @@ object SparkEntry {
         |FROM events e JOIN d ON e.user_id = d.user_id
         |GROUP BY e.user_id % 50""".stripMargin,
   )
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e8LshProjections]] —
+    * the identical seeded projection family built from the same md5
+    * arithmetic, dot products unrolled in the same left-to-right order so
+    * every intermediate double is bit-identical.
+    */
+  private def e8OracleSql: String = {
+    def w(p: Int, i: Int): String =
+      s"((CAST('0x' || substr(md5('plane:$p:$i'), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0)"
+    val bits = (0 until 8).map { p =>
+      val dot = (1 to 64)
+        .map(i => s"CAST(embedding[$i] AS DOUBLE) * ${w(p, i - 1)}")
+        .mkString(" + ")
+      s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
+    }.mkString("concat(", ", ", ")")
+    s"""WITH sigs AS (
+       | SELECT vec_id, $bits AS bucket FROM embeddings)
+       |SELECT a.bucket, count(*) AS candidate_pairs,
+       | min(a.vec_id) AS min_id, max(b.vec_id) AS max_id
+       |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |GROUP BY a.bucket""".stripMargin
+  }
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the
     * e2 (brute) and e6 (IVF) oracle pipelines composed into recall@3.

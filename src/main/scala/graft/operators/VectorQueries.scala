@@ -92,6 +92,41 @@ object VectorQueries {
         (col("hits") / lit(k.toDouble)).as(s"recall_at_$k"))
   }
 
+  /** e8: random-hyperplane LSH with a SEEDED projection family — the
+    * production form of e3 (whose axis-sign family is the degenerate
+    * special case). Plane coefficients are pseudo-random but
+    * engine-reproducible: w[p][i] = (h60("plane:p:i") mod 2001 - 1000) /
+    * 1000, so the duckdb oracle builds the identical family from the same
+    * md5 arithmetic. Signature bit p = sign of the (sequential-fold, hence
+    * bit-identical) dot product with plane p. Output: per-bucket candidate
+    * stats as in e3. One scan; the planes are plan-time constants
+    * (broadcast-free).
+    */
+  def e8LshProjections(spark: SparkSession, sfDir: String, planes: Int = 8): DataFrame = {
+    def w(p: Int, i: Int): Column =
+      ((graft.functions.GraftFunctions.h60(lit(s"plane:$p:$i")) % 2001L) - 1000L)
+        .cast("double") / 1000.0
+    // dim is fixed by the dataset contract (64 floats); positions are
+    // unrolled so the plane weights are plan-time constants
+    val dims = 64
+    def bit(p: Int): Column = {
+      val dot = (1 to dims).map(i =>
+        element_at(col("embedding"), i).cast("double") * w(p, i - 1))
+        .reduce(_ + _)
+      when(dot >= 0, lit("1")).otherwise(lit("0"))
+    }
+    val sig = (0 until planes).map(bit).reduce((a, b) => concat(a, b))
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), sig.as("bucket"))
+    val a = emb.select(col("vec_id").as("id_a"), col("bucket"))
+    val b = emb.select(col("vec_id").as("id_b"), col("bucket"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("candidate_pairs"),
+        min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
+  }
+
   def e3LshBuckets(spark: SparkSession, sfDir: String, bits: Int = 8): DataFrame = {
     val sig = (0 until bits).map(i =>
       when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
