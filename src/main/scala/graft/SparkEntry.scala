@@ -91,6 +91,8 @@ object SparkEntry {
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
+    "d18_hash_sample" -> (T.d18HashSample _),
+    "e9_text_vector_join" -> (V.e9TextVectorJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -631,6 +633,24 @@ object SparkEntry {
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
+    "d18_hash_sample" ->
+      """SELECT source, count(*) AS total,
+        | CAST(sum(CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 5
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS sampled_5pct,
+        | CAST(sum(CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 20
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS sampled_20pct
+        |FROM documents GROUP BY source""".stripMargin,
+    "e9_text_vector_join" ->
+      """WITH norms AS (
+        | SELECT vec_id,
+        |  CAST(sqrt(list_aggregate(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |   AS DECIMAL(20,6)) AS norm_dec
+        | FROM embeddings)
+        |SELECT lang, count(*) AS n,
+        | CAST(sum(norm_dec) AS DOUBLE) / count(*) AS avg_l2
+        |FROM documents JOIN norms ON doc_id = vec_id
+        |GROUP BY lang""".stripMargin,
     "d17_shingle_udtf" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

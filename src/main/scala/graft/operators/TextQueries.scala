@@ -148,6 +148,23 @@ object TextQueries {
         |WHERE s.pos < 3""".stripMargin)
   }
 
+  /** d18: deterministic hash sampling — content-keyed systematic sampling
+    * (`h60(text) mod 100 < rate`), the reproducible corpus subsampling
+    * every training pipeline needs: re-runs, engines, and partitionings all
+    * select the same documents, unlike `TABLESAMPLE`/`rand()`. Reported as
+    * per-source totals at two rates (stratification = the same predicate
+    * under a groupBy).
+    */
+  def d18HashSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pmod(graft.functions.GraftFunctions.h60(col("text")), lit(100L))
+    table(spark, sfDir, "documents")
+      .select(col("source"), b.as("b"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("total"),
+        sum(when(col("b") < 5, 1L).otherwise(0L)).as("sampled_5pct"),
+        sum(when(col("b") < 20, 1L).otherwise(0L)).as("sampled_20pct"))
+  }
+
   /** d6: token-frequency corpus profile — the word-count of training-data
     * engineering: explode to tokens, count, keep the head. Shuffle carries
     * (token, partial count) pairs thanks to map-side partial aggregation.

@@ -92,6 +92,25 @@ object VectorQueries {
         (col("hits") / lit(k.toDouble)).as(s"recall_at_$k"))
   }
 
+  /** e9: cross-modal join — documents to their embedding rows (the
+    * text-plus-vector shape of a multimodal training table), aggregated per
+    * language: row counts and the exact-decimal mean L2 norm. One
+    * broadcast-able equi-join (embeddings side pruned to (vec_id, norm)
+    * before joining — at 100 TB you never shuffle the vectors to join on
+    * the key).
+    */
+  def e9TextVectorJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val norms = table(spark, sfDir, "embeddings").select(
+      col("vec_id"),
+      sqrt(foldSum(col("embedding"), x => x * x))
+        .cast("decimal(20,6)").as("norm_dec"))
+    table(spark, sfDir, "documents").select(col("doc_id"), col("lang"))
+      .join(norms, col("doc_id") === col("vec_id"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("norm_dec")).cast("double") / count(lit(1))).as("avg_l2"))
+  }
+
   /** e8: random-hyperplane LSH with a SEEDED projection family — the
     * production form of e3 (whose axis-sign family is the degenerate
     * special case). Plane coefficients are pseudo-random but
