@@ -93,6 +93,7 @@ object SparkEntry {
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
+    "q32_window_suite" -> (R.q32WindowSuite _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -633,6 +634,19 @@ object SparkEntry {
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
+    "q32_window_suite" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_orderkey, o_custkey, quartile, prev_price, next_price,
+        | last_value(prev_price IGNORE NULLS)
+        |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |        ROWS UNBOUNDED PRECEDING) AS last_seen_price
+        |FROM base""".stripMargin,
     "d18_hash_sample" ->
       """SELECT source, count(*) AS total,
         | CAST(sum(CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 5

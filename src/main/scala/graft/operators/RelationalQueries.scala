@@ -508,6 +508,27 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("user_total")).as("sum_user_total"))
   }
 
+  /** q32: navigation/distribution window suite — ntile quartiles, lag/lead
+    * neighbors, and last-non-null carry-forward (the gap-filling idiom).
+    * One shuffle on o_custkey shared by both window stages; prices pass
+    * through un-arithmetic'd so raw doubles hash-match.
+    */
+  def q32WindowSuite(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .withColumn("last_seen_price",
+        last(col("prev_price"), ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("o_orderkey", "o_custkey", "quartile",
+        "prev_price", "next_price", "last_seen_price")
+  }
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's
