@@ -94,6 +94,8 @@ object SparkEntry {
     "d18_hash_sample" -> (T.d18HashSample _),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
     "q32_window_suite" -> (R.q32WindowSuite _),
+    "q33_multi_distinct" -> (R.q33MultiDistinct _),
+    "q34_not_in" -> (R.q34NotIn _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -634,6 +636,16 @@ object SparkEntry {
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
+    "q33_multi_distinct" ->
+      """SELECT event_type,
+        | count(DISTINCT user_id) AS uniq_users,
+        | count(DISTINCT length(props)) AS uniq_props_lens,
+        | count(*) AS cnt
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q34_not_in" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
     "q32_window_suite" ->
       """WITH base AS (
         | SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,

@@ -529,6 +529,34 @@ object RelationalQueries {
         "prev_price", "next_price", "last_seen_price")
   }
 
+  /** q33: multi-distinct aggregation — two distinct counts over different
+    * columns in one aggregate. Catalyst plans this with an Expand (one
+    * replicated stream per distinct group) + two-phase aggregation; at
+    * scale the Expand multiplies shuffle volume by the distinct-column
+    * count, which is why sketches (q17) replace it when exactness is
+    * negotiable.
+    */
+  def q33MultiDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("uniq_users"),
+        countDistinct(length(col("props"))).as("uniq_props_lens"),
+        count(lit(1)).as("cnt"))
+
+  /** q34: null-aware anti join — NOT IN over a subquery is NOT the same
+    * operator as NOT EXISTS (q23): one null in the subquery empties the
+    * result, so Spark plans a null-aware anti join (broadcast NAAJ) instead
+    * of a hash anti join. The values here are non-null, so the result
+    * matches set semantics and the oracle.
+    */
+  def q34NotIn(spark: SparkSession, sfDir: String): DataFrame =
+    spark.sql(
+      s"""SELECT c_custkey, c_name FROM parquet.`$sfDir/customer.parquet`
+         |WHERE c_custkey NOT IN
+         |  (SELECT o_custkey FROM parquet.`$sfDir/orders.parquet`
+         |   WHERE o_totalprice > 400000)""".stripMargin)
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's
