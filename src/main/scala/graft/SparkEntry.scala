@@ -349,8 +349,14 @@ object SparkEntry {
         | strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
         | strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
         |FROM s GROUP BY user_id, session_seq""".stripMargin,
-    // q17_approx intentionally has no oracle: sketch estimates are
-    // implementation-defined; the driver records a rows-only check.
+    // q17_approx: sketch VALUES are implementation-defined, so the oracle
+    // checks the acceptance predicate instead — exact counts recomputed in
+    // duckdb, sketch-in-bounds booleans expected TRUE (see q17Approx doc).
+    "q17_approx" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS users_ok, TRUE AS median_ok
+        |FROM events GROUP BY event_type""".stripMargin,
     "d7_minhash_sig" -> d7OracleSql,
     "d8_simhash" -> d8OracleSql,
     "d12_minhash_udaf" -> d12OracleSql,

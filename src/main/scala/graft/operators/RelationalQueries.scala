@@ -351,18 +351,36 @@ object RelationalQueries {
          |  WHERE l_orderkey = o_orderkey) AS max_line_qty
          |FROM parquet.`$sfDir/orders.parquet`""".stripMargin)
 
-  /** q17: approximate sketches — HLL distinct + quantile sketch. No exact
-    * cross-engine oracle exists by construction (estimates are
-    * implementation-defined); the driver records a rows-only check. The
-    * point at 100 TB: these replace exact distinct/percentile shuffles with
-    * fixed-size mergeable sketches.
+  /** q17: approximate sketches — HLL distinct + quantile sketch — reshaped
+    * as an ORACLE-CHECKABLE acceptance predicate. The sketch estimates
+    * themselves are implementation-defined (no cross-engine value oracle
+    * exists by construction), but their error BOUNDS are deterministic at a
+    * fixed dataset: the query emits the exact count plus booleans asserting
+    * the sketches landed inside their bounds, and the oracle recomputes the
+    * exact counts and asserts the booleans are all TRUE.
+    *  - `users_ok`: HLL (rsd 0.05) within 10% relative error of the exact
+    *    distinct count — 2× headroom over the configured rsd;
+    *  - `median_ok`: approx median (accuracy 10000 → rank error ≤ N/10⁴)
+    *    between the exact 45th and 55th percentiles — a rank predicate, so
+    *    no cross-engine float comparison is involved.
+    * The point at 100 TB: sketches replace exact distinct/percentile
+    * shuffles with fixed-size mergeable state; this query keeps the exact
+    * aggregates alongside ONLY to score the sketch (the production plan
+    * drops them).
     */
   def q17Approx(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(
+        countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_median"))
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
+        expr("percentile(value, 0.45)").as("p45"),
+        expr("percentile(value, 0.55)").as("p55"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.10).as("users_ok"),
+        (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
 
   /** q23: correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
     * left-semi and left-anti hash joins on c_custkey (one shuffle each, no
