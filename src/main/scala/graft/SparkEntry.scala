@@ -57,7 +57,7 @@ object SparkEntry {
     "q17_approx" -> (R.q17Approx _),
     "q18_sessionize" -> (R.q18Sessionize _),
     "d7_minhash_sig" -> (D.d7MinhashSig _),
-    "d8_simhash" -> (D.d8Simhash _),
+    "d8_simhash" -> ((s, d) => D.d8Simhash(s, d)),
     "d9_ngram_jaccard" -> (D.d9NgramJaccard _),
     "d10_token_classes" -> (D.d10TokenClasses _),
     "d11_rolling_hash" -> (D.d11RollingHash _),
@@ -975,9 +975,13 @@ object SparkEntry {
        |FROM sigs""".stripMargin
   }
 
-  /** duckdb mirror of [[graft.operators.DedupQueries.d8Simhash]]. */
+  /** duckdb mirror of [[graft.operators.DedupQueries.d8Simhash]] — same
+    * [[graft.operators.DedupQueries.SimhashBits]] width; the oracle keeps
+    * the window-count formulation (result-identical; the ENGINE plan is
+    * what the groupBy+broadcast shape fixes).
+    */
   private def d8OracleSql: String = {
-    val bitExprs = (0 until 8).map { j =>
+    val bitExprs = (0 until graft.operators.DedupQueries.SimhashBits).map { j =>
       s"  (CASE WHEN list_aggregate(list_transform(h, x -> 2 * ((x >> $j) & 1) - 1), 'sum') > 0 THEN ${1L << j} ELSE 0 END)"
     }.mkString(" +\n")
     s"""WITH hs AS (
@@ -987,10 +991,10 @@ object SparkEntry {
        | FROM documents),
        |sim AS (
        | SELECT doc_id,
-       |$bitExprs AS simhash8
+       |$bitExprs AS simhash
        | FROM hs)
-       |SELECT doc_id, simhash8,
-       | count(*) OVER (PARTITION BY simhash8) AS cluster_size
+       |SELECT doc_id, simhash,
+       | count(*) OVER (PARTITION BY simhash) AS cluster_size
        |FROM sim""".stripMargin
   }
 }

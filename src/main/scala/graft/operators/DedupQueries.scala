@@ -156,25 +156,40 @@ object DedupQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
-  /** d8: SimHash (8-bit demo width) over the distinct-token set, plus the
-    * cluster size of each signature value — identical-simhash groups are
-    * near-dup clusters. GroupBy on the 8-bit value: 256 groups max, no pair
-    * explosion at any scale.
+  /** Default SimHash width. Signature-space cardinality is 2^bits: cluster
+    * tasks and candidate-pair cost both scale as N²/2^bits for a uniform
+    * corpus, so pick bits ≈ log2(N / target_cluster_size) — 16 bits is
+    * sized for the ~10⁵-doc test corpus; a 10¹⁰-doc corpus wants 32-64.
     */
-  def d8Simhash(spark: SparkSession, sfDir: String): DataFrame = {
+  val SimhashBits = 16
+
+  /** d8: SimHash (parameterized width, default [[SimhashBits]]) over the
+    * distinct-token set, plus the cluster size of each signature value —
+    * identical-simhash groups are near-dup clusters.
+    *
+    * Scale shape: cluster sizes come from `groupBy(simhash).count` — the
+    * partial aggregate collapses each map task to ≤2^bits rows before the
+    * shuffle, and only (signature, count) pairs move. The counts frame is
+    * tiny (≤2^bits rows) so joining it back is a broadcast hash join: no
+    * sort, no window, and no task ever holds more than its input split.
+    * (A `Window.partitionBy(simhash)` formulation would instead shuffle
+    * every ROW by a ≤2^bits-cardinality key — one task sorting N/2^bits
+    * rows, which dies at 100 TB.)
+    */
+  def d8Simhash(spark: SparkSession, sfDir: String,
+      bits: Int = SimhashBits): DataFrame = {
     val hs = transform(array_distinct(toks(col("text"))), t => h60(t))
-    val bits = (0 until 8).map { j =>
+    val bitCols = (0 until bits).map { j =>
       val bitSum = aggregate(hs, lit(0L),
         (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
       when(bitSum > 0, lit(1L << j)).otherwise(0L)
     }
-    val sim = bits.reduce(_ + _).as("simhash8")
+    val sim = bitCols.reduce(_ + _).as("simhash")
     val docs = table(spark, sfDir, "documents").select(col("doc_id"), sim)
-    // window count instead of groupBy+self-join: one scan, one exchange, and
-    // the (md5-heavy) signature is computed exactly once per document
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("simhash8")
-    docs.withColumn("cluster_size", count(lit(1)).over(w))
-      .select("doc_id", "simhash8", "cluster_size")
+    val sizes = docs.groupBy("simhash")
+      .agg(count(lit(1)).as("cluster_size"))
+    docs.join(broadcast(sizes), "simhash")
+      .select("doc_id", "simhash", "cluster_size")
   }
 
   /** d9: exact n-gram Jaccard similarity over a bounded pair set (adjacent

@@ -49,6 +49,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("Sort "), p)
   }
 
+  test("d8: cluster sizes via partial agg + broadcast join-back, no window") {
+    val p = plan("d8_simhash")
+    // the 2^bits-cardinality signature must never be a Window partition key
+    // (one task would sort N/2^bits rows at scale)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // partial + final HashAggregate pair for the counts frame
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q1: aggregation is partial before the shuffle") {
     val p = plan("q1_agg")
     // partial + final HashAggregate pair around the exchange
