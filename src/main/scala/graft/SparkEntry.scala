@@ -272,23 +272,7 @@ object SparkEntry {
         | FROM dots)
         |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS cos_sim
         |FROM ranked WHERE rank <= 5""".stripMargin,
-    "e3_lsh_buckets" ->
-      """WITH sigs AS (
-        | SELECT vec_id,
-        |  concat(
-        |   CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[5] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[6] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[7] >= 0 THEN '1' ELSE '0' END,
-        |   CASE WHEN embedding[8] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings)
-        |SELECT a.bucket AS bucket, count(*) AS candidate_pairs,
-        | CAST(min(a.vec_id) AS INT) AS min_id, CAST(max(b.vec_id) AS INT) AS max_id
-        |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |GROUP BY a.bucket""".stripMargin,
+    "e3_lsh_buckets" -> e3OracleSql,
     "p1b_hour_bucket" ->
       """SELECT event_id,
         | CAST(strftime(ts, '%Y%m%d%H') AS BIGINT) AS bucket_id
@@ -714,26 +698,61 @@ object SparkEntry {
         |GROUP BY e.user_id % 50""".stripMargin,
   )
 
+  /** duckdb band table for the axis-sign LSH family — one row per
+    * (vec_id, band_idx, bucket), same geometry as
+    * [[graft.operators.VectorQueries.axisBandBuckets]] (band b = sign bits
+    * of dims [b·bits, (b+1)·bits); duckdb lists are 1-indexed).
+    */
+  private def axisBandsCte: String = {
+    val bits = graft.operators.VectorQueries.LshBits
+    val bands = graft.operators.VectorQueries.LshBands
+    val arms = (0 until bands).map { b =>
+      val sig = (0 until bits).map(i =>
+        s"CASE WHEN embedding[${b * bits + i + 1}] >= 0 THEN '1' ELSE '0' END")
+        .mkString("concat(", ", ", ")")
+      s" SELECT vec_id, CAST($b AS INT) AS band_idx, $sig AS bucket FROM embeddings"
+    }.mkString("\n UNION ALL\n")
+    s"bands AS (\n$arms)"
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e3LshBuckets]]. */
+  private def e3OracleSql: String =
+    s"""WITH $axisBandsCte
+       |SELECT a.band_idx, a.bucket AS bucket, count(*) AS candidate_pairs,
+       | CAST(min(a.vec_id) AS INT) AS min_id, CAST(max(b.vec_id) AS INT) AS max_id
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |GROUP BY a.band_idx, a.bucket""".stripMargin
+
   /** duckdb mirror of [[graft.operators.VectorQueries.e8LshProjections]] —
     * the identical seeded projection family built from the same md5
     * arithmetic, dot products unrolled in the same left-to-right order so
-    * every intermediate double is bit-identical.
+    * every intermediate double is bit-identical; planes grouped into the
+    * same bands.
     */
   private def e8OracleSql: String = {
+    val bits = graft.operators.VectorQueries.LshBits
+    val bands = graft.operators.VectorQueries.LshBands
     def w(p: Int, i: Int): String =
       s"((CAST('0x' || substr(md5('plane:$p:$i'), 1, 15) AS BIGINT) % 2001 - 1000) / 1000.0)"
-    val bits = (0 until 8).map { p =>
+    def bit(p: Int): String = {
       val dot = (1 to 64)
         .map(i => s"CAST(embedding[$i] AS DOUBLE) * ${w(p, i - 1)}")
         .mkString(" + ")
       s"(CASE WHEN $dot >= 0 THEN '1' ELSE '0' END)"
-    }.mkString("concat(", ", ", ")")
-    s"""WITH sigs AS (
-       | SELECT vec_id, $bits AS bucket FROM embeddings)
-       |SELECT a.bucket, count(*) AS candidate_pairs,
+    }
+    val arms = (0 until bands).map { b =>
+      val sig = (0 until bits).map(i => bit(b * bits + i))
+        .mkString("concat(", ", ", ")")
+      s" SELECT vec_id, CAST($b AS INT) AS band_idx, $sig AS bucket FROM embeddings"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH bands AS (
+       |$arms)
+       |SELECT a.band_idx, a.bucket, count(*) AS candidate_pairs,
        | min(a.vec_id) AS min_id, max(b.vec_id) AS max_id
-       |FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       |GROUP BY a.bucket""".stripMargin
+       |FROM bands a JOIN bands b
+       |  ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |GROUP BY a.band_idx, a.bucket""".stripMargin
   }
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e7IvfRecall]] — the
@@ -922,27 +941,31 @@ object SparkEntry {
        |FROM hs""".stripMargin
   }
 
-  private def e5OracleSql: String = {
-    val bucketExpr = (1 to 8).map(i =>
-      s"CASE WHEN embedding[$i] >= 0 THEN '1' ELSE '0' END").mkString("concat(", ", ", ")")
-    s"""WITH sigs AS (
-       | SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+  /** duckdb mirror of [[graft.operators.DedupQueries.e5CosineNearDup]] —
+    * banded candidates (any shared (band, bucket)), exact cosine verify,
+    * threshold filter on the decimal-rounded similarity.
+    */
+  private def e5OracleSql: String =
+    s"""WITH $axisBandsCte,
+       |cand AS (
+       | SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM bands a JOIN bands b
+       |   ON a.band_idx = b.band_idx AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
        |pairs AS (
-       | SELECT a.bucket,
+       | SELECT c.id_a, c.id_b,
        |  CAST(
-       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
-       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
-       |   (sqrt(list_aggregate(list_transform(a.embedding,
+       |   list_aggregate(list_transform(range(1, len(ea.embedding)+1),
+       |     i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(ea.embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-       |    sqrt(list_aggregate(list_transform(b.embedding,
+       |    sqrt(list_aggregate(list_transform(eb.embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
        |  AS DECIMAL(20,6)) AS sim_dec
-       | FROM sigs a JOIN sigs b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-       |SELECT bucket, count(*) AS pairs,
-       | CAST(sum(CASE WHEN sim_dec >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS near_dups,
-       | CAST(max(sim_dec) AS DOUBLE) AS max_sim
-       |FROM pairs GROUP BY bucket""".stripMargin
-  }
+       | FROM cand c
+       | JOIN embeddings ea ON ea.vec_id = c.id_a
+       | JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, CAST(sim_dec AS DOUBLE) AS cos_sim
+       |FROM pairs WHERE sim_dec >= 0.2""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d7MinhashSig]] — the
     * permutation arms are generated from the same (a,b) constants.

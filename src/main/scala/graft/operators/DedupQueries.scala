@@ -268,36 +268,39 @@ object DedupQueries {
         element_at(col("sig"), i + 1).as(s"sig$i")): _*)
   }
 
-  /** e5: embedding-cosine near-dup — exact cosine over SAME-LSH-BUCKET pairs
-    * only (the candidate set from e3's signature banding), aggregated per
-    * bucket. The O(N^2) pair scan becomes sum-of-squared-bucket-sizes; the
-    * output is bounded by bucket count at any scale.
+  /** e5: embedding-cosine near-dup — the full banded-LSH dedup pipeline for
+    * vectors, mirroring d13's shape for text: candidate pairs are vectors
+    * sharing ANY (band, bucket) of the axis-sign family
+    * ([[VectorQueries.axisBandBuckets]], bands OR'd via the distinct), then
+    * each candidate pays one exact cosine and pairs at/above `threshold`
+    * survive. The O(N²) pair space never materializes — candidate cost is
+    * bands·Σ bucket² per band; see [[VectorQueries.LshBits]] for the
+    * width-vs-corpus-size sizing rule.
     */
-  def e5CosineNearDup(spark: SparkSession, sfDir: String, bits: Int = 8,
+  def e5CosineNearDup(spark: SparkSession, sfDir: String,
+      bits: Int = VectorQueries.LshBits, bands: Int = VectorQueries.LshBands,
       threshold: Double = 0.2): DataFrame = {
-    val sig = (0 until bits).map(i =>
-      when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
-        .cast("string"))
-      .reduce((a, b) => concat(a, b))
+    val bk = VectorQueries.axisBandBuckets(spark, sfDir, bits, bands)
+    val cand = bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_a"))
+      .join(bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_b")),
+        Seq("band_idx", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
     val emb = table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"), sig.as("bucket"))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("emb_a"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("emb_b"))
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    cand
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("emb_a")), "id_a")
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("emb_b")), "id_b")
       .withColumn("sim_dec",
         (dotAB / (norm(col("emb_a")) * norm(col("emb_b")))).cast("decimal(20,6)"))
-      .groupBy("bucket")
-      .agg(count(lit(1)).as("pairs"),
-        sum(when(col("sim_dec") >= threshold, 1).otherwise(0)).as("near_dups"),
-        max(col("sim_dec")).cast("double").as("max_sim"))
+      .filter(col("sim_dec") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        col("sim_dec").cast("double").as("cos_sim"))
   }
 
   /** e6: the full IVF query path — top-k neighbors for each query vector

@@ -111,17 +111,54 @@ object VectorQueries {
         (sum(col("norm_dec")).cast("double") / count(lit(1))).as("avg_l2"))
   }
 
+  /** Default LSH signature geometry for the embedding family (e3/e5/e8):
+    * `LshBands` independent bands of `LshBits` sign bits each, AND within a
+    * band, OR across bands — the same banded construction as the MinHash
+    * pipeline (d13).
+    *
+    * Cost model (the reason fixed-width signatures don't scale): per band,
+    * same-bucket pair enumeration costs Σ bucket² ≈ N²/2^bits for
+    * near-uniform signatures, so total candidate cost ≈ bands·N²/2^bits —
+    * QUADRATIC for any fixed bits. Sub-quadratic requires the signature
+    * width to grow with the corpus: bits ≈ log2(N / target_bucket_size),
+    * i.e. +1 bit per corpus doubling. Bands then buy back the recall the
+    * wider AND-signature costs: P(candidate | per-bit agreement s) =
+    * 1 − (1 − s^bits)^bands. The demo geometry (8 × 2 = 16 planes) is
+    * sized for the ~10³-vector test table; a 10⁹-vector corpus wants
+    * ~24-30 bits × 4-8 bands.
+    */
+  val LshBits = 8
+  val LshBands = 2
+
+  /** (vec_id, band_idx, bucket) rows for the axis-sign plane family: band
+    * `b`'s signature is the sign bits of dimensions [b·bits, (b+1)·bits).
+    * One scan, one Generate (posexplode) — `bands` rows per vector, no
+    * shuffle; every downstream consumer joins on (band_idx, bucket).
+    */
+  def axisBandBuckets(spark: SparkSession, sfDir: String, bits: Int,
+      bands: Int): DataFrame = {
+    def bandSig(b: Int): Column = (0 until bits).map(i =>
+      when(col("embedding").getItem(b * bits + i) >= 0, lit("1"))
+        .otherwise(lit("0")))
+      .reduce((x, y) => concat(x, y))
+    table(spark, sfDir, "embeddings").select(col("vec_id"),
+      posexplode(array((0 until bands).map(bandSig): _*))
+        .as(Seq("band_idx", "bucket")))
+  }
+
   /** e8: random-hyperplane LSH with a SEEDED projection family — the
     * production form of e3 (whose axis-sign family is the degenerate
     * special case). Plane coefficients are pseudo-random but
     * engine-reproducible: w[p][i] = (h60("plane:p:i") mod 2001 - 1000) /
     * 1000, so the duckdb oracle builds the identical family from the same
     * md5 arithmetic. Signature bit p = sign of the (sequential-fold, hence
-    * bit-identical) dot product with plane p. Output: per-bucket candidate
-    * stats as in e3. One scan; the planes are plan-time constants
-    * (broadcast-free).
+    * bit-identical) dot product with plane p; band b owns planes
+    * [b·bits, (b+1)·bits). Output: per-(band, bucket) candidate stats as
+    * in e3. One scan; the planes are plan-time constants (broadcast-free).
+    * See [[LshBits]] for the bands/bits cost model.
     */
-  def e8LshProjections(spark: SparkSession, sfDir: String, planes: Int = 8): DataFrame = {
+  def e8LshProjections(spark: SparkSession, sfDir: String,
+      bits: Int = LshBits, bands: Int = LshBands): DataFrame = {
     def w(p: Int, i: Int): Column =
       ((graft.functions.GraftFunctions.h60(lit(s"plane:$p:$i")) % 2001L) - 1000L)
         .cast("double") / 1000.0
@@ -134,30 +171,34 @@ object VectorQueries {
         .reduce(_ + _)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
-    val sig = (0 until planes).map(bit).reduce((a, b) => concat(a, b))
-    val emb = table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), sig.as("bucket"))
-    val a = emb.select(col("vec_id").as("id_a"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"), col("bucket"))
-    a.join(b, "bucket")
+    def bandSig(b: Int): Column =
+      (0 until bits).map(i => bit(b * bits + i)).reduce((x, y) => concat(x, y))
+    val bk = table(spark, sfDir, "embeddings").select(col("vec_id"),
+      posexplode(array((0 until bands).map(bandSig): _*))
+        .as(Seq("band_idx", "bucket")))
+    val a = bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_b"))
+    a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("bucket")
+      .groupBy("band_idx", "bucket")
       .agg(count(lit(1)).as("candidate_pairs"),
         min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
   }
 
-  def e3LshBuckets(spark: SparkSession, sfDir: String, bits: Int = 8): DataFrame = {
-    val sig = (0 until bits).map(i =>
-      when(col("embedding").getItem(i) >= 0, lit(1)).otherwise(lit(0))
-        .cast("string"))
-      .reduce((a, b) => concat(a, b))
-    val emb = table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), sig.as("bucket"))
-    val a = emb.select(col("vec_id").as("id_a"), col("bucket"))
-    val b = emb.select(col("vec_id").as("id_b"), col("bucket"))
-    a.join(b, "bucket")
+  /** e3: banded LSH near-neighbor candidate generation — the scale path.
+    * Same-(band, bucket) pairs are the candidate set: the cartesian product
+    * becomes an equi-join on (band_idx, bucket), shuffling by bucket key.
+    * Candidate cost is bands·Σ bucket² per band; see [[LshBits]] for why
+    * the signature width must grow with N and how bands restore recall.
+    */
+  def e3LshBuckets(spark: SparkSession, sfDir: String,
+      bits: Int = LshBits, bands: Int = LshBands): DataFrame = {
+    val bk = axisBandBuckets(spark, sfDir, bits, bands)
+    val a = bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_a"))
+    val b = bk.select(col("band_idx"), col("bucket"), col("vec_id").as("id_b"))
+    a.join(b, Seq("band_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("bucket")
+      .groupBy("band_idx", "bucket")
       .agg(count(lit(1)).as("candidate_pairs"),
         min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
   }
