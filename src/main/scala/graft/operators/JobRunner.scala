@@ -95,7 +95,17 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
         }
         registry.putIfAbsent(meta.jobId, JobHandle(meta, fut)) match {
           case Some(existing) => stateOf(existing)  // lost the race: same answer
-          case None           => JobState.Running
+          case None =>
+            // one structured outcome line per completed job (alert parity —
+            // the BQ job log analogue; see JobLog)
+            fut.onComplete {
+              case Success(_) =>
+                JobLog.outcome("load_job", meta.jobId, JobState.Success, None)
+              case Failure(e) =>
+                JobLog.outcome("load_job", meta.jobId, JobState.Failure,
+                  Option(e.getMessage))
+            }
+            JobState.Running
         }
     }
   }

@@ -25,6 +25,14 @@ object Workflow {
   /** Final workflow report (`workflow.yaml:86-95`). */
   final case class RunResult(jobId: String, status: JobState, msg: Option[String])
 
+  /** Every workflow run emits its final report as one structured JSON log
+    * line (the stream the reference's alert policies grep — see [[JobLog]]).
+    */
+  private def report(r: RunResult): RunResult = {
+    JobLog.outcome("workflow_result", r.jobId, r.status, r.msg)
+    r
+  }
+
   /** Policy knobs, defaults = reference values (BASELINE.md). */
   final case class Policy(
       pollInterval: FiniteDuration = 30.seconds,
@@ -47,7 +55,8 @@ object Workflow {
 
     // workflow.yaml:14-35 — skip entirely when no raw files exist
     if (!PartitionProbe.exists(spark, cfg, hour))
-      return RunResult("", JobState.NotCreated, Some("partition absent; skipped"))
+      return report(
+        RunResult("", JobState.NotCreated, Some("partition absent; skipped")))
 
     // workflow.yaml:37-52 — start with blanket retries (safe: sink idempotent)
     var attempt = 0
@@ -56,17 +65,18 @@ object Workflow {
       val meta = runner.assemble(cfg, hour)
       runner.start(cfg, meta) match {
         case JobState.NotCreated =>
-          return RunResult(meta.jobId, JobState.NotCreated, Some("empty partition"))
+          return report(
+            RunResult(meta.jobId, JobState.NotCreated, Some("empty partition")))
         case _ =>
           // workflow.yaml:54-84 — poll until not RUNNING
           val (state, msg) =
             runner.await(meta.jobId, policy.attemptDeadline.toSeconds.toInt)
           last = RunResult(meta.jobId, state, msg)
-          if (state == JobState.Success) return last
+          if (state == JobState.Success) return report(last)
       }
       attempt += 1
     }
-    last
+    report(last)
   }
 
   /** Backfill a past hour range (inclusive), one idempotent run per hour —

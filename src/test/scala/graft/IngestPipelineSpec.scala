@@ -122,6 +122,48 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.poll("no-such-job").isLeft)
   }
 
+  test("JobLog: outcomes are structured JSON lines matching the alert predicates") {
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val sink = (sev: String, line: String) => captured.synchronized {
+      captured += ((sev, line)); ()
+    }
+    graft.operators.JobLog.addSink(sink)
+    try {
+      // healthy run: INFO workflow_result SUCCESS (+ a load_job line)
+      val r = new JobRunner(spark)
+      val ok = Workflow.runAndAwait(spark, r, cfg, Some(h12))
+      assert(ok.status == JobState.Success)
+      // failing run (unwritable landing target): alert #1 predicate — a
+      // workflow_result line containing "status":"FAILURE" — must appear at
+      // ERROR severity with the captured message
+      val bad = cfg.copy(landingPath = "file:/proc/forbidden/landing")
+      val fail = Workflow.runAndAwait(spark, r, bad,
+        Some(h12), Workflow.Policy(maxRetries = 0))
+      assert(fail.status == JobState.Failure)
+      val lines = captured.synchronized(captured.toList)
+      val okLine = lines.find { case (sev, l) =>
+        sev == "INFO" && l.contains(""""event":"workflow_result"""") &&
+          l.contains(""""status":"SUCCESS"""") && l.contains(ok.jobId)
+      }
+      assert(okLine.nonEmpty, lines)
+      assert(lines.exists { case (_, l) =>
+        l.contains(""""event":"load_job"""") && l.contains(""""status":"SUCCESS"""")
+      }, lines)
+      val failLine = lines.find { case (sev, l) =>
+        sev == "ERROR" && l.contains(""""event":"workflow_result"""") &&
+          l.contains(""""status":"FAILURE"""") && l.contains(fail.jobId)
+      }
+      assert(failLine.nonEmpty, lines)
+      // the message is carried in the line (BQ error_result parity)
+      assert(failLine.get._2.contains("msg"), failLine)
+      // every line is valid single-line JSON with the four fields
+      lines.foreach { case (_, l) =>
+        assert(!l.contains("\n") &&
+          Seq("event", "job_id", "status", "msg").forall(k => l.contains(s""""$k":""")), l)
+      }
+    } finally graft.operators.JobLog.removeSink(sink)
+  }
+
   test("O1: workflow composes probe->start->poll; absent partition skipped") {
     val r = new JobRunner(spark)
     val res = Workflow.runAndAwait(spark, r, cfg, Some(h12))
