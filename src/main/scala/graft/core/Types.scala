@@ -21,6 +21,15 @@ object JobState {
   * (`/root/reference/ingestion/bigquery_interaction.py:17-26`): tab-delimited,
   * UTF-8, quoting disabled, no header row, schema never inferred
   * (`CREATE_NEVER` implies a caller-supplied [[StructType]]).
+  *
+  * `parseMode` selects the malformed-row policy:
+  *  - `"PERMISSIVE"` (default): bad cells/short rows become nulls — the
+  *    documented deviation chosen so one bad row can't kill a 100 TB load;
+  *  - `"FAILFAST"`: the strict BigQuery parity mode — a load job FAILS on
+  *    the first malformed row (BQ `max_bad_records` defaults to 0 and the
+  *    job's `error_result` carries the message,
+  *    `bigquery_interaction.py:112-114`); the parse error surfaces as
+  *    `JobState.Failure` with the captured message through the job runner.
   */
 final case class CsvOptions(
     delimiter: String = "\t",
@@ -29,7 +38,8 @@ final case class CsvOptions(
     encoding: String = "UTF-8",
     // BQ CSV canonical timestamp text; microsecond precision round-trips
     // losslessly (Spark TimestampType and BQ TIMESTAMP are both micros)
-    timestampFormat: String = "yyyy-MM-dd HH:mm:ss[.SSSSSS]")
+    timestampFormat: String = "yyyy-MM-dd HH:mm:ss[.SSSSSS]",
+    parseMode: String = "PERMISSIVE")
 object CsvOptions {
   /** Spark reader option map equivalent of the reference load config. Spark
     * interprets an empty `quote` option as "quoting disabled", matching BQ's
@@ -41,7 +51,7 @@ object CsvOptions {
     "header" -> o.header.toString,
     "encoding" -> o.encoding,
     "timestampFormat" -> o.timestampFormat,
-    "mode" -> "PERMISSIVE")
+    "mode" -> o.parseMode)
 
   /** Writer options for producing files under the same contract (used by the
     * round-trip parity path and fixture generators).

@@ -103,12 +103,22 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
                 JobLog.outcome("load_job", meta.jobId, JobState.Success, None)
               case Failure(e) =>
                 JobLog.outcome("load_job", meta.jobId, JobState.Failure,
-                  Option(e.getMessage))
+                  Some(describe(e)))
             }
             JobState.Running
         }
     }
   }
+
+  /** Failure text for status payloads: the whole cause chain, deepest last —
+    * Spark wraps the interesting error (e.g. `Malformed records detected` in
+    * FAILFAST mode) in task/file-level exceptions, and BQ's `error_result`
+    * carries the root message (`bigquery_interaction.py:112-114`).
+    */
+  private def describe(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .map(t => Option(t.getMessage).getOrElse(t.getClass.getName))
+      .distinct.mkString(" <- ")
 
   /** J2: poll a job id (`bigquery_interaction.py:78-121`). */
   def poll(jobId: String): Either[PollError, (JobState, Option[String])] =
@@ -117,7 +127,7 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
       case Some(h) => Right(h.future.value match {
         case None                => (JobState.Running, None)
         case Some(Success(_))    => (JobState.Success, None)
-        case Some(Failure(e))    => (JobState.Failure, Option(e.getMessage))
+        case Some(Failure(e))    => (JobState.Failure, Some(describe(e)))
       })
     }
 

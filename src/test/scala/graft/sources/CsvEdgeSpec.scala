@@ -38,6 +38,41 @@ class CsvEdgeSpec extends SparkSpec {
     // deviation, chosen so one bad row can't kill a 100 TB load.
   }
 
+  test("FAILFAST parity: a malformed row fails the load job with the message") {
+    val dir = Files.createTempDirectory("graft-strict")
+    val h = PartitionHour(2023, 6, 27, 12)
+    val pdir = Paths.get(dir.toString, PartitionCodec.toHivePath(h))
+    Files.createDirectories(pdir)
+    Files.write(pdir.resolve("part-000.tsv"), Seq(
+      "2023-06-27 12:00:00\tdev-1\t10",
+      "not-a-timestamp\tdev-2\t20"        // BQ would fail the whole job
+    ).mkString("\n").getBytes("UTF-8"))
+
+    // reader level: FAILFAST throws instead of null-padding
+    val strict = csv.copy(parseMode = "FAILFAST")
+    intercept[org.apache.spark.SparkException] {
+      HivePartitionedSource.readGlob(spark, schema, strict, s"file:$pdir/*").collect()
+    }
+
+    // job level: the parse error maps to JobState.Failure with the captured
+    // message (BQ error_result parity, bigquery_interaction.py:112-114)
+    val landing = Files.createTempDirectory("graft-strict-landing")
+    val cfg = IngestConfig(s"file:$dir", s"file:$landing", schema,
+      "event_ts", "device_id", csv = strict)
+    val r = new graft.operators.JobRunner(spark)
+    val m = r.assemble(cfg, h)
+    r.start(cfg, m)
+    val (st, msg) = r.await(m.jobId)
+    assert(st == JobState.Failure)
+    assert(msg.exists(_.toLowerCase.contains("malformed")), msg)
+
+    // same files under the PERMISSIVE default load fine (nulls, not failure)
+    val lax = cfg.copy(csv = csv)
+    val m2 = r.assemble(lax, h)
+    r.start(lax, m2)
+    assert(r.await(m2.jobId)._1 == JobState.Success)
+  }
+
   test("gzipped partition files read transparently") {
     val dir = Files.createTempDirectory("graft-gz")
     val h = PartitionHour(2023, 6, 27, 12)
