@@ -93,7 +93,11 @@ final case class IngestConfig(
     // raw-file format under the hive tree: "csv" (the reference's TSV
     // contract), "parquet", or "json" — the schema contract is identical
     // (explicit, never inferred) for all three
-    sourceFormat: String = "csv")
+    sourceFormat: String = "csv",
+    // stage-and-swap partition commit (two metadata renames, no torn reads —
+    // see LandingTable.overwritePartitionsStaged); false = Spark's built-in
+    // dynamic partition overwrite (for object stores where rename copies)
+    atomicCommit: Boolean = true)
 
 /** Immutable job descriptor — the reference's `LoadJobMetadata` NamedTuple
   * (`/root/reference/ingestion/types.py:19-27`); Scala `copy` replaces

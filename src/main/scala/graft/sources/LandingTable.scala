@@ -59,17 +59,40 @@ object LandingTable {
     }
 
   /** Truncate-and-replace exactly the partitions present in `df` (for the
-    * reference pipeline: exactly one hour). Dynamic overwrite leaves all
-    * other partitions untouched.
+    * reference pipeline: exactly one hour). Dispatches on
+    * `cfg.atomicCommit`:
+    *
+    *  - `true` (default): [[overwritePartitionsStaged]] — write to a hidden
+    *    staging tree, then swap each partition directory into the live tree
+    *    with two metadata renames. A BigQuery decorator load is job-atomic
+    *    (`bigquery_interaction.py:19-20`); Spark's dynamic partition
+    *    overwrite instead exposes a commit window as long as the data write
+    *    (old files deleted, new files moved in one by one) during which a
+    *    concurrent reader can observe a TORN partition — part old, part
+    *    new, indistinguishable from valid data. Staging shrinks the window
+    *    to two renames, and what remains is benign: a reader sees the old
+    *    set, the new set, or a clean transient absence/error it can retry —
+    *    never a silent mix. (Full reader-transparent atomicity needs a
+    *    table format with a commit pointer — metastore/Iceberg-class — out
+    *    of scope with no external deps.)
+    *  - `false`: Spark's built-in dynamic partition overwrite, kept for
+    *    object stores where directory rename is itself a copy.
     */
-  def overwritePartitions(df: DataFrame, cfg: IngestConfig): Unit = {
+  def overwritePartitions(df: DataFrame, cfg: IngestConfig): Unit =
+    if (cfg.atomicCommit) overwritePartitionsStaged(df, cfg)
+    else overwritePartitionsDynamic(df, cfg)
+
+  private def clustered(df: DataFrame, cfg: IngestConfig): DataFrame =
+    withPartitionColumns(df, cfg.partitionField)
+      .sortWithinPartitions(col(cfg.clusterField))
+
+  /** The pre-round-3 path: built-in dynamic partition overwrite. */
+  def overwritePartitionsDynamic(df: DataFrame, cfg: IngestConfig): Unit = {
     val spark = df.sparkSession
     val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try {
-      withPartitionColumns(df, cfg.partitionField)
-        .sortWithinPartitions(col(cfg.clusterField))
-        .write
+      clustered(df, cfg).write
         .mode("overwrite")
         .partitionBy(PartitionCols: _*)
         .parquet(cfg.landingPath)
@@ -78,6 +101,53 @@ object LandingTable {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+    }
+  }
+
+  /** Stage-and-swap commit: the whole data write happens under
+    * `.staging-<uuid>` (leading dot ⇒ invisible to partition discovery and
+    * any hidden-file-filtering reader), then each staged partition directory
+    * replaces its live counterpart via `rename(live, trash)` +
+    * `rename(staged, live)` — pure metadata ops on HDFS-like filesystems.
+    * Crash between the two renames loses only that partition's visibility,
+    * never its data (old content sits in `.trash-<uuid>`, new in staging;
+    * re-running the hour converges because the sink is idempotent).
+    */
+  def overwritePartitionsStaged(df: DataFrame, cfg: IngestConfig): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = df.sparkSession
+    val token = java.util.UUID.randomUUID().toString
+    val root = new Path(cfg.landingPath)
+    val staging = new Path(root, s".staging-$token")
+    val trash = new Path(root, s".trash-$token")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    clustered(df, cfg).write
+      .mode("overwrite")
+      .partitionBy(PartitionCols: _*)
+      .parquet(staging.toString)
+
+    try {
+      // every staged partition dir, deepest level only (year=*/.../hour=*)
+      val staged = fs.globStatus(new Path(staging,
+        PartitionCols.map(c => s"$c=*").mkString("/"))).toSeq
+      staged.foreach { st =>
+        val rel = st.getPath.toUri.getPath.stripPrefix(
+          staging.toUri.getPath).stripPrefix("/")
+        val live = new Path(root, rel)
+        fs.mkdirs(live.getParent)
+        if (fs.exists(live)) {
+          val aside = new Path(trash, rel)
+          fs.mkdirs(aside.getParent)
+          if (!fs.rename(live, aside))
+            throw new java.io.IOException(s"commit: rename $live -> $aside failed")
+        }
+        if (!fs.rename(st.getPath, live))
+          throw new java.io.IOException(s"commit: rename ${st.getPath} -> $live failed")
+      }
+    } finally {
+      fs.delete(staging, true)
+      fs.delete(trash, true)
     }
   }
 

@@ -1,0 +1,95 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicBoolean
+
+/** Stage-and-swap commit (LandingTable.overwritePartitionsStaged): a reader
+  * racing repeated overwrites of one partition must never observe a TORN
+  * partition — every successful read returns exactly one generation's full
+  * content (count AND content-marker agree), never a mix of generations or
+  * a partial file set. Transient absence/read errors during the two-rename
+  * window are legitimate retryable outcomes and are ignored.
+  */
+class AtomicCommitSpec extends SparkSpec {
+
+  val schema = StructType(Seq(
+    StructField("event_ts", TimestampType),
+    StructField("device_id", StringType),
+    StructField("bytes", LongType)))
+
+  private val h = PartitionHour(2023, 6, 27, 12)
+
+  private def frame(marker: String, rows: Int) = {
+    import scala.jdk.CollectionConverters._
+    val data = (0 until rows).map { i =>
+      org.apache.spark.sql.Row(
+        java.sql.Timestamp.valueOf(f"2023-06-27 12:${i % 60}%02d:00"),
+        s"$marker-$i", marker.length.toLong)
+    }.asJava
+    // several input partitions => several staged files per partition dir,
+    // so a torn read (subset of files) would show as a wrong count
+    spark.createDataFrame(data, schema).repartition(4)
+  }
+
+  test("concurrent reader never sees a torn partition during staged overwrite") {
+    val landing = Files.createTempDirectory("graft-atomic")
+    val cfg = IngestConfig(sourceBase = "unused", landingPath = s"file:$landing",
+      schema = schema, partitionField = "event_ts", clusterField = "device_id")
+
+    val gens = Seq("old" -> 40, "new" -> 25)
+    LandingTable.overwritePartitions(frame(gens(0)._1, gens(0)._2), cfg)
+
+    val done = new AtomicBoolean(false)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Set[String])]()
+    val reader = new Thread(() => {
+      while (!done.get()) {
+        try {
+          val rows = LandingTable.readPartition(spark, cfg, h)
+            .select("device_id").collect()
+          val markers = rows.map(_.getString(0).takeWhile(_ != '-')).toSet
+          seen.add((rows.length.toLong, markers))
+        } catch { case _: Throwable => () } // clean transient error: retryable
+      }
+    })
+    reader.start()
+    try {
+      (1 to 6).foreach { i =>
+        val (m, n) = gens(i % 2)
+        LandingTable.overwritePartitions(frame(m, n), cfg)
+      }
+    } finally {
+      done.set(true)
+      reader.join(30000)
+    }
+
+    val valid = gens.map { case (m, n) => (n.toLong, Set(m)) }.toSet
+    val observed = seen.toArray(Array.empty[(Long, Set[String])]).toSet
+    assert(observed.nonEmpty, "reader never completed a read")
+    val torn = observed -- valid
+    assert(torn.isEmpty, s"torn reads observed: $torn")
+  }
+
+  test("staged commit leaves no staging/trash residue and replaces exactly one hour") {
+    val landing = Files.createTempDirectory("graft-atomic2")
+    val cfg = IngestConfig(sourceBase = "unused", landingPath = s"file:$landing",
+      schema = schema, partitionField = "event_ts", clusterField = "device_id")
+    LandingTable.overwritePartitions(frame("old", 10), cfg)
+    // second hour, then re-commit the first: the second must be untouched
+    val other = frame("oth", 7).withColumn("event_ts",
+      org.apache.spark.sql.functions.expr("event_ts + INTERVAL 1 HOUR"))
+    LandingTable.overwritePartitions(other, cfg)
+    LandingTable.overwritePartitions(frame("new", 4), cfg)
+
+    assert(LandingTable.readPartition(spark, cfg, h).count() == 4)
+    assert(LandingTable.readPartition(spark, cfg,
+      PartitionHour(2023, 6, 27, 13)).count() == 7)
+    val leftovers = Files.list(landing).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (leftovers.hasNext) names += leftovers.next().getFileName.toString
+    assert(!names.exists(n => n.startsWith(".staging") || n.startsWith(".trash")),
+      names.mkString(","))
+  }
+}
