@@ -610,8 +610,8 @@ object SparkEntry {
         |SELECT user_id, session_start_us, session_end_us, n_events
         |FROM sess
         |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
-        |   OR session_end_us + 1800000000 <
-        |      (SELECT epoch_us(max(ts)) - 2400000000 FROM events)""".stripMargin,
+        |   OR (session_end_us + 1800000000) // 1000 <
+        |      (SELECT epoch_us(max(ts)) // 1000 - 2400000 FROM events)""".stripMargin,
     "d16_char_entropy" ->
       """WITH cc AS (
         | SELECT doc_id, ch, count(*) AS c FROM (

@@ -52,20 +52,35 @@ object DedupQueries {
   private val shingleCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
-  /** The corpus shingled once per JVM: (doc_id, sh) persisted
+  /** The corpus shingled once per session: (doc_id, sh) persisted
     * MEMORY_AND_DISK and shared by every consumer (d7 signatures, d9/d13
     * Jaccard verification, d12's exploded UDAF form). Shingling is the
     * expensive half of every near-dup operator — a regex tokenize plus one
     * string build per 3-gram — so at 100 TB you materialize it once (cache,
     * or a shingle table on disk) and fan out, instead of paying the scan
     * per operator and per self-join branch.
+    *
+    * A cached frame is only valid for the session that built it: if the
+    * caller's session differs (harness stopped the first and started a new
+    * one in the same JVM), the stale entry is unpersisted via its own
+    * session when possible and rebuilt.
     */
-  def shingledDocs(spark: SparkSession, sfDir: String): DataFrame =
-    shingleCache.getOrElseUpdate(sfDir, {
-      table(spark, sfDir, "documents")
-        .select(col("doc_id"), shingles3(col("text")).as("sh"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+  def shingledDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    def build() = table(spark, sfDir, "documents")
+      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    shingleCache.get(sfDir) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case stale =>
+        stale.foreach { df =>
+          try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+          catch { case _: Throwable => () }
+        }
+        val fresh = build()
+        shingleCache.put(sfDir, fresh)
+        fresh
+    }
+  }
 
   /** (a,b) parameters of the 8 minhash permutations h_i(x) = (a*x + b) mod P. */
   val MinhashPerms: Seq[(Int, Int)] =

@@ -120,10 +120,15 @@ object AsOfJoin {
               if (rHead == null && rIter.hasNext) rHead = rIter.next()
               if (rHead == null) continue = false
               else {
-                val rk = rKeyEval(rHead).getLong(0)
-                if (rk < key) { rHead = null } // skip keys before current
-                else if (rk == key && rTimeEval(rHead).getLong(0) <= time) {
-                  retained = rHead.copy(); retainedKey = rk; haveRetained = true
+                val rk = rKeyEval(rHead)
+                val rt = rTimeEval(rHead)
+                if (rk.isNullAt(0) || rt.isNullAt(0)) {
+                  rHead = null // SQL comparison semantics: null never matches
+                } else if (rk.getLong(0) < key) {
+                  rHead = null // skip keys before current
+                } else if (rk.getLong(0) == key && rt.getLong(0) <= time) {
+                  retained = rHead.copy(); retainedKey = rk.getLong(0)
+                  haveRetained = true
                   rHead = null
                 } else continue = false
               }
@@ -133,8 +138,12 @@ object AsOfJoin {
           override def hasNext: Boolean = lIter.hasNext
           override def next(): InternalRow = {
             val l = lIter.next()
-            val key = lKeyEval(l).getLong(0)
-            val time = lTimeEval(l).getLong(0)
+            val lk = lKeyEval(l)
+            val lt = lTimeEval(l)
+            if (lk.isNullAt(0) || lt.isNullAt(0))
+              return outProj(joined(l, nullRight)) // null key/time: no match
+            val key = lk.getLong(0)
+            val time = lt.getLong(0)
             if (haveRetained && retainedKey != key) haveRetained = false
             advanceRightTo(key, time)
             val r = if (haveRetained && retainedKey == key) retained else nullRight
@@ -152,24 +161,44 @@ object AsOfJoin {
   def install(ext: SparkSessionExtensions): Unit =
     ext.injectPlannerStrategy(_ => Strategy)
 
-  /** Public API: as-of join `left` with `right`; key and time columns must
-    * be non-null LONGs (map timestamps through `unix_micros` — monotonic
-    * and lossless). Right-side duplicate (key, time) pairs make the pick
-    * ambiguous — deduplicate upstream (the gate query aggregates to unique
-    * pairs).
+  /** Public API: as-of join `left` with `right`. Key and time columns must
+    * be LongType (map timestamps through `unix_micros` — monotonic and
+    * lossless); that contract is ENFORCED here, not just documented — a
+    * mistyped column fails fast instead of merge-reading garbage. Null keys
+    * or times follow SQL comparison semantics: a null left key/time gets
+    * the null right side; null right rows never match. Right-side duplicate
+    * (key, time) pairs make the pick ambiguous — deduplicate upstream (the
+    * gate query aggregates to unique pairs). A self-join whose right side
+    * shares attributes with the left is re-aliased with fresh exprIds
+    * (Catalyst's DeduplicateRelations does not know this node).
     */
   def asof(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.types.LongType
     val spark = left.sparkSession
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
-    def attr(p: LogicalPlan, name: String) =
-      p.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(s"column $name not found"))
+    val rPlan0 = right.queryExecution.analyzed
+    // conflicting exprIds (self-join without full re-aliasing) would make
+    // the output ambiguous downstream: mint fresh ids for the right side
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        Project(rPlan0.output.map(a => Alias(a, a.name)()), rPlan0)
+      else rPlan0
+    def attr(p: LogicalPlan, side: String, name: String) = {
+      val a = p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asof: $side column $name not found"))
+      if (a.dataType != LongType)
+        throw new IllegalArgumentException(
+          s"asof: $side column $name must be LongType (unix_micros your " +
+            s"timestamps), got ${a.dataType.simpleString}")
+      a
+    }
     org.apache.spark.sql.graftbridge.GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
       lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+      attr(lPlan, "left", leftKey), attr(rPlan, "right", rightKey),
+      attr(lPlan, "left", leftTime), attr(rPlan, "right", rightTime)))
   }
 }

@@ -58,6 +58,41 @@ class AsOfJoinSpec extends SparkSpec {
       (103L, -1L, -1.0))) // no right rows for key -> null
   }
 
+  test("contract enforced: non-Long columns fail fast, nulls never match") {
+    import spark.implicits._
+    // INT key: must fail fast with a clear message, not merge garbage
+    val intKey = Seq((1, 10L, 100L)).toDF("k", "t", "lid")
+    val right = Seq((1L, 5L, 1.0)).toDF("rk", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.asof(intKey, right, "k", "rk", "t", "rt")
+    }
+    assert(e.getMessage.contains("LongType"), e.getMessage)
+
+    // null left key/time -> null right side; null right rows never match
+    val left = Seq((Some(1L), Some(10L), 100L), (None, Some(10L), 101L),
+      (Some(1L), None, 102L)).toDF("k", "t", "lid")
+    val rightN = Seq((Some(1L), Some(5L), 1.0), (Some(1L), None, 7.7),
+      (None, Some(1L), 8.8)).toDF("rk", "rt", "v")
+    val out = AsOfJoin.asof(left, rightN, "k", "rk", "t", "rt")
+      .select("lid", "v").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1.0 else r.getDouble(1))).toSet
+    assert(out == Set((100L, 1.0), (101L, -1.0), (102L, -1.0)), out)
+  }
+
+  test("self-join without re-aliasing gets fresh right-side exprIds") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 5.0), (1L, 20L, 6.0)).toDF("k", "t", "v")
+    // same analyzed attributes on both sides — asof() must re-alias
+    val out = AsOfJoin.asof(df, df, "k", "k", "t", "t")
+    assert(out.columns.toSeq == Seq("k", "t", "v", "k", "t", "v"))
+    // output attrs must be distinct expr ids (no ambiguous duplicates)
+    val ids = out.queryExecution.analyzed.output.map(_.exprId).distinct
+    assert(ids.length == 6, ids)
+    // every left row self-matches at its own time (exact tie)
+    val vals = out.collect().map(r => (r.getLong(1), r.getDouble(5))).toSet
+    assert(vals == Set((10L, 5.0), (20L, 6.0)), vals)
+  }
+
   test("plan contains the custom exec and exactly two exchanges") {
     import spark.implicits._
     val left = Seq((1L, 10L, 100L)).toDF("k", "t", "lid")
