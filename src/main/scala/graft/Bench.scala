@@ -38,17 +38,20 @@ object Bench {
       System.err.println(f"[bench] $name ${sec}%.2fs")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Single output path (run/outputStrategy := StdoutOutput keeps println
+    // un-prefixed under sbt): the full contract line first, a durable copy
+    // at target/bench.json, and a SHORT parseable line LAST so tail-capture
+    // truncation can never eat the machine-readable result.
     println(json)
-    // Also write straight to fd 1: when run under sbt, the logger prefixes
-    // println with "[info] ", which breaks line-oriented JSON parsers.
-    val fd1 = new java.io.PrintStream(
-      new java.io.FileOutputStream(java.io.FileDescriptor.out), true)
-    fd1.println(json)
+    val benchFile = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(benchFile.getParent)
+    java.nio.file.Files.writeString(benchFile, json + "\n")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

@@ -194,13 +194,18 @@ object DedupQueries {
   def d8Simhash(spark: SparkSession, sfDir: String,
       bits: Int = SimhashBits): DataFrame = {
     val hs = transform(array_distinct(toks(col("text"))), t => h60(t))
-    val bitCols = (0 until bits).map { j =>
-      val bitSum = aggregate(hs, lit(0L),
-        (acc, x) => acc + (shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1))
-      when(bitSum > 0, lit(1L << j)).otherwise(0L)
-    }
-    val sim = bitCols.reduce(_ + _).as("simhash")
-    val docs = table(spark, sfDir, "documents").select(col("doc_id"), sim)
+    // all `bits` signed bit-counts in ONE fold over the token hashes (a
+    // per-bit-column formulation re-hashes the token array `bits` times)
+    val masks = array((0 until bits).map(j => lit(1L << j)): _*)
+    val sums = aggregate(hs, array_repeat(lit(0L), bits),
+      (acc, x) => zip_with(acc, masks, (a, m) =>
+        a + when(x.bitwiseAND(m) === 0L, lit(-1L)).otherwise(lit(1L))))
+    val sim = (0 until bits).map(j =>
+      when(element_at(col("bs"), j + 1) > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), sums.as("bs"))
+      .select(col("doc_id"), sim.as("simhash"))
     val sizes = docs.groupBy("simhash")
       .agg(count(lit(1)).as("cluster_size"))
     docs.join(broadcast(sizes), "simhash")

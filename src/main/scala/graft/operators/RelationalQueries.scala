@@ -360,27 +360,35 @@ object RelationalQueries {
     * exact counts and asserts the booleans are all TRUE.
     *  - `users_ok`: HLL (rsd 0.05) within 10% relative error of the exact
     *    distinct count — 2× headroom over the configured rsd;
-    *  - `median_ok`: approx median (accuracy 10000 → rank error ≤ N/10⁴)
-    *    between the exact 45th and 55th percentiles — a rank predicate, so
-    *    no cross-engine float comparison is involved.
+    *  - `median_ok`: the approx median's exact RANK (count of values at or
+    *    below it, one filtered count — no exact-percentile sort anywhere)
+    *    lands in the 45th–55th percentile band; accuracy 10000 bounds the
+    *    sketch's rank error at N/10⁴, far inside the band.
     * The point at 100 TB: sketches replace exact distinct/percentile
     * shuffles with fixed-size mergeable state; this query keeps the exact
     * aggregates alongside ONLY to score the sketch (the production plan
-    * drops them).
+    * drops them), and scoring itself stays sort-free: a second scan with a
+    * broadcast of the 5 per-group medians, partial-aggregated counts.
     */
-  def q17Approx(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
+  def q17Approx(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketches = table(spark, sfDir, "events")
       .groupBy("event_type")
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.5), lit(10000)).as("am"),
-        expr("percentile(value, 0.45)").as("p45"),
-        expr("percentile(value, 0.55)").as("p55"))
+        count(lit(1)).as("n"))
+    val rank = table(spark, sfDir, "events")
+      .join(broadcast(sketches.select(col("event_type"), col("am"))), "event_type")
+      .groupBy("event_type")
+      .agg(sum(when(col("value") <= col("am"), 1L).otherwise(0L)).as("rank_le"))
+    sketches.join(rank, "event_type")
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * 0.10).as("users_ok"),
-        (col("am") >= col("p45") && col("am") <= col("p55")).as("median_ok"))
+        (col("rank_le") >= col("n") * 0.45 &&
+          col("rank_le") <= col("n") * 0.55).as("median_ok"))
+  }
 
   /** q23: correlated EXISTS / NOT EXISTS — Catalyst decorrelates both into
     * left-semi and left-anti hash joins on c_custkey (one shuffle each, no

@@ -162,13 +162,18 @@ object VectorQueries {
     def w(p: Int, i: Int): Column =
       ((graft.functions.GraftFunctions.h60(lit(s"plane:$p:$i")) % 2001L) - 1000L)
         .cast("double") / 1000.0
-    // dim is fixed by the dataset contract (64 floats); positions are
-    // unrolled so the plane weights are plan-time constants
+    // dim is fixed by the dataset contract (64 floats). Each plane is a
+    // CONSTANT-FOLDED array literal (h60-of-literal is foldable), and the
+    // dot is a left fold over zip_with — numerically identical to the
+    // oracle's unrolled left-to-right sum (0.0 + t0 == t0), but the
+    // expression tree stays O(planes), not O(planes×dims), keeping codegen
+    // compile time and method size sane as the signature widens.
     val dims = 64
     def bit(p: Int): Column = {
-      val dot = (1 to dims).map(i =>
-        element_at(col("embedding"), i).cast("double") * w(p, i - 1))
-        .reduce(_ + _)
+      val plane = array((0 until dims).map(i => w(p, i)): _*)
+      val dot = aggregate(
+        zip_with(col("embedding"), plane, (x, wv) => x.cast("double") * wv),
+        lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit("1")).otherwise(lit("0"))
     }
     def bandSig(b: Int): Column =

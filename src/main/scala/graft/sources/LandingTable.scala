@@ -128,23 +128,40 @@ object LandingTable {
       .parquet(staging.toString)
 
     try {
-      // every staged partition dir, deepest level only (year=*/.../hour=*)
+      // every staged partition dir, deepest level only (year=*/.../hour=*);
+      // swaps are independent per partition, so run them on a bounded pool —
+      // an hourly backfill writing hundreds of partitions would otherwise
+      // serialize hundreds of metadata round-trips on the driver
       val staged = fs.globStatus(new Path(staging,
         PartitionCols.map(c => s"$c=*").mkString("/"))).toSeq
-      staged.foreach { st =>
-        val rel = st.getPath.toUri.getPath.stripPrefix(
-          staging.toUri.getPath).stripPrefix("/")
-        val live = new Path(root, rel)
-        fs.mkdirs(live.getParent)
-        if (fs.exists(live)) {
-          val aside = new Path(trash, rel)
-          fs.mkdirs(aside.getParent)
-          if (!fs.rename(live, aside))
-            throw new java.io.IOException(s"commit: rename $live -> $aside failed")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, staged.size)))
+      try {
+        val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        staged.foreach { st =>
+          pool.execute { () =>
+            try {
+              val rel = st.getPath.toUri.getPath.stripPrefix(
+                staging.toUri.getPath).stripPrefix("/")
+              val live = new Path(root, rel)
+              fs.mkdirs(live.getParent)
+              if (fs.exists(live)) {
+                val aside = new Path(trash, rel)
+                fs.mkdirs(aside.getParent)
+                if (!fs.rename(live, aside))
+                  throw new java.io.IOException(
+                    s"commit: rename $live -> $aside failed")
+              }
+              if (!fs.rename(st.getPath, live))
+                throw new java.io.IOException(
+                  s"commit: rename ${st.getPath} -> $live failed")
+            } catch { case t: Throwable => failures.add(t) }
+          }
         }
-        if (!fs.rename(st.getPath, live))
-          throw new java.io.IOException(s"commit: rename ${st.getPath} -> $live failed")
-      }
+        pool.shutdown()
+        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        if (!failures.isEmpty) throw failures.peek()
+      } finally pool.shutdownNow()
     } finally {
       fs.delete(staging, true)
       fs.delete(trash, true)

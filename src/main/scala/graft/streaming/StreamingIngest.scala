@@ -50,10 +50,21 @@ object StreamingIngest {
       .start()
   }
 
-  /** Watermarked hourly aggregate stream: emits each hour's final (count,
-    * sum) exactly once, 40 minutes (grace) after the hour closes, and
-    * overwrites that hour's partition of the stats table — the streaming
-    * equivalent of the reference's idempotent hourly load.
+  /** Watermarked hourly aggregate stream: emits each hour's final count
+    * exactly once, `graceMinutes` after the hour closes (append mode — only
+    * watermark-closed windows leave the operator), into a batch-keyed stats
+    * table.
+    *
+    * Sink layout: one `batch=<id>` directory per emission micro-batch,
+    * overwritten on replay — so a retried batch converges (the decorator
+    * idempotency story applied at the batch grain) and the table never
+    * fragments into one directory per hour. Per-hour hive partitioning is
+    * right for the 100 TB LANDING table (scan pruning pays for the
+    * directories; see `rawToLanding`/`LandingTable`); for a derived stats
+    * table of one ROW per hour it is pathological — 8,760 directories a
+    * year each holding a few bytes, with every write and every read paying
+    * per-directory metadata cost. Append-once emission already makes rows
+    * immutable, so batch-grain idempotency is exactly as strong.
     */
   def hourlyStats(spark: SparkSession, cfg: IngestConfig, statsPath: String,
       checkpoint: String, graceMinutes: Int = 40,
@@ -68,15 +79,20 @@ object StreamingIngest {
       .agg(count(lit(1)).as("cnt"))
       .select(col("window.start").as("hour_ts"), col("cnt"))
 
-    val statsCfg = cfg.copy(landingPath = statsPath,
-      partitionField = "hour_ts", clusterField = "hour_ts")
     agg.writeStream
       .outputMode("append") // final windows only (watermark-closed)
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          LandingTable.overwritePartitions(batch, statsCfg)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        // persist: the emptiness probe and the write would otherwise each
+        // recompute the batch — for a flush batch that means replaying the
+        // whole state-store drain twice
+        batch.persist()
+        try {
+          if (!batch.isEmpty)
+            batch.coalesce(1).write.mode("overwrite")
+              .parquet(s"${statsPath.stripSuffix("/")}/batch=$id")
+        } finally { batch.unpersist(); () }
       }
       .start()
   }

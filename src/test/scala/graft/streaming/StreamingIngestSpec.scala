@@ -45,7 +45,7 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.filter("hour = 12").count() == 3)
   }
 
-  test("hourlyStats emits watermark-final windows once, partition-overwritten") {
+  test("hourlyStats emits watermark-final windows once into batch-keyed dirs") {
     val base = Files.createTempDirectory("graft-st2-raw").toString
     val stats = Files.createTempDirectory("graft-st2-stats").toString + "/t"
     val ckpt = Files.createTempDirectory("graft-st2-ckpt").toString
@@ -63,9 +63,14 @@ class StreamingIngestSpec extends SparkSpec {
     q.awaitTermination(60000)
     // hour 12 is watermark-closed (watermark = 14:30 - 40min = 13:50 > 13:00)
     val out = spark.read.parquet(stats)
-    val h12row = out.filter("hour = 12").collect()
+    val h12row = out.filter("hour(hour_ts) = 12").collect()
     assert(h12row.length == 1 && h12row(0).getAs[Long]("cnt") == 2)
     // hour 14 is still open (watermark < 15:40): not emitted yet
-    assert(out.filter("hour = 14").isEmpty)
+    assert(out.filter("hour(hour_ts) = 14").isEmpty)
+    // emission dirs are batch-keyed (replayable/idempotent per batch),
+    // never one directory per hour
+    val dirs = new java.io.File(stats).listFiles().map(_.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("batch=")), dirs.mkString(","))
   }
 }
