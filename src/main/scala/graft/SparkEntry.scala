@@ -92,6 +92,7 @@ object SparkEntry {
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
+    "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
     "q32_window_suite" -> (R.q32WindowSuite _),
     "q33_multi_distinct" -> (R.q33MultiDistinct _),
@@ -502,6 +503,7 @@ object SparkEntry {
         |             ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "d13_lsh_pairs" -> d13OracleSql,
+    "d19_cluster_dedup" -> d19OracleSql,
     "d14_langid_chargram" -> {
       def occ(p: String) =
         s"CAST((length(lower(text)) - length(replace(lower(text), '$p', ''))) / 3 AS BIGINT)"
@@ -821,12 +823,16 @@ object SparkEntry {
     * d13's pair pipeline + exact-dedup keepers + pairwise near-dup removal,
     * grouped by source.
     */
-  private def d15OracleSql: String = {
+  /** Shared duckdb CTE chain `base → hs → sigs → bands → cand` mirroring
+    * [[graft.operators.DedupQueries.d13LshPairs]]'s candidate generation
+    * (used by the d13/d15/d19 oracles).
+    */
+  private def lshCandCtes: String = {
     val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
       case ((a, b), i) =>
         s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
     }.mkString(",\n")
-    s"""WITH base AS (
+    s"""base AS (
        | SELECT doc_id,
        |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
        |   THEN list_distinct(list_transform(
@@ -851,14 +857,22 @@ object SparkEntry {
        |cand AS (
        | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        | FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
-       |pairs AS (
-       | SELECT id_a, id_b,
-       |  CAST(CAST(
-       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-       |    (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
-       |   AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
-       | FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b),
+       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** The `pairs` CTE: exact Jaccard verification of `cand` (d13's output). */
+  private def lshPairsCte: String =
+    """pairs AS (
+      | SELECT id_a, id_b,
+      |  CAST(CAST(
+      |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+      |   AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+      | FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b)""".stripMargin
+
+  private def d15OracleSql: String =
+    s"""WITH $lshCandCtes,
+       |$lshPairsCte,
        |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
        |exact_keep AS (
        | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
@@ -869,50 +883,37 @@ object SparkEntry {
        | min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
        |FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
        |GROUP BY d.source""".stripMargin
-  }
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d13LshPairs]] — d7's
     * signature CTEs extended with banding, bucket self-join, and exact
     * Jaccard verification of the candidates.
     */
-  private def d13OracleSql: String = {
-    val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
-      case ((a, b), i) =>
-        s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
-    }.mkString(",\n")
-    s"""WITH base AS (
-       | SELECT doc_id,
-       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
-       |   THEN list_distinct(list_transform(
-       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
-       |                                     i, i + 2), ' ')))
-       |   ELSE [text] END AS sh
-       | FROM documents),
-       |hs AS (
-       | SELECT doc_id,
-       |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
-       | FROM base),
-       |sigs AS (
-       | SELECT doc_id,
-       |$sigExprs
-       | FROM hs),
-       |bands AS (
-       | SELECT doc_id, 0 AS band_idx, concat(sig0, ':', sig1) AS bkey FROM sigs
-       | UNION ALL SELECT doc_id, 1, concat(sig2, ':', sig3) FROM sigs
-       | UNION ALL SELECT doc_id, 2, concat(sig4, ':', sig5) FROM sigs
-       | UNION ALL SELECT doc_id, 3, concat(sig6, ':', sig7) FROM sigs),
-       |cand AS (
-       | SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       | FROM bands a JOIN bands b
-       |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b,
-       | CAST(CAST(
-       |   CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-       |   (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
-       |  AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
-       |FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b""".stripMargin
-  }
+  private def d13OracleSql: String =
+    s"""WITH $lshCandCtes,
+       |$lshPairsCte
+       |SELECT id_a, id_b, jaccard FROM pairs""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d19ClusterDedup]] —
+    * connected components of the verified pair graph via a recursive CTE
+    * (label reachability; min reachable id = the component representative —
+    * exactly the engine's min-label-propagation fixpoint).
+    */
+  private def d19OracleSql: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |$lshPairsCte,
+       |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM good
+       | UNION SELECT id_b, id_a FROM good),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       | SELECT id, id AS label FROM verts
+       | UNION
+       | SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_rep FROM reach GROUP BY id)
+       |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
+       | max(id) AS max_id
+       |FROM cc GROUP BY cluster_rep""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d12MinhashUdaf]] — the
     * Aggregator must equal the column-expression formulation, so the oracle

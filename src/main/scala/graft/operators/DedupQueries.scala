@@ -151,8 +151,8 @@ object DedupQueries {
     * the higher id of every d13 LSH-verified pair with Jaccard >= 0.5),
     * reported as surviving-document counts per source. This is the full
     * "dedup the training corpus" operator; the removal policy is pairwise
-    * and deterministic (connected-component dedup would iterate the same
-    * pair list to a fixpoint).
+    * and deterministic — [[d19ClusterDedup]] is the transitive-closure form
+    * that merges chains into whole clusters.
     */
   def d15CorpusDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
@@ -177,6 +177,67 @@ object DedupQueries {
     * sized for the ~10⁵-doc test corpus; a 10¹⁰-doc corpus wants 32-64.
     */
   val SimhashBits = 16
+
+  /** d19: connected-component near-dup CLUSTERS — the fixpoint closure of
+    * d13's verified pair list (pairwise removal, d15, under-merges: if A~B
+    * and B~C but A!~C, pairwise keeps A and C even though all three are one
+    * duplicate cluster). Min-label propagation as iterated joins:
+    * every vertex starts labeled with itself; each round labels flow across
+    * edges and each vertex keeps the minimum seen; at fixpoint the label is
+    * the component's minimum doc_id (the canonical representative).
+    *
+    * Scale shape: one hash-join + partial-aggregated min per round — no
+    * driver-side graph, the convergence probe is a single `isEmpty` action.
+    * Rounds = component diameter; LSH near-dup components are near-cliques
+    * (diameter 1-2), so the loop converges in 2-3 rounds at any corpus
+    * size. (Adversarial long chains want the large-star/small-star
+    * variant — same join shape, alternating rules — which converges in
+    * O(log N) rounds; not needed for near-dup graphs.) Each round's labels
+    * persist and the previous round unpersists, so lineage stays O(1).
+    */
+  def d19ClusterDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
+    val good = d13LshPairs(spark, sfDir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    connectedComponents(good, maxIters)
+      .groupBy(col("label").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+  }
+
+  /** Min-label propagation to fixpoint over an undirected pair list
+    * (id_a, id_b): returns (id, label) where label = the component's
+    * minimum vertex id. One equi-join + partial-aggregated min per round;
+    * the convergence probe is one `isEmpty` action; per-round frames
+    * persist and the previous round unpersists, so lineage stays O(1).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.toDF("id_a", "id_b")
+      .union(pairs.toDF("id_a", "id_b")
+        .select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iters = 0
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val msgs = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").union(msgs)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    edges.unpersist()
+    labels
+  }
 
   /** d8: SimHash (parameterized width, default [[SimhashBits]]) over the
     * distinct-token set, plus the cluster size of each signature value —

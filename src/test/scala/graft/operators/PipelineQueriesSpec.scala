@@ -24,6 +24,19 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(pairs.filter(col("jaccard") < 0 || col("jaccard") > 1).isEmpty)
   }
 
+  test("d19: min-label propagation closes transitive chains (multi-round)") {
+    import spark.implicits._
+    // path graph 1-2-3-4-5 plus isolated pair 10-11: the chain needs
+    // several propagation rounds (diameter 4), so this exercises the loop
+    // beyond the single-round near-clique case the corpus produces
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (5L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val cc = DedupQueries.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 5L).forall(cc(_) == 1L), cc)
+    assert(cc(10L) == 10L && cc(11L) == 10L, cc)
+  }
+
   test("d14: profile is the argmax of the trigram scores with fixed ties") {
     val r = TextQueries.d14LangIdChargram(spark, sfDir)
     val bad = r.filter(
