@@ -91,8 +91,10 @@ object SparkEntry {
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
+    "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
+    "d20_cluster_clean" -> ((s, d) => D.d20ClusterClean(s, d)),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
     "q32_window_suite" -> (R.q32WindowSuite _),
     "q33_multi_distinct" -> (R.q33MultiDistinct _),
@@ -504,6 +506,7 @@ object SparkEntry {
         |             RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "d13_lsh_pairs" -> d13OracleSql,
     "d19_cluster_dedup" -> d19OracleSql,
+    "d20_cluster_clean" -> d20OracleSql,
     "d14_langid_chargram" -> {
       def occ(p: String) =
         s"CAST((length(lower(text)) - length(replace(lower(text), '$p', ''))) / 3 AS BIGINT)"
@@ -628,6 +631,39 @@ object SparkEntry {
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
+    "e10_sq_knn" ->
+      """WITH ex AS (
+        | SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
+        | FROM embeddings),
+        |st AS (
+        | SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+        | FROM ex GROUP BY pos),
+        |stats AS (
+        | SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+        | FROM st),
+        |codes AS (
+        | SELECT e.vec_id AS neighbor_id,
+        |  list_transform(range(1, 65), i ->
+        |   CASE WHEN s.maxs[i] - s.mins[i] = 0.0 THEN 0
+        |        ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - s.mins[i]) /
+        |                        (s.maxs[i] - s.mins[i]) * 255.0) AS BIGINT)
+        |   END) AS code
+        | FROM embeddings e, stats s),
+        |scored AS (
+        | SELECT q.vec_id AS query_id, c.neighbor_id,
+        |  CAST(list_aggregate(list_transform(range(1, 65), i ->
+        |    CAST(q.embedding[i] AS DOUBLE) *
+        |    (s.mins[i] + c.code[i] * (s.maxs[i] - s.mins[i]) / 255.0)), 'sum')
+        |   AS DECIMAL(20,6)) AS sim_dec
+        | FROM embeddings q, codes c, stats s
+        | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+        |ranked AS (
+        | SELECT query_id, neighbor_id, sim_dec,
+        |  row_number() OVER (PARTITION BY query_id
+        |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+        | FROM scored)
+        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS sq_sim
+        |FROM ranked WHERE rank <= 3""".stripMargin,
     "q33_multi_distinct" ->
       """SELECT event_type,
         | count(DISTINCT user_id) AS uniq_users,
@@ -914,6 +950,34 @@ object SparkEntry {
        |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
        | max(id) AS max_id
        |FROM cc GROUP BY cluster_rep""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d20ClusterClean]] —
+    * d15's arms with `losers` replaced by the non-representative members of
+    * each connected component.
+    */
+  private def d20OracleSql: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |$lshPairsCte,
+       |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM good
+       | UNION SELECT id_b, id_a FROM good),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       | SELECT id, id AS label FROM verts
+       | UNION
+       | SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_rep FROM reach GROUP BY id),
+       |losers AS (SELECT id AS doc_id FROM cc WHERE id <> cluster_rep),
+       |exact_keep AS (
+       | SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+       |survivors AS (
+       | SELECT k.doc_id FROM exact_keep k
+       | WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = k.doc_id))
+       |SELECT d.source, count(*) AS survivors,
+       | min(s.doc_id) AS min_id, max(s.doc_id) AS max_id
+       |FROM survivors s JOIN documents d ON d.doc_id = s.doc_id
+       |GROUP BY d.source""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d12MinhashUdaf]] — the
     * Aggregator must equal the column-expression formulation, so the oracle

@@ -205,6 +205,35 @@ object DedupQueries {
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
   }
 
+  /** d20: cluster-true corpus cleaning — d15 with the pairwise near-dup
+    * removal upgraded to the d19 closure: exact dedup keeps the lowest
+    * doc_id per content hash, then each near-dup CLUSTER (connected
+    * component of verified pairs) keeps only its representative (minimum
+    * doc_id), so a transitive chain A~B~C collapses to {A} instead of
+    * pairwise's {A, C}. Survivor counts per source; the anti-join runs
+    * against the bounded non-representative member set.
+    */
+  def d20ClusterClean(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val exactKeep = docs
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val good = d13LshPairs(spark, sfDir)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val clusterLosers = connectedComponents(good)
+      .filter(col("id") =!= col("label")) // everything but the representative
+      .select(col("id").as("doc_id"))
+    exactKeep
+      .join(clusterLosers, Seq("doc_id"), "left_anti")
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("survivors"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+  }
+
   /** Min-label propagation to fixpoint over an undirected pair list
     * (id_a, id_b): returns (id, label) where label = the component's
     * minimum vertex id. One equi-join + partial-aggregated min per round;

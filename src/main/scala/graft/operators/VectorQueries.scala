@@ -190,6 +190,66 @@ object VectorQueries {
         min(col("id_a")).as("min_id"), max(col("id_b")).as("max_id"))
   }
 
+  /** e10: int8 scalar-quantized (SQ8) ANN with ASYMMETRIC distance — the
+    * memory-compression path: per-dimension affine quantization maps each
+    * float to a code in 0..255 (4× smaller vectors; at 100 TB the
+    * difference between an in-memory corpus and a spilling one), queries
+    * stay full-precision, and scores are computed query-float ×
+    * reconstructed-corpus-value (asymmetric distance — quantization error
+    * enters once, not twice).
+    *
+    * Pipeline: one explode+groupBy pass builds per-dim (min, max) — 64
+    * rows, partial-aggregated; the single stats row broadcasts; codes are
+    * `floor((x−mn)/(mx−mn)·255)` (floor, not round — round ties break
+    * differently across engines); reconstruction is `mn + code·span/255`.
+    * All arithmetic is order-pinned so the duckdb oracle is bit-identical.
+    * Scoring/ranking mirrors e2 (decimal-rounded, id tiebreak).
+    */
+  def e10SqKnn(spark: SparkSession, sfDir: String, k: Int = 3,
+      dims: Int = 64): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val stats = emb
+      .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("pos")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .agg(map_from_entries(collect_list(
+        struct(col("pos"), struct(col("mn"), col("mx"))))).as("m"))
+      .select(
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => element_at(col("m"), i).getField("mn")).as("mins"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          i => element_at(col("m"), i).getField("mx")).as("maxs"))
+
+    val idx = sequence(lit(1), lit(dims))
+    val codeArr = transform(idx, i => {
+      val x = element_at(col("embedding"), i).cast("double")
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      when(span === 0.0, lit(0L)).otherwise(floor((x - mn) / span * 255.0))
+    })
+    val codes = emb.crossJoin(broadcast(stats))
+      .select(col("vec_id").as("neighbor_id"), codeArr.as("code"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val score = aggregate(idx, lit(0.0), (acc, i) => {
+      val mn = element_at(col("mins"), i)
+      val span = element_at(col("maxs"), i) - mn
+      val recon = mn + element_at(col("code"), i) * span / 255.0
+      acc + element_at(col("q_emb"), i).cast("double") * recon
+    })
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(queries)).crossJoin(broadcast(stats))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", score.cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("sq_sim"))
+  }
+
   /** e3: banded LSH near-neighbor candidate generation — the scale path.
     * Same-(band, bucket) pairs are the candidate set: the cartesian product
     * becomes an equi-join on (band_idx, bucket), shuffling by bucket key.

@@ -59,6 +59,19 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("e5: banded candidates come from an equi-join, never a cartesian") {
+    val p = plan("e5_cosine_neardup")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q17: sketch scoring joins by broadcast, no exact-percentile sort agg") {
+    val p = plan("q17_approx")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the exact-median formulation would plan percentile() in a SortAggregate
+    assert(!p.toLowerCase.contains("sortaggregate"), p)
+  }
+
   test("q1: aggregation is partial before the shuffle") {
     val p = plan("q1_agg")
     // partial + final HashAggregate pair around the exchange
