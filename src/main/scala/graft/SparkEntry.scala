@@ -92,9 +92,11 @@ object SparkEntry {
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
     "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
+    "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
     "d20_cluster_clean" -> ((s, d) => D.d20ClusterClean(s, d)),
+    "d21_repetition" -> ((s, d) => T.d21Repetition(s, d)),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
     "q32_window_suite" -> (R.q32WindowSuite _),
     "q33_multi_distinct" -> (R.q33MultiDistinct _),
@@ -507,6 +509,27 @@ object SparkEntry {
     "d13_lsh_pairs" -> d13OracleSql,
     "d19_cluster_dedup" -> d19OracleSql,
     "d20_cluster_clean" -> d20OracleSql,
+    "d21_repetition" ->
+      """WITH base AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        |docs AS (
+        | SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(CAST(len(list_distinct(t)) AS DOUBLE) / len(t)
+        |       AS DECIMAL(10,6)) AS dr,
+        |  CASE WHEN len(t) >= 2
+        |   THEN list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1]))
+        |   ELSE CAST([] AS VARCHAR[]) END AS bg
+        | FROM base),
+        |ex AS (SELECT doc_id, unnest(bg) AS bg FROM docs),
+        |cnt AS (SELECT doc_id, bg, count(*) AS c FROM ex GROUP BY doc_id, bg),
+        |top AS (
+        | SELECT doc_id, CAST(CAST(max(c) AS DOUBLE) / sum(c)
+        |        AS DECIMAL(10,6)) AS tf
+        | FROM cnt GROUP BY doc_id)
+        |SELECT d.doc_id, d.n_tokens, CAST(d.dr AS DOUBLE) AS distinct_ratio,
+        | CAST(COALESCE(t.tf, 0) AS DOUBLE) AS top_bigram_frac,
+        | (d.n_tokens >= 5 AND d.dr >= 0.3 AND COALESCE(t.tf, 0) <= 0.2) AS keep
+        |FROM docs d LEFT JOIN top t ON t.doc_id = d.doc_id""".stripMargin,
     "d14_langid_chargram" -> {
       def occ(p: String) =
         s"CAST((length(lower(text)) - length(replace(lower(text), '$p', ''))) / 3 AS BIGINT)"
@@ -631,6 +654,7 @@ object SparkEntry {
         |   AS char_entropy
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
+    "e11_pq_adc" -> e11OracleSql,
     "e10_sq_knn" ->
       """WITH ex AS (
         | SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
@@ -735,6 +759,52 @@ object SparkEntry {
         |FROM events e JOIN d ON e.user_id = d.user_id
         |GROUP BY e.user_id % 50""".stripMargin,
   )
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e11PqAdc]] — the same
+    * M×K sub-dot tables, unrolled in the same order, decimal-rounded before
+    * the argmax and before the sum, ties to the lowest centroid id.
+    */
+  private def e11OracleSql: String = {
+    val M = 8; val sub = 8; val K = 4
+    def sdec(vec: String, cArr: String, m: Int): String = {
+      val terms = (1 to sub).map(i =>
+        s"CAST($vec[${m * sub + i}] AS DOUBLE) * CAST($cArr[${m * sub + i}] AS DOUBLE)")
+        .mkString(" + ")
+      s"CAST($terms AS DECIMAL(20,6))"
+    }
+    def codeM(m: Int): String = {
+      val s = (0 until K).map(c => sdec("e.embedding", s"s.c$c", m))
+      s"""CASE WHEN ${s(0)} >= ${s(1)} AND ${s(0)} >= ${s(2)} AND ${s(0)} >= ${s(3)} THEN 0
+         |      WHEN ${s(1)} >= ${s(2)} AND ${s(1)} >= ${s(3)} THEN 1
+         |      WHEN ${s(2)} >= ${s(3)} THEN 2 ELSE 3 END""".stripMargin
+    }
+    val codeArr = (0 until M).map(codeM).mkString("[", ",\n", "]")
+    val scoreTerms = (0 until M).map { m =>
+      val qd = (0 until K).map(c => sdec("q.embedding", s"s.c$c", m))
+      s"""CASE WHEN c.code[${m + 1}] = 0 THEN ${qd(0)}
+         |     WHEN c.code[${m + 1}] = 1 THEN ${qd(1)}
+         |     WHEN c.code[${m + 1}] = 2 THEN ${qd(2)} ELSE ${qd(3)} END""".stripMargin
+    }.mkString(" + ")
+    val cDefs = (0 until K).map(c =>
+      s"(SELECT embedding FROM embeddings WHERE vec_id = $c) AS c$c").mkString(",\n ")
+    s"""WITH cents AS (
+       | SELECT $cDefs),
+       |codes AS (
+       | SELECT e.vec_id AS neighbor_id, $codeArr AS code
+       | FROM embeddings e, cents s),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.neighbor_id,
+       |  CAST($scoreTerms AS DECIMAL(24,6)) AS sim_dec
+       | FROM embeddings q, codes c, cents s
+       | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS pq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
 
   /** duckdb band table for the axis-sign LSH family — one row per
     * (vec_id, band_idx, bucket), same geometry as

@@ -175,4 +175,44 @@ object TextQueries {
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 10)
+
+  /** d21: repetition-based quality filter — the Gopher/C4-style "repetitive
+    * document" signals: distinct-token ratio (per-row array math, no
+    * shuffle) and the fraction of all word bigrams taken by the single most
+    * frequent bigram (explode → per-(doc, bigram) partial-agg'd counts →
+    * per-doc max/sum — the only shuffle, keyed on (doc_id, bigram)).
+    * `keep` composes fixed thresholds: 5 ≤ tokens, distinct ratio ≥ 0.3,
+    * top-bigram fraction ≤ 0.2 — a boring-but-real corpus filter whose
+    * verdicts the oracle reproduces exactly (ratios round through decimal
+    * before comparison).
+    */
+  def d21Repetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = tokens(col("text"))
+    // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
+    val bigrams = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docs = table(spark, sfDir, "documents").select(
+      col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      (size(array_distinct(t)).cast("double") / size(t))
+        .cast("decimal(10,6)").as("distinct_ratio_dec"),
+      bigrams.as("bg"))
+    val top = docs
+      .select(col("doc_id"), explode(col("bg")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg((max(col("c")).cast("double") / sum(col("c")))
+        .cast("decimal(10,6)").as("top_bigram_frac_dec"))
+    docs.select("doc_id", "n_tokens", "distinct_ratio_dec")
+      .join(top, Seq("doc_id"), "left")
+      .withColumn("top_bigram_frac_dec",
+        coalesce(col("top_bigram_frac_dec"), lit(0).cast("decimal(10,6)")))
+      .select(col("doc_id"), col("n_tokens"),
+        col("distinct_ratio_dec").cast("double").as("distinct_ratio"),
+        col("top_bigram_frac_dec").cast("double").as("top_bigram_frac"),
+        (col("n_tokens") >= 5 && col("distinct_ratio_dec") >= 0.3 &&
+          col("top_bigram_frac_dec") <= 0.2).as("keep"))
+  }
 }

@@ -250,6 +250,65 @@ object VectorQueries {
         col("sim_dec").cast("double").as("sq_sim"))
   }
 
+  /** e11: product quantization + asymmetric distance computation (ADC) —
+    * the other half of the standard IVF-PQ recipe (e4/e6 are the IVF half).
+    * The vector splits into M=8 subvectors of 8 dims; each subvector is
+    * coded as the id of its nearest sub-centroid from a K=4 demo codebook
+    * (vec_id 0..3, like e4's demo centroids; production trains k-means per
+    * subspace) — 8 bytes per vector instead of 256. At query time nothing
+    * is dequantized per pair: the query's M×K table of sub-dot-products is
+    * computed once and scoring is M table lookups per candidate (the ADC
+    * trick that makes PQ search memory-bound, not FLOP-bound).
+    *
+    * Determinism: every sub-dot rounds through DECIMAL(20,6) BEFORE the
+    * argmax (code assignment) and before the final sum, so code ties break
+    * identically (lowest centroid id) and the score sum is exact decimal
+    * arithmetic in both engines.
+    */
+  def e11PqAdc(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val M = 8; val sub = 8; val K = 4
+    val cents = emb.filter(col("vec_id") < K)
+      .agg(map_from_entries(collect_list(struct(
+        col("vec_id").cast("int").as("k"), col("embedding").as("v")))).as("cm"))
+      .select((0 until K).map(c => element_at(col("cm"), c).as(s"c$c")): _*)
+
+    def sdec(a: Column, b: Column, m: Int): Column =
+      (1 to sub).map(i =>
+        element_at(a, m * sub + i).cast("double") *
+          element_at(b, m * sub + i).cast("double"))
+        .reduce(_ + _).cast("decimal(20,6)")
+    def codeM(v: Column, m: Int): Column = {
+      val s = (0 until K).map(c => sdec(v, col(s"c$c"), m))
+      when(s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3), 0)
+        .when(s(1) >= s(2) && s(1) >= s(3), 1)
+        .when(s(2) >= s(3), 2)
+        .otherwise(3)
+    }
+    val codes = emb.crossJoin(broadcast(cents))
+      .select(col("vec_id").as("neighbor_id"),
+        array((0 until M).map(m => codeM(col("embedding"), m)): _*).as("code"))
+
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scoreDec = (0 until M).map { m =>
+      val qd = (0 until K).map(c => sdec(col("q_emb"), col(s"c$c"), m))
+      when(element_at(col("code"), m + 1) === 0, qd(0))
+        .when(element_at(col("code"), m + 1) === 1, qd(1))
+        .when(element_at(col("code"), m + 1) === 2, qd(2))
+        .otherwise(qd(3))
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    codes.crossJoin(broadcast(queries)).crossJoin(broadcast(cents))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", scoreDec.cast("decimal(24,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("pq_sim"))
+  }
+
   /** e3: banded LSH near-neighbor candidate generation — the scale path.
     * Same-(band, bucket) pairs are the candidate set: the cartesian product
     * becomes an equi-join on (band_idx, bucket), shuffling by bucket key.
