@@ -38,16 +38,21 @@ object DedupQueries {
 
   private def toks(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word 3-gram shingles; docs with <3 tokens fall back to the
-    * whole text as a single shingle.
+  /** Distinct word 3-gram shingles from a STAGED token-array column; docs
+    * with <3 tokens fall back to the whole text as a single shingle.
+    *
+    * `t` must be a materialized column, not the tokenize expression: a
+    * lambda body in `transform(sequence(...), i => ...slice(t, i, 3))`
+    * re-evaluates its outer references per ELEMENT, so passing the split
+    * expression directly turns one regex tokenize per document into one
+    * per shingle — O(tokens²) work per doc (measured ~10× on the corpus
+    * scan before staging).
     */
-  private def shingles3(text: Column): Column = {
-    val t = toks(text)
+  private def shingles3(t: Column, text: Column): Column =
     when(size(t) >= 3,
       array_distinct(transform(sequence(lit(1), size(t) - 2),
         i => concat_ws(" ", slice(t, i, lit(3))))))
       .otherwise(array(text))
-  }
 
   private val shingleCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
@@ -67,7 +72,8 @@ object DedupQueries {
     */
   def shingledDocs(spark: SparkSession, sfDir: String): DataFrame = {
     def build() = table(spark, sfDir, "documents")
-      .select(col("doc_id"), shingles3(col("text")).as("sh"))
+      .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
+      .select(col("doc_id"), shingles3(col("t"), col("text")).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     shingleCache.get(sfDir) match {
       case Some(df) if df.sparkSession eq spark => df

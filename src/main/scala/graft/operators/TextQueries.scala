@@ -177,38 +177,44 @@ object TextQueries {
       .filter(col("cnt") >= 10)
 
   /** d21: repetition-based quality filter — the Gopher/C4-style "repetitive
-    * document" signals: distinct-token ratio (per-row array math, no
-    * shuffle) and the fraction of all word bigrams taken by the single most
-    * frequent bigram (explode → per-(doc, bigram) partial-agg'd counts →
-    * per-doc max/sum — the only shuffle, keyed on (doc_id, bigram)).
-    * `keep` composes fixed thresholds: 5 ≤ tokens, distinct ratio ≥ 0.3,
-    * top-bigram fraction ≤ 0.2 — a boring-but-real corpus filter whose
-    * verdicts the oracle reproduces exactly (ratios round through decimal
-    * before comparison).
+    * document" signals: distinct-token ratio and the fraction of all word
+    * bigrams taken by the single most frequent bigram, composed with fixed
+    * thresholds (5 ≤ tokens, distinct ratio ≥ 0.3, top-bigram fraction ≤
+    * 0.2) into a keep verdict the oracle reproduces exactly (ratios round
+    * through decimal before comparison).
+    *
+    * Everything is ROW-LOCAL array math — a document's repetition profile
+    * never needs other documents, so there is no explode and no shuffle:
+    * the top-bigram multiplicity is `array_max` over per-distinct-bigram
+    * occurrence counts within the row's own array (≤ (n−1)² comparisons on
+    * ≤100-token docs). Two staging projections keep the tokenize and the
+    * bigram build out of lambda bodies — a lambda re-evaluates its outer
+    * references per ELEMENT, and `InferFiltersFromGenerate` re-inlines
+    * generated-array expressions below any staging Project, which is why
+    * the explode-and-count formulation of this query ran the O(tokens²)
+    * tokenize once per row per filter (measured 17 s → ~1 s at sf0.1).
     */
   def d21Repetition(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = tokens(col("text"))
+    val t = col("t"); val bg = col("bg")
     // guard: sequence(1, 0) would generate a DESCENDING [1, 0] in Spark
     val bigrams = when(size(t) >= 2,
       transform(sequence(lit(1), size(t) - 1),
         i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
       .otherwise(array().cast("array<string>"))
-    val docs = table(spark, sfDir, "documents").select(
-      col("doc_id"),
-      size(t).cast("long").as("n_tokens"),
-      (size(array_distinct(t)).cast("double") / size(t))
-        .cast("decimal(10,6)").as("distinct_ratio_dec"),
-      bigrams.as("bg"))
-    val top = docs
-      .select(col("doc_id"), explode(col("bg")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg((max(col("c")).cast("double") / sum(col("c")))
-        .cast("decimal(10,6)").as("top_bigram_frac_dec"))
-    docs.select("doc_id", "n_tokens", "distinct_ratio_dec")
-      .join(top, Seq("doc_id"), "left")
-      .withColumn("top_bigram_frac_dec",
-        coalesce(col("top_bigram_frac_dec"), lit(0).cast("decimal(10,6)")))
+    val topFrac = when(size(bg) > 0,
+      (array_max(transform(array_distinct(bg),
+        g => size(filter(bg, x => x === g)))).cast("double") / size(bg))
+        .cast("decimal(10,6)"))
+      .otherwise(lit(0).cast("decimal(10,6)"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        (size(array_distinct(t)).cast("double") / size(t))
+          .cast("decimal(10,6)").as("distinct_ratio_dec"),
+        bigrams.as("bg"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio_dec"),
+        topFrac.as("top_bigram_frac_dec"))
       .select(col("doc_id"), col("n_tokens"),
         col("distinct_ratio_dec").cast("double").as("distinct_ratio"),
         col("top_bigram_frac_dec").cast("double").as("top_bigram_frac"),
