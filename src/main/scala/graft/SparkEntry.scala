@@ -85,6 +85,7 @@ object SparkEntry {
     "d15_corpus_dedup" -> (D.d15CorpusDedup _),
     "q30_asof_native" -> (R.q30AsofNative _),
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
+    "st3_stream_join" -> (IP.st3StreamJoin _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
@@ -509,6 +510,16 @@ object SparkEntry {
     "d13_lsh_pairs" -> d13OracleSql,
     "d19_cluster_dedup" -> d19OracleSql,
     "d20_cluster_clean" -> d20OracleSql,
+    "st3_stream_join" ->
+      """SELECT v.user_id AS user_id, count(*) AS n_pairs,
+        | CAST(sum(v.event_id) AS BIGINT) AS sum_v_id,
+        | CAST(sum(p.event_id) AS BIGINT) AS sum_p_id
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND day(v.ts) < 10 AND day(p.ts) < 10
+        | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+        |GROUP BY v.user_id""".stripMargin,
     "d21_repetition" ->
       """WITH base AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

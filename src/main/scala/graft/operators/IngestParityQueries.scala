@@ -192,6 +192,55 @@ object IngestParityQueries {
         col("session_end_us"), col("n_events"))
   }
 
+  /** st3: STREAM-STREAM interval join end-to-end in the gate — two file
+    * streams over the same TSV export (views and purchases), both
+    * watermarked, joined on user with `purchase.ts` in [view.ts, view.ts +
+    * 30 min]. The watermark + time-range condition is what bounds join
+    * state on an unbounded stream (each side retains only rows inside the
+    * watermark horizon); with AvailableNow replay nothing is late, so the
+    * emitted pairs equal the batch interval join, which the duckdb oracle
+    * states directly. Output: per-user pair counts plus id checksums
+    * (raw pairs would be O(matches) rows; the aggregate keeps the gate
+    * result compact while still pinning every matched pair through the
+    * sums).
+    */
+  def st3StreamJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("join-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st3_join_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    // demo scope = days 01-09 via PARTITION-GLOB pruning — each side of a
+    // stream-stream join is its own file source, so directory pruning (not
+    // a post-read filter) is what keeps two full-tree scans off the gate;
+    // the oracle mirrors the scope with a day() predicate
+    def stream() = spark.readStream
+      .schema(eventsSchema)
+      .options(CsvOptions.toReaderOptions(CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "40 minutes")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "40 minutes")
+    val joined = views.join(purchases, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
+    val q = joined
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("v_id")).as("sum_v_id"), sum(col("p_id")).as("sum_p_id"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
