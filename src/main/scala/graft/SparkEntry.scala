@@ -102,6 +102,7 @@ object SparkEntry {
     "q32_window_suite" -> (R.q32WindowSuite _),
     "q33_multi_distinct" -> (R.q33MultiDistinct _),
     "q34_not_in" -> (R.q34NotIn _),
+    "q35_outer_join" -> (R.q35OuterJoin _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -510,6 +511,18 @@ object SparkEntry {
     "d13_lsh_pairs" -> d13OracleSql,
     "d19_cluster_dedup" -> d19OracleSql,
     "d20_cluster_clean" -> d20OracleSql,
+    "q35_outer_join" ->
+      """WITH pc AS (
+        | SELECT o_custkey, count(*) AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(20,2))) AS spend_dec
+        | FROM orders GROUP BY o_custkey)
+        |SELECT c.c_mktsegment, count(*) AS n_customers,
+        | CAST(sum(CASE WHEN pc.n_orders IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS no_order_customers,
+        | CAST(sum(COALESCE(pc.n_orders, 0)) AS BIGINT) AS total_orders,
+        | CAST(sum(COALESCE(pc.spend_dec, 0)) AS DOUBLE) AS total_spend
+        |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
+        |GROUP BY c.c_mktsegment""".stripMargin,
     "st3_stream_join" ->
       """SELECT v.user_id AS user_id, count(*) AS n_pairs,
         | CAST(sum(v.event_id) AS BIGINT) AS sum_v_id,

@@ -583,6 +583,28 @@ object RelationalQueries {
          |  (SELECT o_custkey FROM parquet.`$sfDir/orders.parquet`
          |   WHERE o_totalprice > 400000)""".stripMargin)
 
+  /** q35: outer-join null extension, audited — customers LEFT-joined to
+    * their per-key order aggregates (broadcast-able build side: the agg
+    * output, not raw orders), then per-segment counts of customers with NO
+    * orders (the null-extended rows) alongside the order totals. The
+    * null-handling is the point: `coalesce` vs `isNull` over the extended
+    * side is where outer-join rewrites silently go wrong.
+    */
+  def q35OuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val perCust = table(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(20,2)")).as("spend_dec"))
+    table(spark, sfDir, "customer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders").isNull, 1L).otherwise(0L)).as("no_order_customers"),
+        sum(coalesce(col("n_orders"), lit(0L))).as("total_orders"),
+        sum(coalesce(col("spend_dec"), lit(0).cast("decimal(20,2)")))
+          .cast("double").as("total_spend"))
+  }
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's
