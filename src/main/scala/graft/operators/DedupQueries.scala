@@ -201,15 +201,39 @@ object DedupQueries {
     * O(log N) rounds; not needed for near-dup graphs.) Each round's labels
     * persist and the previous round unpersists, so lineage stays O(1).
     */
+  private val ccCache =
+    new scala.collection.concurrent.TrieMap[(String, Double), DataFrame]
+
+  /** The verified-pair closure labels, computed once per (session, corpus,
+    * threshold) and shared by every cluster consumer (d19's summary, d20's
+    * cleaning pass) — the labels frame stays persisted (the closure loop
+    * leaves its fixpoint frame cached), so consumers fan out from one
+    * materialization like [[shingledDocs]].
+    */
+  def closureLabels(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val key = (sfDir, threshold)
+    ccCache.get(key) match {
+      case Some(df) if df.sparkSession eq spark => df
+      case stale =>
+        stale.foreach { df =>
+          try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+          catch { case _: Throwable => () }
+        }
+        val good = d13LshPairs(spark, sfDir)
+          .filter(col("jaccard") >= threshold)
+          .select(col("id_a"), col("id_b"))
+        val fresh = connectedComponents(good)
+        ccCache.put(key, fresh)
+        fresh
+    }
+  }
+
   def d19ClusterDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.5, maxIters: Int = 20): DataFrame = {
-    val good = d13LshPairs(spark, sfDir)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    connectedComponents(good, maxIters)
+      threshold: Double = 0.5): DataFrame =
+    closureLabels(spark, sfDir, threshold)
       .groupBy(col("label").as("cluster_rep"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
-  }
 
   /** d20: cluster-true corpus cleaning — d15 with the pairwise near-dup
     * removal upgraded to the d19 closure: exact dedup keeps the lowest
@@ -226,10 +250,7 @@ object DedupQueries {
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val good = d13LshPairs(spark, sfDir)
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"))
-    val clusterLosers = connectedComponents(good)
+    val clusterLosers = closureLabels(spark, sfDir, threshold)
       .filter(col("id") =!= col("label")) // everything but the representative
       .select(col("id").as("doc_id"))
     exactKeep
