@@ -86,6 +86,37 @@ object IngestDemo {
     println(s"== strict ingest with out-of-hour record -> ${sState.name} " +
       sMsg.map(_.take(100)).getOrElse(""))
 
+    // FAILFAST CSV parity: a malformed row fails the whole load (BQ
+    // max_bad_records=0), with the parse error in the status message
+    writeTsv(h13, "bad.tsv", Seq("not-a-timestamp\tdev-9\tbad\tw\t1"))
+    val failfast = cfg.copy(csv = cfg.csv.copy(parseMode = "FAILFAST"))
+    val fm = runner.assemble(failfast, h13)
+    runner.start(failfast, fm)
+    val (fState, fMsg) = runner.await(fm.jobId)
+    println(s"== FAILFAST ingest with malformed row -> ${fState.name} " +
+      fMsg.map(m => m.substring(m.lastIndexOf(" <- ") + 1).take(90)).getOrElse(""))
+    Files.deleteIfExists(
+      Paths.get(base.toString, PartitionCodec.toHivePath(h13), "bad.tsv"))
+    Files.deleteIfExists(
+      Paths.get(base.toString, PartitionCodec.toHivePath(h13), "late.tsv"))
+
+    // alert-parity log stream: the captured outcome lines a log-based
+    // alert greps (see README "Monitoring")
+    println("== job-outcome log lines (workflow_result FAILURE = alert #1):")
+    val lines = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val sink = (sev: String, l: String) => lines.synchronized { lines += ((sev, l)); () }
+    graft.operators.JobLog.addSink(sink)
+    try {
+      Workflow.runAndAwait(spark, runner, cfg, Some(h12))
+      Workflow.runAndAwait(spark, runner,
+        cfg.copy(landingPath = "file:/proc/forbidden/x"), Some(h12),
+        Workflow.Policy(maxRetries = 0))
+    } finally graft.operators.JobLog.removeSink(sink)
+    lines.synchronized(lines.toList).collect {
+      case (sev, l) if l.contains("workflow_result") =>
+        println(s"  [$sev] ${l.take(140)}")
+    }
+
     // backfill a 5-hour range: present hours converge, absent hours skip
     val bf = Workflow.backfill(spark, runner, cfg,
       PartitionHour(2023, 6, 27, 10), PartitionHour(2023, 6, 27, 14))
