@@ -94,6 +94,7 @@ object SparkEntry {
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
     "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
+    "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
     "d20_cluster_clean" -> ((s, d) => D.d20ClusterClean(s, d)),
@@ -679,6 +680,7 @@ object SparkEntry {
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
     "e11_pq_adc" -> e11OracleSql,
+    "e12_quant_recall" -> e12OracleSql,
     "e10_sq_knn" ->
       """WITH ex AS (
         | SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
@@ -828,6 +830,108 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS pq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e12QuantRecall]] —
+    * the e2 (exact), e10 (SQ8), and e11 (PQ) top-3 pipelines rebuilt as
+    * prefixed CTE chains and composed into per-query hit counts.
+    */
+  private def e12OracleSql: String = {
+    val dot =
+      """list_aggregate(list_transform(range(1, len(q.embedding)+1),
+        |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+        |   (sqrt(list_aggregate(list_transform(q.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+        |    sqrt(list_aggregate(list_transform(n.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))""".stripMargin
+    // PQ pieces (same constants as e11OracleSql)
+    val M = 8; val sub = 8; val K = 4
+    def sdec(vec: String, cArr: String, m: Int): String = {
+      val terms = (1 to sub).map(i =>
+        s"CAST($vec[${m * sub + i}] AS DOUBLE) * CAST($cArr[${m * sub + i}] AS DOUBLE)")
+        .mkString(" + ")
+      s"CAST($terms AS DECIMAL(20,6))"
+    }
+    def codeM(m: Int): String = {
+      val s = (0 until K).map(c => sdec("e.embedding", s"s.c$c", m))
+      s"CASE WHEN ${s(0)} >= ${s(1)} AND ${s(0)} >= ${s(2)} AND ${s(0)} >= ${s(3)} THEN 0 " +
+        s"WHEN ${s(1)} >= ${s(2)} AND ${s(1)} >= ${s(3)} THEN 1 " +
+        s"WHEN ${s(2)} >= ${s(3)} THEN 2 ELSE 3 END"
+    }
+    val pqCodeArr = (0 until M).map(codeM).mkString("[", ",\n", "]")
+    val pqScore = (0 until M).map { m =>
+      val qd = (0 until K).map(c => sdec("q.embedding", s"s.c$c", m))
+      s"CASE WHEN c.code[${m + 1}] = 0 THEN ${qd(0)} WHEN c.code[${m + 1}] = 1 THEN ${qd(1)} " +
+        s"WHEN c.code[${m + 1}] = 2 THEN ${qd(2)} ELSE ${qd(3)} END"
+    }.mkString(" + ")
+    val pqCents = (0 until K).map(c =>
+      s"(SELECT embedding FROM embeddings WHERE vec_id = $c) AS c$c").mkString(",\n  ")
+    s"""WITH e2dots AS (
+       | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  CAST($dot AS DECIMAL(20,6)) AS sim_dec
+       | FROM embeddings q, embeddings n
+       | WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+       |e2top AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM e2dots) WHERE rk <= 3),
+       |sq_ex AS (
+       | SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
+       | FROM embeddings),
+       |sq_st AS (
+       | SELECT pos, min(CAST(v AS DOUBLE)) AS mn, max(CAST(v AS DOUBLE)) AS mx
+       | FROM sq_ex GROUP BY pos),
+       |sq_stats AS (
+       | SELECT list(mn ORDER BY pos) AS mins, list(mx ORDER BY pos) AS maxs
+       | FROM sq_st),
+       |sq_codes AS (
+       | SELECT e.vec_id AS neighbor_id,
+       |  list_transform(range(1, 65), i ->
+       |   CASE WHEN s.maxs[i] - s.mins[i] = 0.0 THEN 0
+       |        ELSE CAST(floor((CAST(e.embedding[i] AS DOUBLE) - s.mins[i]) /
+       |                        (s.maxs[i] - s.mins[i]) * 255.0) AS BIGINT)
+       |   END) AS code
+       | FROM embeddings e, sq_stats s),
+       |sq_scored AS (
+       | SELECT q.vec_id AS query_id, c.neighbor_id,
+       |  CAST(list_aggregate(list_transform(range(1, 65), i ->
+       |    CAST(q.embedding[i] AS DOUBLE) *
+       |    (s.mins[i] + c.code[i] * (s.maxs[i] - s.mins[i]) / 255.0)), 'sum')
+       |   AS DECIMAL(20,6)) AS sim_dec
+       | FROM embeddings q, sq_codes c, sq_stats s
+       | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+       |sqtop AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM sq_scored) WHERE rk <= 3),
+       |pq_cents AS (
+       | SELECT $pqCents),
+       |pq_codes AS (
+       | SELECT e.vec_id AS neighbor_id, $pqCodeArr AS code
+       | FROM embeddings e, pq_cents s),
+       |pq_scored AS (
+       | SELECT q.vec_id AS query_id, c.neighbor_id,
+       |  CAST($pqScore AS DECIMAL(24,6)) AS sim_dec
+       | FROM embeddings q, pq_codes c, pq_cents s
+       | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+       |pqtop AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM pq_scored) WHERE rk <= 3),
+       |j1 AS (
+       | SELECT b.query_id, count(*) AS sq_hits
+       | FROM e2top b JOIN sqtop t USING (query_id, neighbor_id) GROUP BY b.query_id),
+       |j2 AS (
+       | SELECT b.query_id, count(*) AS pq_hits
+       | FROM e2top b JOIN pqtop t USING (query_id, neighbor_id) GROUP BY b.query_id)
+       |SELECT q.query_id,
+       | CAST(COALESCE(j1.sq_hits, 0) AS BIGINT) AS sq_hits,
+       | CAST(COALESCE(j2.pq_hits, 0) AS BIGINT) AS pq_hits,
+       | CAST(COALESCE(j1.sq_hits, 0) AS DOUBLE) / 3 AS sq_recall,
+       | CAST(COALESCE(j2.pq_hits, 0) AS DOUBLE) / 3 AS pq_recall
+       |FROM (SELECT DISTINCT query_id FROM e2top) q
+       |LEFT JOIN j1 ON j1.query_id = q.query_id
+       |LEFT JOIN j2 ON j2.query_id = q.query_id""".stripMargin
   }
 
   /** duckdb band table for the axis-sign LSH family — one row per

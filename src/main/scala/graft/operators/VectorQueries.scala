@@ -309,6 +309,28 @@ object VectorQueries {
         col("sim_dec").cast("double").as("pq_sim"))
   }
 
+  /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
+    * against the exact brute-force top-k (e2) — e7's quality-measurement
+    * discipline applied to the compression paths: quantization loss is a
+    * number you track, not a hope. Pure composition plus two pair joins;
+    * all three inputs are deterministic, so recall is oracle-exact.
+    */
+  def e12QuantRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val brute = e2KnnBrute(spark, sfDir, k).select("query_id", "neighbor_id")
+    val sq = e10SqKnn(spark, sfDir, k).select("query_id", "neighbor_id")
+    val pq = e11PqAdc(spark, sfDir, k).select("query_id", "neighbor_id")
+    def hits(path: DataFrame, name: String) = brute
+      .join(path, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as(name))
+    brute.select("query_id").distinct()
+      .join(hits(sq, "sq_hits"), Seq("query_id"), "left")
+      .join(hits(pq, "pq_hits"), Seq("query_id"), "left")
+      .na.fill(0L, Seq("sq_hits", "pq_hits"))
+      .select(col("query_id"), col("sq_hits"), col("pq_hits"),
+        (col("sq_hits").cast("double") / k).as("sq_recall"),
+        (col("pq_hits").cast("double") / k).as("pq_recall"))
+  }
+
   /** e3: banded LSH near-neighbor candidate generation — the scale path.
     * Same-(band, bucket) pairs are the candidate set: the cartesian product
     * becomes an equi-join on (band_idx, bucket), shuffling by bucket key.
