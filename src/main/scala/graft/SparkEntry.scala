@@ -104,6 +104,7 @@ object SparkEntry {
     "q33_multi_distinct" -> (R.q33MultiDistinct _),
     "q34_not_in" -> (R.q34NotIn _),
     "q35_outer_join" -> (R.q35OuterJoin _),
+    "q36_ewma" -> (R.q36Ewma _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -524,6 +525,13 @@ object SparkEntry {
         | CAST(sum(COALESCE(pc.spend_dec, 0)) AS DOUBLE) AS total_spend
         |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
+    "q36_ewma" ->
+      """SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
+        | CAST(CAST(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)
+        |   AS DECIMAL(20,6)) AS DOUBLE) AS ewma
+        |FROM (
+        | SELECT user_id, list(CAST(value AS DOUBLE) ORDER BY ts, event_id) AS vals
+        | FROM events GROUP BY user_id)""".stripMargin,
     "st3_stream_join" ->
       """SELECT v.user_id AS user_id, count(*) AS n_pairs,
         | CAST(sum(v.event_id) AS BIGINT) AS sum_v_id,

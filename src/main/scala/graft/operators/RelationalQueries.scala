@@ -605,6 +605,32 @@ object RelationalQueries {
           .cast("double").as("total_spend"))
   }
 
+  /** q36: exponentially weighted moving average per user — the sequential
+    * time-series fold (state_i = 0.7·state_{i−1} + 0.3·x_i, seeded with the
+    * first value) that no built-in window aggregate expresses. Each user's
+    * events collect into a (ts, event_id, value) array — one shuffle, keyed
+    * on user — sorted in-row, and the fold runs as a columnar `aggregate`
+    * lambda: per-user sequences are short (bounded by user activity), so
+    * the state fits in the row and the operator scales with users, not
+    * with a window sort over the whole stream. The duckdb oracle is
+    * `list_reduce` over the same ordered list — both engines fold
+    * left-to-right with identical FP op order, and the result rounds
+    * through DECIMAL(20,6) before comparison.
+    */
+  def q36Ewma(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = col("s")
+    table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("value")))).as("s"))
+      .select(col("user_id"), size(s).cast("long").as("n_events"),
+        aggregate(
+          slice(s, lit(2), greatest(size(s) - 1, lit(0))),
+          element_at(s, 1).getField("value").cast("double"),
+          (acc, e) => acc * 0.7 + e.getField("value").cast("double") * 0.3)
+          .cast("decimal(20,6)").cast("double").as("ewma"))
+  }
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's
