@@ -37,6 +37,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(cc(10L) == 10L && cc(11L) == 10L, cc)
   }
 
+  test("q36: engine EWMA equals a driver-side sequential fold") {
+    def micros(t: java.sql.Timestamp): Long =
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+    val out = graft.SparkEntry.queries("q36_ewma")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val events = RelationalQueries.table(spark, sfDir, "events")
+      .select("user_id", "ts", "event_id", "value").collect()
+    val expected = events.groupBy(_.getLong(0)).map { case (u, rows) =>
+      val vals = rows
+        .sortBy(r => (micros(r.getTimestamp(1)), r.getLong(2)))
+        .map(_.getDouble(3))
+      val ew = vals.tail.foldLeft(vals.head)((acc, x) => acc * 0.7 + x * 0.3)
+      u -> ((vals.length.toLong,
+        BigDecimal(ew).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    assert(out.keySet == expected.keySet)
+    expected.foreach { case (u, (n, ew)) =>
+      assert(out(u) == ((n, ew)), s"user $u: got ${out(u)}, want ($n, $ew)")
+    }
+  }
+
   test("d14: profile is the argmax of the trigram scores with fixed ties") {
     val r = TextQueries.d14LangIdChargram(spark, sfDir)
     val bad = r.filter(
