@@ -86,6 +86,7 @@ object SparkEntry {
     "q30_asof_native" -> (R.q30AsofNative _),
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
+    "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
@@ -525,6 +526,12 @@ object SparkEntry {
         | CAST(sum(COALESCE(pc.spend_dec, 0)) AS DOUBLE) AS total_spend
         |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
+    "st4_stream_dedup" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_unique_users,
+        | CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type""".stripMargin,
     "q36_ewma" ->
       """SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
         | CAST(CAST(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)

@@ -241,6 +241,41 @@ object IngestParityQueries {
         sum(col("v_id")).as("sum_v_id"), sum(col("p_id")).as("sum_p_id"))
   }
 
+  /** st4: STREAMING exact deduplication — `dropDuplicates` over the file
+    * stream emits each (user_id, event_type) key once, on first arrival;
+    * the memory sink then batch-aggregates unique users per type. No
+    * watermark on the dedup state on purpose: the emitted KEY SET is then
+    * the true global distinct regardless of how the replay splits into
+    * micro-batches (state never expires, so a late re-occurrence can never
+    * re-emit), which is what makes the oracle exact. The production
+    * trade-off is documented, not silently taken: an unbounded stream
+    * bounds this state with `dropDuplicatesWithinWatermark`, accepting
+    * re-emission of keys idle past the horizon — the same
+    * exactness-vs-state dial as every streaming dedup.
+    */
+  def st4StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("dedup-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st4_dedup_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .options(CsvOptions.toReaderOptions(CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"),
+        sum(col("user_id")).as("sum_user_ids"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
