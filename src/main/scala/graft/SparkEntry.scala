@@ -106,6 +106,7 @@ object SparkEntry {
     "q34_not_in" -> (R.q34NotIn _),
     "q35_outer_join" -> (R.q35OuterJoin _),
     "q36_ewma" -> (R.q36Ewma _),
+    "q37_zorder" -> (R.q37Zorder _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -526,6 +527,7 @@ object SparkEntry {
         | CAST(sum(COALESCE(pc.spend_dec, 0)) AS DOUBLE) AS total_spend
         |FROM customer c LEFT JOIN pc ON c.c_custkey = pc.o_custkey
         |GROUP BY c.c_mktsegment""".stripMargin,
+    "q37_zorder" -> q37OracleSql,
     "st4_stream_dedup" ->
       """SELECT event_type,
         | CAST(count(*) AS BIGINT) AS n_unique_users,
@@ -845,6 +847,25 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS pq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.RelationalQueries.q37Zorder]] —
+    * identical bit-interleave arithmetic, `//` for the integral division.
+    */
+  private def q37OracleSql: String = {
+    val hi = "((epoch_us(ts) // 3600000000) % 720)"
+    val terms = (0 until 16).map { j =>
+      s"((((user_id & 65535) >> $j) & 1) * ${1L << (2 * j)} + " +
+        s"((($hi & 65535) >> $j) & 1) * ${1L << (2 * j + 1)})"
+    }.mkString(" + ")
+    s"""WITH z AS (
+       | SELECT event_id, user_id, $hi AS hour_idx,
+       |  ($terms) AS zval
+       | FROM events)
+       |SELECT zval >> 14 AS z_bucket, count(*) AS cnt,
+       | min(user_id) AS min_user, max(user_id) AS max_user,
+       | min(hour_idx) AS min_hour, max(hour_idx) AS max_hour
+       |FROM z GROUP BY zval >> 14""".stripMargin
   }
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e12QuantRecall]] —

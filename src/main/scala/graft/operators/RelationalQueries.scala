@@ -631,6 +631,36 @@ object RelationalQueries {
           .cast("decimal(20,6)").cast("double").as("ewma"))
   }
 
+  /** q37: z-order (Morton) clustering values — the multi-dimensional
+    * data-skipping technique: interleaving the bits of two scan dimensions
+    * gives ONE sort key whose ranges are compact in BOTH dimensions, so
+    * row-group min/max stats prune scans filtered on either column (plain
+    * `CLUSTER BY c` skips only on `c`). The z-value is pure bit math —
+    * 16 bits of (user_id, hour-of-month) interleaved, codegen'd, identical
+    * arithmetic in the duckdb oracle — and the query reports per-z-range
+    * stats showing the compactness property: each bucket spans a narrow
+    * band of BOTH dimensions. The write-side use is
+    * `sortWithinPartitions(zcol)` in place of the single-column clustering
+    * (same local sort, no extra shuffle).
+    */
+  def q37Zorder(spark: SparkSession, sfDir: String): DataFrame = {
+    val x = col("user_id").bitwiseAND(lit(0xFFFFL))
+    // `div` = integral division: a double `/` would mis-floor exact-multiple
+    // boundaries after FP rounding
+    val hourIdx = expr("(unix_micros(ts) div 3600000000) % 720")
+    val y = hourIdx.bitwiseAND(lit(0xFFFFL))
+    val z = (0 until 16).map { j =>
+      (shiftright(x, j).bitwiseAND(lit(1L)) * (1L << (2 * j))) +
+        (shiftright(y, j).bitwiseAND(lit(1L)) * (1L << (2 * j + 1)))
+    }.reduce(_ + _)
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), hourIdx.as("hour_idx"), z.as("zval"))
+      .groupBy(shiftright(col("zval"), 14).as("z_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("user_id")).as("min_user"), max(col("user_id")).as("max_user"),
+        min(col("hour_idx")).as("min_hour"), max(col("hour_idx")).as("max_hour"))
+  }
+
   /** q30: the NATIVE as-of join — [[graft.plans.AsOfJoin]]'s custom
     * LogicalPlan/Strategy/SparkPlan (co-partition by key, sort by (key,
     * time), single forward merge per partition) attaching each event's
