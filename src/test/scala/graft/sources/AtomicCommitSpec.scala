@@ -72,6 +72,25 @@ class AtomicCommitSpec extends SparkSpec {
     assert(torn.isEmpty, s"torn reads observed: $torn")
   }
 
+  test("staged and dynamic commits produce identical table content") {
+    val l1 = Files.createTempDirectory("graft-eq-staged")
+    val l2 = Files.createTempDirectory("graft-eq-dyn")
+    def cfgAt(p: java.nio.file.Path, atomic: Boolean) = IngestConfig(
+      sourceBase = "unused", landingPath = s"file:$p", schema = schema,
+      partitionField = "event_ts", clusterField = "device_id",
+      atomicCommit = atomic)
+    Seq("old" -> 12, "new" -> 9).foreach { case (m, n) =>
+      LandingTable.overwritePartitions(frame(m, n), cfgAt(l1, atomic = true))
+      LandingTable.overwritePartitions(frame(m, n), cfgAt(l2, atomic = false))
+    }
+    val a = LandingTable.read(spark, cfgAt(l1, atomic = true))
+      .select("device_id", "bytes", "year", "month", "day", "hour")
+    val b = LandingTable.read(spark, cfgAt(l2, atomic = false))
+      .select("device_id", "bytes", "year", "month", "day", "hour")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() == 9)
+  }
+
   test("staged commit leaves no staging/trash residue and replaces exactly one hour") {
     val landing = Files.createTempDirectory("graft-atomic2")
     val cfg = IngestConfig(sourceBase = "unused", landingPath = s"file:$landing",
