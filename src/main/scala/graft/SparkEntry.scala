@@ -87,6 +87,7 @@ object SparkEntry {
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
+    "st5_sliding_window" -> (IP.st5SlidingWindow _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
@@ -633,6 +634,20 @@ object SparkEntry {
         |FROM events
         |GROUP BY date_trunc('hour', ts)
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+    "st5_sliding_window" ->
+      """WITH w AS (
+        | SELECT date_trunc('hour', ts) +
+        |   (minute(ts) // 30) * (INTERVAL 30 MINUTE) AS s1, user_id
+        | FROM events),
+        |b AS (
+        | SELECT s1 AS win_start, user_id FROM w
+        | UNION ALL
+        | SELECT s1 - INTERVAL 30 MINUTE AS win_start, user_id FROM w)
+        |SELECT win_start, count(*) AS cnt,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM b GROUP BY win_start
+        |HAVING win_start + INTERVAL 1 HOUR <=
         |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_event_id,

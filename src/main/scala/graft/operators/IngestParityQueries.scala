@@ -241,6 +241,37 @@ object IngestParityQueries {
         sum(col("v_id")).as("sum_v_id"), sum(col("p_id")).as("sum_p_id"))
   }
 
+  /** st5: SLIDING windows — 1-hour windows every 30 minutes over the file
+    * stream (each event lands in exactly ceil(1h/30min)=2 windows), append
+    * mode, so a window emits once when the watermark passes its end. With
+    * tumbling (st1) and session (st2) windows this completes the
+    * windowing-mode surface. The duckdb oracle assigns each event its two
+    * containing window starts directly and applies the same
+    * watermark-closure rule; window state is bounded by (horizon / slide)
+    * open windows regardless of throughput.
+    */
+  def st5SlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("slide-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st5_slide_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .options(CsvOptions.toReaderOptions(CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .withWatermark("ts", "40 minutes")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
+      .select(col("window.start").as("win_start"), col("cnt"), col("sum_uid"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).select("win_start", "cnt", "sum_uid")
+  }
+
   /** st4: STREAMING exact deduplication — `dropDuplicates` over the file
     * stream emits each (user_id, event_type) key once, on first arrival;
     * the memory sink then batch-aggregates unique users per type. No
