@@ -264,8 +264,19 @@ object DedupQueries {
   /** Min-label propagation to fixpoint over an undirected pair list
     * (id_a, id_b): returns (id, label) where label = the component's
     * minimum vertex id. One equi-join + partial-aggregated min per round;
-    * the convergence probe is one `isEmpty` action; per-round frames
-    * persist and the previous round unpersists, so lineage stays O(1).
+    * the convergence probe is one `isEmpty` action; each round's frame is
+    * `localCheckpoint`ed so the LOGICAL PLAN is truncated too — a persist
+    * alone caches data but leaves the plan nesting one level per round,
+    * and by ~10 rounds analysis/stringification of that tree is itself
+    * exponential (driver OOM), independent of data size.
+    *
+    * Convergence is REQUIRED: plain min-label propagation needs ~diameter
+    * rounds, so a long-chain graph can exhaust `maxIters` with labels only
+    * partially propagated — silently returning those would split one true
+    * component into several. If the fixpoint is not reached the call THROWS
+    * rather than hand back wrong clusters; callers with legitimately
+    * long-diameter graphs should raise `maxIters` (LSH near-dup graphs are
+    * near-cliques and converge in a handful of rounds).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val edges = pairs.toDF("id_a", "id_b")
@@ -275,7 +286,7 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var iters = 0
     var converged = false
     while (!converged && iters < maxIters) {
@@ -283,15 +294,19 @@ object DedupQueries {
         .select(col("dst").as("id"), col("label"))
       val next = labels.select("id", "label").union(msgs)
         .groupBy("id").agg(min("label").as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true) // materialize + truncate lineage
       converged = next
         .join(labels.withColumnRenamed("label", "old"), "id")
         .filter(col("label") =!= col("old")).isEmpty
-      labels.unpersist()
       labels = next
       iters += 1
     }
     edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not reach a fixpoint in $maxIters rounds — " +
+          "labels would be partially propagated (wrong clusters); raise maxIters")
+    }
     labels
   }
 

@@ -109,9 +109,23 @@ object LandingTable {
     * any hidden-file-filtering reader), then each staged partition directory
     * replaces its live counterpart via `rename(live, trash)` +
     * `rename(staged, live)` — pure metadata ops on HDFS-like filesystems.
-    * Crash between the two renames loses only that partition's visibility,
-    * never its data (old content sits in `.trash-<uuid>`, new in staging;
-    * re-running the hour converges because the sink is idempotent).
+    *
+    * Failure contract: trash is the recovery copy, deleted ONLY after every
+    * swap succeeded. If any swap fails (or the pool times out), every
+    * partition whose old content moved aside but whose new content did not
+    * land is renamed back from trash before the error propagates — the table
+    * returns to its pre-commit state. If even that restore rename fails, the
+    * trash directory is KEPT and its path logged/embedded in the thrown
+    * error, so the displaced data is never destroyed. A hard crash between
+    * the two renames likewise preserves both copies (old in `.trash-<uuid>`,
+    * new in staging); re-running the hour converges because the sink is
+    * idempotent.
+    *
+    * Reader contract during the two-rename window: a concurrent reader may
+    * observe a clean transient ABSENCE of the partition (empty listing → 0
+    * rows, or a file-not-found error) but never a torn mix of generations;
+    * readers racing a commit should treat a 0-file read of a partition they
+    * expect to exist as retryable, exactly like a read error.
     */
   def overwritePartitionsStaged(df: DataFrame, cfg: IngestConfig): Unit = {
     import org.apache.hadoop.fs.Path
@@ -127,13 +141,14 @@ object LandingTable {
       .partitionBy(PartitionCols: _*)
       .parquet(staging.toString)
 
+    val partGlob = PartitionCols.map(c => s"$c=*").mkString("/")
+    var committed = false
     try {
       // every staged partition dir, deepest level only (year=*/.../hour=*);
       // swaps are independent per partition, so run them on a bounded pool —
       // an hourly backfill writing hundreds of partitions would otherwise
       // serialize hundreds of metadata round-trips on the driver
-      val staged = fs.globStatus(new Path(staging,
-        PartitionCols.map(c => s"$c=*").mkString("/"))).toSeq
+      val staged = fs.globStatus(new Path(staging, partGlob)).toSeq
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, math.max(1, staged.size)))
       try {
@@ -159,12 +174,49 @@ object LandingTable {
           }
         }
         pool.shutdown()
-        pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS)
+        if (!pool.awaitTermination(1, java.util.concurrent.TimeUnit.HOURS))
+          throw new java.io.IOException(
+            "commit: partition swap pool timed out after 1 hour")
         if (!failures.isEmpty) throw failures.peek()
+        committed = true
       } finally pool.shutdownNow()
     } finally {
       fs.delete(staging, true)
-      fs.delete(trash, true)
+      if (committed) {
+        fs.delete(trash, true)
+      } else {
+        // roll back: put displaced live content back wherever the new
+        // generation did not land; delete trash only if fully restored
+        if (restoreFromTrash(fs, root, trash, partGlob)) fs.delete(trash, true)
+        else log.error(s"commit: rollback incomplete; displaced partition " +
+          s"content preserved at $trash — restore manually or re-ingest")
+      }
+    }
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.commit")
+
+  /** Best-effort rollback of a failed staged commit: for every partition
+    * directory under `trash`, if its live counterpart is absent (the swap
+    * displaced old content but never landed new content), rename it back.
+    * A live dir that exists means the new generation committed there — the
+    * trash copy is superseded. Returns true iff every entry was either
+    * restored or superseded (⇒ trash is safe to delete).
+    */
+  private[sources] def restoreFromTrash(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, trash: org.apache.hadoop.fs.Path,
+      partGlob: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    if (!fs.exists(trash)) return true
+    val entries = Option(fs.globStatus(new Path(trash, partGlob)))
+      .map(_.toSeq).getOrElse(Seq.empty)
+    entries.forall { st =>
+      try {
+        val rel = st.getPath.toUri.getPath.stripPrefix(
+          trash.toUri.getPath).stripPrefix("/")
+        val live = new Path(root, rel)
+        fs.exists(live) || fs.rename(st.getPath, live)
+      } catch { case _: Throwable => false }
     }
   }
 

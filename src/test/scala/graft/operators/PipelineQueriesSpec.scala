@@ -37,6 +37,20 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(cc(10L) == 10L && cc(11L) == 10L, cc)
   }
 
+  test("d19: non-convergence within maxIters throws instead of returning wrong labels") {
+    import spark.implicits._
+    // path graph of diameter 9: min-label needs ~9 rounds to reach the tail,
+    // so maxIters=2 must fail loudly, and a large budget must succeed
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      DedupQueries.connectedComponents(chain, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("fixpoint"))
+    val ok = DedupQueries.connectedComponents(chain, maxIters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 10L).forall(ok(_) == 1L), ok)
+  }
+
   test("q36: engine EWMA equals a driver-side sequential fold") {
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
