@@ -1,8 +1,8 @@
 package graft
 
 import graft.operators.{DedupQueries => D, IngestParityQueries => IP,
-  MultimodalOps => M, RelationalQueries => R, TextQueries => T,
-  VectorQueries => V}
+  MaintenanceQueries, MultimodalOps => M, RelationalQueries => R,
+  TextQueries => T, VectorQueries => V}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -108,6 +108,13 @@ object SparkEntry {
     "q35_outer_join" -> (R.q35OuterJoin _),
     "q36_ewma" -> (R.q36Ewma _),
     "q37_zorder" -> (R.q37Zorder _),
+    "q38_bloom_join" -> (R.q38BloomJoin _),
+    "q39_tpch_deep" -> (R.q39TpchDeep _),
+    "u1_merge_upsert" -> (MaintenanceQueries.u1MergeUpsert _),
+    "u2_delete_keys" -> (MaintenanceQueries.u2DeleteKeys _),
+    "u3_schema_drift" -> (MaintenanceQueries.u3SchemaDrift _),
+    "c1_compact" -> (MaintenanceQueries.c1Compact _),
+    "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -816,6 +823,83 @@ object SparkEntry {
         | CAST(sum(d.user_total) AS BIGINT) AS sum_user_total
         |FROM events e JOIN d ON e.user_id = d.user_id
         |GROUP BY e.user_id % 50""".stripMargin,
+    "q38_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_price,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS sum_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag""".stripMargin,
+    "q39_tpch_deep" ->
+      """SELECT n_name,
+        | CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(30,10))) AS DOUBLE) AS revenue,
+        | count(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= TIMESTAMP '1996-01-01'
+        | AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "u1_merge_upsert" ->
+      """WITH base AS (
+        | SELECT * FROM events
+        | WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)),
+        |upd AS (
+        | SELECT event_id, ts, user_id, event_type, value + 1000 AS value,
+        |  'updated' AS props FROM base WHERE event_id % 3 = 0
+        | UNION ALL
+        | SELECT event_id + 1000000000, ts, user_id, event_type, value,
+        |  'inserted' FROM base WHERE event_id % 5 = 0),
+        |merged AS (
+        | SELECT * FROM base WHERE event_id NOT IN (SELECT event_id FROM upd)
+        | UNION ALL SELECT * FROM upd)
+        |SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | CAST(sum(CASE WHEN props = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        | CAST(sum(CASE WHEN props = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+        |FROM merged GROUP BY date_trunc('hour', ts)""".stripMargin,
+    "u2_delete_keys" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)
+        | AND user_id % 5 <> 0
+        |GROUP BY date_trunc('hour', ts)""".stripMargin,
+    "u3_schema_drift" ->
+      """WITH merged AS (
+        | SELECT event_id, user_id, value, CAST(NULL AS VARCHAR) AS props,
+        |  CAST(NULL AS DOUBLE) AS quality, 1 AS gen
+        | FROM events WHERE event_id % 2 = 0
+        | UNION ALL
+        | SELECT event_id, user_id, value, props, value * 0.5, 2
+        | FROM events WHERE event_id % 2 <> 0)
+        |SELECT gen, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(count(props) AS BIGINT) AS n_props,
+        | CAST(sum(CAST(quality AS DECIMAL(30,6))) AS DOUBLE) AS sum_quality
+        |FROM merged GROUP BY gen""".stripMargin,
+    "c1_compact" ->
+      """SELECT 1 AS n_files, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE date_trunc('hour', ts) = (SELECT min(date_trunc('hour', ts)) FROM events)""".stripMargin,
+    "c2_manifest_skip" ->
+      """WITH b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events)
+        |SELECT user_id, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT mn + (mx - mn) // 4 FROM b)
+        | AND (SELECT mn + (mx - mn) // 2 FROM b)
+        |GROUP BY user_id""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e11PqAdc]] — the same

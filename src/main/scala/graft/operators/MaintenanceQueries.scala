@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.core.{IngestConfig, PartitionHour}
+import graft.sources.{FileStatsManifest, LandingMaintenance, LandingTable, MutationOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-maintenance operators exercised END TO END inside the correctness
+  * gate: each query materializes a scratch landing table from the `events`
+  * parquet, applies a mutation/maintenance operator
+  * ([[graft.sources.MutationOps]], [[graft.sources.LandingMaintenance]],
+  * [[graft.sources.FileStatsManifest]]), reads the table back and returns
+  * aggregates that a duckdb oracle reproduces by restating the operator's
+  * CONTRACT as SQL over the original parquet. Hash equality therefore proves
+  * the physical rewrite (partition-scoped merge/delete, compaction, schema
+  * drift, file skipping) is exactly the logical operation.
+  *
+  * The reference's only mutation primitive is truncate-and-load of one hour
+  * (`/root/reference/bigquery_interaction.py:19-20`); its users get MERGE /
+  * DELETE / clustering maintenance from BigQuery itself — this module is
+  * that surface, Spark-native, over the same hive layout.
+  */
+object MaintenanceQueries {
+  import IngestParityQueries.eventsSchema
+
+  private def cfgFor(landing: String) = IngestConfig(
+    sourceBase = "unused", landingPath = landing, schema = eventsSchema,
+    partitionField = "ts", clusterField = "user_id")
+
+  private def scratch(kind: String, sfDir: String): String = {
+    val sf = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val d = new java.io.File(s"target/maintain/$kind-$sf").getAbsoluteFile
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    rec(d); d.mkdirs()
+    d.toString
+  }
+
+  /** First calendar day of the events table — a bounded, partition-friendly
+    * slice (≈24 hour-partitions) so the mutation queries stay cheap at any
+    * SF while still spanning many partitions.
+    */
+  private def firstDayEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+    val day0 = ev.agg(min(date_trunc("day", col("ts")))).collect()(0).getTimestamp(0)
+    ev.filter(date_trunc("day", col("ts")) === lit(day0))
+  }
+
+  /** u1: partition-scoped MERGE (upsert by key). Base = day-1 events landed
+    * across ~24 hour partitions; updates = value-corrected rows for every
+    * event_id % 3 == 0 plus brand-new rows (shifted ids) for every
+    * event_id % 5 == 0. [[MutationOps.mergeByKey]] rewrites ONLY the touched
+    * partitions; the oracle restates the merge as anti-join + union over the
+    * original parquet. Per-hour aggregates pin both the replaced and the
+    * inserted rows through the hash.
+    */
+  def u1MergeUpsert(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("u1", sfDir)}")
+    LandingTable.overwritePartitions(base, cfg)
+
+    val dataCols = eventsSchema.fieldNames.map(col).toSeq
+    val corrections = base.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .withColumn("props", lit("updated"))
+    val inserts = base.filter(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("props", lit("inserted"))
+    MutationOps.mergeByKey(spark, cfg,
+      corrections.select(dataCols: _*).unionByName(inserts.select(dataCols: _*)),
+      Seq("event_id"))
+
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"),
+        sum(when(col("props") === "updated", 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("props") === "inserted", 1L).otherwise(0L)).as("n_inserted"))
+  }
+
+  /** u2: key takedown (DELETE ... WHERE key IN list). Deletes every row of
+    * every fifth user from the day-1 landing table via the two-pass
+    * probe-then-rewrite of [[MutationOps.deleteByKey]]; oracle = the
+    * surviving rows stated directly. The per-hour aggregate hash fails if a
+    * doomed row survives anywhere OR an innocent row is lost.
+    */
+  def u2DeleteKeys(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("u2", sfDir)}")
+    LandingTable.overwritePartitions(base, cfg)
+
+    val doomed = base.filter(col("user_id") % 5 === 0)
+      .select("user_id").distinct()
+    MutationOps.deleteByKey(spark, cfg, doomed, "user_id")
+
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+  }
+
+  /** c1: small-file compaction. The first event hour is landed as many
+    * small files (forced via repartition), then
+    * [[LandingMaintenance.compactPartition]] rewrites it into exactly one
+    * clustered file. n_files comes from a post-compaction directory listing
+    * — the oracle's constant 1 fails if compaction left extra files — and
+    * the content aggregate proves the rewrite lost/duplicated nothing.
+    */
+  def c1Compact(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+    val h0 = ev.agg(min(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0)
+    val base = ev.filter(date_trunc("hour", col("ts")) === lit(h0))
+    val cfg = cfgFor(s"file:${scratch("c1", sfDir)}")
+    LandingTable.overwritePartitions(base.repartition(6), cfg)
+
+    val hour = PartitionHour.fromInstant(h0.toInstant) // session TZ is UTC
+    val (_, after) = LandingMaintenance.compactPartition(spark, cfg, hour, targetFiles = 1)
+
+    LandingTable.readPartition(spark, cfg, hour)
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(lit(after).as("n_files"), col("cnt"), col("sum_eid"), col("sum_value"))
+  }
+
+  /** u3: schema drift across partition generations. Generation 1 lands
+    * without `props`/`quality`; generation 2 adds both. A `mergeSchema` read
+    * presents the union schema with NULLs for pre-drift rows — the
+    * additive-column evolution contract every long-lived landing table needs
+    * (BigQuery allows additive schema updates on load; parquet+Spark gives
+    * the same via schema merge). Oracle restates the union with explicit
+    * NULL columns.
+    */
+  def u3SchemaDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+    val dir = scratch("u3", sfDir)
+    ev.filter(col("event_id") % 2 === 0)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("gen", lit(1))
+      .write.mode("overwrite").partitionBy("gen").parquet(s"file:$dir")
+    ev.filter(col("event_id") % 2 =!= 0)
+      .select(col("event_id"), col("user_id"), col("value"), col("props"))
+      .withColumn("quality", col("value") * lit(0.5))
+      .withColumn("gen", lit(2))
+      .write.mode("append").partitionBy("gen").parquet(s"file:$dir")
+
+    spark.read.option("mergeSchema", "true").option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+      .groupBy(col("gen").cast("int").as("gen"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        count(col("props")).as("n_props"),
+        sum(col("quality").cast("decimal(30,6)")).cast("double").as("sum_quality"))
+  }
+
+  /** c2: file-level min/max skipping on the cluster column — data skipping
+    * BELOW partition granularity via [[FileStatsManifest]]. The table is
+    * range-laid-out on user_id (16 disjoint-range files), the manifest
+    * records per-file [min,max], and the read opens only files intersecting
+    * the wanted range. The middle-quartile bounds are derived from the data
+    * with the same integer arithmetic in both engines; correctness does not
+    * depend on HOW MANY files were skipped (the residual filter stays on the
+    * scan), which is what lets one query serve every SF.
+    */
+  def c2ManifestSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val dir = scratch("c2", sfDir)
+    ev.repartitionByRange(16, col("user_id"), col("event_id"))
+      .write.mode("overwrite").parquet(s"file:$dir")
+    FileStatsManifest.write(spark, s"file:$dir", Seq("user_id"))
+
+    val mm = ev.agg(min(col("user_id")), max(col("user_id"))).collect()(0)
+    val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+    val lo = mn + (mx - mn) / 4
+    val hi = mn + (mx - mn) / 2
+    val (df, nSel, nTot) = FileStatsManifest.prunedRead(
+      spark, s"file:$dir", "user_id", lo, hi)
+    require(nSel <= nTot, s"manifest selected $nSel of $nTot files")
+    df.groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+  }
+}

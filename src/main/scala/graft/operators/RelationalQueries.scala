@@ -698,4 +698,88 @@ object RelationalQueries {
         sum(col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double"))
       .select("o_orderkey", "o_custkey", "n_30d", "spend_30d")
   }
+
+  /** Plan for q38 — a selective dimension filter joined against the fact
+    * table, the shape Spark's runtime bloom-filter injection targets: with
+    * `runtime.bloomFilter.enabled`, Catalyst builds a bloom filter from the
+    * filtered orders keys and pushes `might_contain(l_orderkey)` into the
+    * lineitem SCAN side, discarding non-joining fact rows BEFORE the join
+    * shuffle. At 100 TB that is the difference between shuffling the whole
+    * fact table and shuffling the ~2% that joins. Exposed separately so
+    * [[q38BloomJoin]] can execute it under forced-injection confs while
+    * PlanShapeSpec pins the `might_contain` in the optimized plan.
+    */
+  def q38Plan(spark: SparkSession, sfDir: String): DataFrame = {
+    val sel = table(spark, sfDir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_returnflag"))
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("o_totalprice")).as("sum_total"))
+  }
+
+  /** q38: runtime bloom-filter join. The local SFs sit far under the 10 GB
+    * application-side default and the broadcast threshold, so the injection
+    * preconditions are forced for the duration of THIS query's execution
+    * (thresholds to 0, broadcast off — a shuffle join is the shape the
+    * filter exists for) and restored after; the tiny grouped result is
+    * collected eagerly under those confs so the gate genuinely executes the
+    * bloom-filtered plan. Values are conf-independent — the oracle is the
+    * plain join.
+    */
+  def q38BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val tweaks = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tweaks.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    val rows =
+      try {
+        tweaks.foreach { case (k, v) => spark.conf.set(k, v) }
+        q38Plan(spark, sfDir).collect()
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      q38Plan(spark, sfDir).schema)
+  }
+
+  /** q39: TPC-H Q5-shaped six-table join — customer ⋈ orders ⋈ lineitem ⋈
+    * supplier ⋈ nation ⋈ region with a region filter, a date window, and
+    * the co-nationality predicate. The deep-join stress case for the
+    * optimizer: the two constant-size dims broadcast, the three fact-side
+    * joins shuffle on their own keys, and the c_nationkey = s_nationkey
+    * predicate rides the supplier join rather than forcing an extra
+    * exchange. Revenue follows q1's exact-decimal discipline.
+    */
+  def q39TpchDeep(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = table(spark, sfDir, "region").filter(col("r_name") === "ASIA")
+    val nation = table(spark, sfDir, "nation")
+    val orders = table(spark, sfDir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    table(spark, sfDir, "customer").select("c_custkey", "c_nationkey")
+      .join(orders, col("c_custkey") === col("o_custkey"))
+      .join(table(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(table(spark, sfDir, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 10)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
 }

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.core.IngestConfig
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level mutations over the hour-partitioned landing table — the
+  * operations a training-data corpus needs beyond append/replace ingest:
+  * upserts of corrected records and key takedowns (content removal /
+  * right-to-erasure), both expressed as PARTITION-SCOPED rewrites so cost is
+  * proportional to partitions touched, never to table size.
+  *
+  * The reference's only mutation is whole-partition truncate-and-load
+  * (`/root/reference/bigquery_interaction.py:19-20`); these operators close
+  * the gap to BigQuery's DML (`MERGE` / `DELETE`) which the reference's users
+  * get for free from the warehouse, re-expressed as Spark jobs over the same
+  * parquet layout.
+  *
+  * Scale contract (100 TB / ~10^5 partitions):
+  *  - [[mergeByKey]] never reads an untouched partition: the touched set is
+  *    derived from the updates' own partition field (driver-side list,
+  *    bounded by partitions-touched), the current-state scan carries a
+  *    partition-column predicate that prunes directories before any file
+  *    opens, and the rewrite goes through the same dynamic-overwrite commit
+  *    as ingest — untouched partitions are physically untouched.
+  *  - [[deleteByKey]] cannot know partitions a priori, so it runs a PROBE
+  *    pass first: a column-pruned scan of (key, partition cols) — parquet
+  *    reads just the key column, with the key set broadcast into the scan as
+  *    a semi-join — then rewrites only partitions that actually contain a
+  *    doomed key. Partitions whose rows are all deleted are dropped
+  *    explicitly (a dynamic overwrite writing zero rows for a partition
+  *    would leave the old files in place).
+  */
+object MutationOps {
+
+  /** Partition-tuple predicate for a driver-side list of touched partitions.
+    * Partition columns come back from discovery as inferred ints; compare
+    * through an int cast so `month=06` on disk matches `6` here. A
+    * deterministic predicate over partition columns only ⇒ Catalyst prunes
+    * at planning, no file of an untouched partition is ever listed.
+    */
+  private def partitionPredicate(touched: Seq[Seq[Int]]): Column =
+    touched.map { tuple =>
+      LandingTable.PartitionCols.zip(tuple).map { case (c, v) =>
+        col(c).cast("int") === lit(v)
+      }.reduce(_ && _)
+    }.reduce(_ || _)
+
+  /** Distinct (year, month, day, hour) tuples present in a frame that
+    * already carries the derived partition columns.
+    */
+  private def touchedPartitions(withCols: DataFrame): Seq[Seq[Int]] =
+    withCols.select(LandingTable.PartitionCols.map(c => col(c).cast("int")): _*)
+      .distinct().collect().toSeq
+      .map(r => LandingTable.PartitionCols.indices.map(r.getInt))
+
+  /** Upsert `updates` (schema = `cfg.schema`) into the landing table, keyed
+    * by `keyCols` WITHIN each hour partition: in every partition the updates
+    * map to, rows matching an update key are replaced and unmatched update
+    * keys are inserted; every other partition is untouched. The partition of
+    * a row is determined by its own `cfg.partitionField` value (immutable
+    * event time), so a key's partition never changes — the standard
+    * time-series merge contract. Returns the touched (y,m,d,h) tuples.
+    */
+  def mergeByKey(spark: SparkSession, cfg: IngestConfig, updates: DataFrame,
+      keyCols: Seq[String]): Seq[Seq[Int]] = {
+    val upd = LandingTable.withPartitionColumns(updates, cfg.partitionField)
+    val touched = touchedPartitions(upd)
+    if (touched.isEmpty) return Nil
+    val dataCols = cfg.schema.fieldNames.toSeq
+    val survivors = LandingTable.read(spark, cfg)
+      .filter(partitionPredicate(touched))
+      .join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .select(dataCols.map(col): _*)
+    // merged frame holds exactly the touched partitions' rows => dynamic
+    // overwrite replaces exactly those directories, atomically per partition
+    LandingTable.overwritePartitions(
+      survivors.unionByName(updates.select(dataCols.map(col): _*)), cfg)
+    touched
+  }
+
+  /** Delete every row whose `keyCol` appears in `keys` (a one-column frame;
+    * assumed small relative to the table — a takedown list). Two passes:
+    * probe for affected partitions (column-pruned scan + broadcast semi
+    * join), then rewrite only those. Returns (touched, dropped) partition
+    * tuple lists, `dropped` ⊆ `touched` being partitions left empty and
+    * removed outright.
+    */
+  def deleteByKey(spark: SparkSession, cfg: IngestConfig, keys: DataFrame,
+      keyCol: String): (Seq[Seq[Int]], Seq[Seq[Int]]) = {
+    val keyList = keys.select(col(keys.columns.head).as(keyCol)).distinct()
+    val touched = touchedPartitions(
+      LandingTable.read(spark, cfg)
+        .join(broadcast(keyList), Seq(keyCol), "left_semi"))
+    if (touched.isEmpty) return (Nil, Nil)
+
+    val kept = LandingTable.read(spark, cfg)
+      .filter(partitionPredicate(touched))
+      .join(broadcast(keyList), Seq(keyCol), "left_anti")
+      .select(cfg.schema.fieldNames.map(col): _*)
+
+    // partitions with at least one survivor get rewritten; fully-emptied
+    // ones must be dropped by path (zero rows written = old files kept)
+    val nonEmpty = touchedPartitions(
+      LandingTable.withPartitionColumns(kept, cfg.partitionField))
+    val emptied = touched.diff(nonEmpty)
+    if (nonEmpty.nonEmpty)
+      LandingTable.overwritePartitions(
+        kept.filter(partitionPredicate(nonEmpty)), cfg)
+    if (emptied.nonEmpty) {
+      import org.apache.hadoop.fs.Path
+      val root = new Path(cfg.landingPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { case Seq(y, m, d, h) =>
+        fs.delete(new Path(root, f"year=$y%04d/month=$m%02d/day=$d%02d/hour=$h%02d"), true)
+      }
+    }
+    (touched, emptied)
+  }
+}

@@ -77,4 +77,30 @@ class PlanShapeSpec extends SparkSpec {
     // partial + final HashAggregate pair around the exchange
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q38: runtime bloom filter lands on the fact-scan side of the join") {
+    val tweaks = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = tweaks.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      tweaks.foreach { case (k, v) => spark.conf.set(k, v) }
+      val p = RelationalQueries.q38Plan(spark, sfDir)
+        .queryExecution.optimizedPlan.toString.toLowerCase
+      assert(p.contains("might_contain"),
+        s"expected injected bloom-filter predicate on l_orderkey, plan:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
+  test("q39: constant dims broadcast; fact joins shuffle on their keys") {
+    val p = plan("q39_tpch_deep")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // nation, region
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

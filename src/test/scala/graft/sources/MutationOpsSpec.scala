@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.core._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Partition-scoped mutations (MutationOps): the contract under test is not
+  * just the logical result (the oracle gate covers u1/u2) but the PHYSICAL
+  * scope — untouched partitions must keep their exact files, and a delete
+  * that empties a partition must remove its directory.
+  */
+class MutationOpsSpec extends SparkSpec {
+
+  val schema = StructType(Seq(
+    StructField("event_ts", TimestampType),
+    StructField("device_id", StringType),
+    StructField("bytes", LongType)))
+
+  private def row(hour: Int, dev: String, bytes: Long) = Row(
+    java.sql.Timestamp.valueOf(f"2023-06-27 $hour%02d:05:00"), dev, bytes)
+
+  private def frame(rows: Seq[Row]) = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def mkCfg(): IngestConfig = {
+    val landing = Files.createTempDirectory("graft-mut")
+    IngestConfig(sourceBase = "unused", landingPath = s"file:$landing",
+      schema = schema, partitionField = "event_ts", clusterField = "device_id")
+  }
+
+  private def filesOf(cfg: IngestConfig, hour: Int): Set[String] = {
+    val d = new java.io.File(
+      cfg.landingPath.stripPrefix("file:") +
+        f"/year=2023/month=06/day=27/hour=$hour%02d")
+    Option(d.listFiles()).map(_.filter(_.isFile).map(f =>
+      f.getName + ":" + f.lastModified()).toSet).getOrElse(Set.empty)
+  }
+
+  test("mergeByKey rewrites only the partitions the updates map to") {
+    val cfg = mkCfg()
+    LandingTable.overwritePartitions(frame(Seq(
+      row(10, "a", 1), row(10, "b", 2), row(11, "c", 3), row(12, "d", 4))), cfg)
+    val h11Before = filesOf(cfg, 11)
+    val h12Before = filesOf(cfg, 12)
+
+    // update key "a" (replace) + key "z" (insert), both in hour 10; the "a"
+    // row in hour 11 is OUT of merge scope (partition-local key contract)
+    val touched = MutationOps.mergeByKey(spark, cfg,
+      frame(Seq(row(10, "a", 100), row(10, "z", 200), row(11, "a", 300))),
+      Seq("device_id"))
+    assert(touched.toSet == Set(Seq(2023, 6, 27, 10), Seq(2023, 6, 27, 11)), touched)
+
+    // untouched partition keeps its exact files (name AND mtime)
+    assert(filesOf(cfg, 12) == h12Before)
+    assert(filesOf(cfg, 11) != h11Before, "hour 11 had an update => rewritten")
+
+    val got = LandingTable.read(spark, cfg)
+      .select("device_id", "bytes").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 100L), ("z", 200L), ("a", 300L), ("c", 3L),
+      ("b", 2L), ("d", 4L)), got)
+  }
+
+  test("deleteByKey removes rows, prunes untouched partitions, drops emptied dirs") {
+    val cfg = mkCfg()
+    LandingTable.overwritePartitions(frame(Seq(
+      row(10, "a", 1), row(10, "b", 2),   // hour 10: partially deleted
+      row(11, "a", 3),                    // hour 11: fully emptied
+      row(12, "d", 4))), cfg)             // hour 12: untouched
+    val h12Before = filesOf(cfg, 12)
+
+    import spark.implicits._
+    val (touched, emptied) = MutationOps.deleteByKey(
+      spark, cfg, Seq("a").toDF("k"), "device_id")
+    assert(touched.toSet == Set(Seq(2023, 6, 27, 10), Seq(2023, 6, 27, 11)), touched)
+    assert(emptied == Seq(Seq(2023, 6, 27, 11)), emptied)
+
+    assert(filesOf(cfg, 11).isEmpty, "emptied partition dir must be gone")
+    assert(filesOf(cfg, 12) == h12Before, "untouched partition must keep its files")
+    val got = LandingTable.read(spark, cfg)
+      .select("device_id", "bytes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("b" -> 2L, "d" -> 4L), got)
+  }
+
+  test("deleteByKey with no matching keys touches nothing") {
+    val cfg = mkCfg()
+    LandingTable.overwritePartitions(frame(Seq(row(10, "a", 1))), cfg)
+    val before = filesOf(cfg, 10)
+    import spark.implicits._
+    val (touched, emptied) = MutationOps.deleteByKey(
+      spark, cfg, Seq("nope").toDF("k"), "device_id")
+    assert(touched.isEmpty && emptied.isEmpty)
+    assert(filesOf(cfg, 10) == before)
+  }
+}
