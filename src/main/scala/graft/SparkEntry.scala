@@ -88,6 +88,7 @@ object SparkEntry {
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st5_sliding_window" -> (IP.st5SlidingWindow _),
+    "st6_stream_outer_join" -> (IP.st6StreamOuterJoin _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
@@ -559,6 +560,31 @@ object SparkEntry {
         | AND day(v.ts) < 10 AND day(p.ts) < 10
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |GROUP BY v.user_id""".stripMargin,
+    "st6_stream_outer_join" ->
+      """WITH v AS (
+        | SELECT user_id AS vu, ts AS vts, event_id AS vid FROM events
+        | WHERE event_type = 'view' AND day(ts) = 1),
+        |p AS (
+        | SELECT user_id AS pu, ts AS pts, event_id AS pid FROM events
+        | WHERE event_type = 'purchase' AND day(ts) = 1),
+        |wm AS (
+        | SELECT least((SELECT max(epoch_us(vts)) FROM v),
+        |              (SELECT max(epoch_us(pts)) FROM p)) // 1000
+        |        - 2400000 AS w_ms),
+        |matched AS (
+        | SELECT vu AS user_id, vid, pid FROM v JOIN p
+        | ON vu = pu AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE),
+        |unmatched AS (
+        | SELECT vu AS user_id, vid, CAST(NULL AS BIGINT) AS pid FROM v
+        | WHERE NOT EXISTS (SELECT 1 FROM p
+        |   WHERE pu = vu AND pts >= vts AND pts <= vts + INTERVAL 30 MINUTE)
+        |  AND (epoch_us(vts) + 1800000000) // 1000 < (SELECT w_ms FROM wm)),
+        |allr AS (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+        |SELECT user_id, count(*) AS n_rows,
+        | CAST(count(pid) AS BIGINT) AS n_matched,
+        | CAST(sum(vid) AS BIGINT) AS sum_v_id,
+        | CAST(sum(pid) AS BIGINT) AS sum_p_id
+        |FROM allr GROUP BY user_id""".stripMargin,
     "d21_repetition" ->
       """WITH base AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),

@@ -307,6 +307,56 @@ object IngestParityQueries {
         sum(col("user_id")).as("sum_user_ids"))
   }
 
+  /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner
+    * join surface. A view with no purchase within 30 minutes cannot emit
+    * eagerly (a matching purchase may still arrive); it emits null-extended
+    * only once the watermark proves its whole join window [v_ts, v_ts+30m]
+    * is closed. That deferred null-emission is exactly what distinguishes a
+    * streaming outer join from the batch one, and it is the part the oracle
+    * pins: matched pairs equal the batch interval join; null rows appear
+    * for precisely the unmatched views with `v_ts + 30min` strictly below
+    * the final watermark = min(side maxima, ms-floored) - 40min. Unmatched
+    * views inside the horizon stay in state (would emit on the next batch
+    * of a live stream) and must NOT appear. Scope is glob-pruned to day=01
+    * — outer-join state is per-row, so the demo bounds input by directory
+    * pruning like st3.
+    */
+  def st6StreamOuterJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("outer-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st6_outer_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    def stream() = spark.readStream
+      .schema(eventsSchema)
+      .options(CsvOptions.toReaderOptions(CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+    val views = stream().filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+      .withWatermark("v_ts", "40 minutes")
+    val purchases = stream().filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"))
+      .withWatermark("p_ts", "40 minutes")
+    val joined = views.join(purchases, expr(
+      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = joined
+      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_id")).as("n_matched"),
+        sum(col("v_id")).as("sum_v_id"),
+        sum(col("p_id")).as("sum_p_id"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
