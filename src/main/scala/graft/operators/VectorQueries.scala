@@ -273,34 +273,55 @@ object VectorQueries {
         col("vec_id").cast("int").as("k"), col("embedding").as("v")))).as("cm"))
       .select((0 until K).map(c => element_at(col("cm"), c).as(s"c$c")): _*)
 
+    // Sub-dot of dims [m*sub+1, m*sub+sub] as a fold: seeding at 0.0 makes
+    // the FP sum bit-identical to the unrolled left-to-right form
+    // (0.0 + t1 == t1), so the decimal cast — and the oracle — see exactly
+    // the values the element_at-unrolled version produced, at ~1/4 the
+    // expression nodes (the e8 trick applied per subspace).
     def sdec(a: Column, b: Column, m: Int): Column =
-      (1 to sub).map(i =>
-        element_at(a, m * sub + i).cast("double") *
-          element_at(b, m * sub + i).cast("double"))
-        .reduce(_ + _).cast("decimal(20,6)")
-    def codeM(v: Column, m: Int): Column = {
-      val s = (0 until K).map(c => sdec(v, col(s"c$c"), m))
+      aggregate(
+        zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
+
+    // Every (m, c) sub-dot is STAGED as a real column before the argmax /
+    // lookup consumes it. The when-chains reference each sub-dot up to four
+    // times; inlined, that multiplies the ~25-node dot products into a
+    // several-thousand-node tree whose per-run Janino compile dwarfs the
+    // actual work (2 k vectors). Multi-referenced aliases survive
+    // CollapseProject, so the staged form keeps the tree (and codegen) ~4x
+    // smaller with bit-identical decimal semantics.
+    def subDots(idCol: Column, idName: String, vec: Column)(df: DataFrame) =
+      df.select(idCol.as(idName) +:
+        (for { m <- 0 until M; c <- 0 until K }
+          yield sdec(vec, col(s"c$c"), m).as(s"s_${m}_$c")): _*)
+    def codeM(m: Int): Column = {
+      val s = (0 until K).map(c => col(s"s_${m}_$c"))
       when(s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3), 0)
         .when(s(1) >= s(2) && s(1) >= s(3), 1)
         .when(s(2) >= s(3), 2)
         .otherwise(3)
     }
-    val codes = emb.crossJoin(broadcast(cents))
-      .select(col("vec_id").as("neighbor_id"),
-        array((0 until M).map(m => codeM(col("embedding"), m)): _*).as("code"))
+    val codes = subDots(col("vec_id"), "neighbor_id", col("embedding"))(
+      emb.crossJoin(broadcast(cents)))
+      .select(col("neighbor_id"),
+        array((0 until M).map(codeM): _*).as("code"))
 
-    val queries = emb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // the query's M×K ADC table, staged once per query row (10 rows)
+    val qtab = subDots(col("vec_id"), "query_id", col("embedding"))(
+      emb.filter(col("vec_id") < 10).crossJoin(broadcast(cents)))
+      .select(col("query_id") +:
+        (for { m <- 0 until M; c <- 0 until K }
+          yield col(s"s_${m}_$c").as(s"q_${m}_$c")): _*)
     val scoreDec = (0 until M).map { m =>
-      val qd = (0 until K).map(c => sdec(col("q_emb"), col(s"c$c"), m))
-      when(element_at(col("code"), m + 1) === 0, qd(0))
-        .when(element_at(col("code"), m + 1) === 1, qd(1))
-        .when(element_at(col("code"), m + 1) === 2, qd(2))
-        .otherwise(qd(3))
+      when(element_at(col("code"), m + 1) === 0, col(s"q_${m}_0"))
+        .when(element_at(col("code"), m + 1) === 1, col(s"q_${m}_1"))
+        .when(element_at(col("code"), m + 1) === 2, col(s"q_${m}_2"))
+        .otherwise(col(s"q_${m}_3"))
     }.reduce(_ + _)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-    codes.crossJoin(broadcast(queries)).crossJoin(broadcast(cents))
+    codes.crossJoin(broadcast(qtab))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("sim_dec", scoreDec.cast("decimal(24,6)"))
       .withColumn("rank", row_number().over(w))
