@@ -116,6 +116,7 @@ object SparkEntry {
     "u3_schema_drift" -> (MaintenanceQueries.u3SchemaDrift _),
     "c1_compact" -> (MaintenanceQueries.c1Compact _),
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
+    "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -917,6 +918,13 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE date_trunc('hour', ts) = (SELECT min(date_trunc('hour', ts)) FROM events)""".stripMargin,
+    "s3_sql_catalog" ->
+      """SELECT CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS cnt,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)
+        |GROUP BY 1""".stripMargin,
     "c2_manifest_skip" ->
       """WITH b AS (SELECT min(user_id) AS mn, max(user_id) AS mx FROM events)
         |SELECT user_id, count(*) AS cnt,

@@ -79,18 +79,32 @@ object IngestParityQueries {
           events0.filter(date_trunc("hour", col("ts")) ===
             events0.agg(min(date_trunc("hour", col("ts")))).collect()(0).getTimestamp(0))
         else events0
-      LandingTable.withPartitionColumns(events, "ts")
-        // co-locate each hour's rows into one task => one file per partition
-        // dir (matches the reference's per-hour file sets; avoids a storm of
-        // tiny files when hours >> tasks)
-        .repartition(LandingTable.PartitionCols.map(col): _*)
-        .write.mode("overwrite")
-        .partitionBy(LandingTable.PartitionCols: _*)
-        .options(CsvOptions.toWriterOptions(CsvOptions()))
-        .csv(s"file:$raw")
-      val written = new java.io.File(raw).listFiles()
-      require(written != null && written.exists(_.getName.startsWith("year=")),
-        s"parity TSV export produced no partition dirs under $raw")
+      // The export is fixture scaffolding (the operators under test are the
+      // scan/ingest side), so it is also memoized ACROSS JVMs: a marker
+      // records (sfDir, scope, row count); when it matches, the tree on disk
+      // is the same deterministic export this code would rewrite. Written
+      // only after a verified export, so a crash mid-write never leaves a
+      // valid marker on a partial tree.
+      val n = events.count()
+      val marker = new java.io.File(raw, "._export_ok")
+      val stamp = s"$sfDir|$firstHourOnly|$n"
+      val markerValid = marker.isFile &&
+        new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+      if (!markerValid) {
+        LandingTable.withPartitionColumns(events, "ts")
+          // co-locate each hour's rows into one task => one file per partition
+          // dir (matches the reference's per-hour file sets; avoids a storm of
+          // tiny files when hours >> tasks)
+          .repartition(LandingTable.PartitionCols.map(col): _*)
+          .write.mode("overwrite")
+          .partitionBy(LandingTable.PartitionCols: _*)
+          .options(CsvOptions.toWriterOptions(CsvOptions()))
+          .csv(s"file:$raw")
+        val written = new java.io.File(raw).listFiles()
+        require(written != null && written.exists(_.getName.startsWith("year=")),
+          s"parity TSV export produced no partition dirs under $raw")
+        java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+      }
       (s"file:$raw", s"file:$landing")
     })
 

@@ -157,6 +157,34 @@ object MaintenanceQueries {
         sum(col("quality").cast("decimal(30,6)")).cast("double").as("sum_quality"))
   }
 
+  /** s3_sql: the landing table as a CATALOG table — register the hive tree
+    * with recovered partitions ([[LandingMaintenance.register]], the S3 DDL
+    * analogue) and query it through `spark.sql` with a partition predicate,
+    * the way every downstream consumer of the reference's BigQuery table
+    * works. The WHERE on year/month/day prunes directories at planning (the
+    * catalog knows the partition values), and the require-partition-filter
+    * guard accepts it; an unfiltered scan of the same table is a plan-time
+    * error (IngestDemo shows that branch). Oracle restates the day slice
+    * from the original parquet.
+    */
+  def s3SqlCatalog(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("s3sql", sfDir)}")
+    LandingTable.overwritePartitions(base, cfg)
+    LandingMaintenance.register(spark, cfg, "graft_s3_events")
+
+    val day0 = base.select(date_trunc("day", col("ts")).as("d")).limit(1)
+      .collect()(0).getTimestamp(0).toLocalDateTime
+    spark.sql(
+      f"""SELECT CAST(hour AS INT) AS hr, count(*) AS cnt,
+         | sum(user_id) AS sum_uid,
+         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+         |FROM graft_s3_events
+         |WHERE year = '${day0.getYear}%04d' AND month = '${day0.getMonthValue}%02d'
+         |  AND day = '${day0.getDayOfMonth}%02d'
+         |GROUP BY hour""".stripMargin)
+  }
+
   /** c2: file-level min/max skipping on the cluster column — data skipping
     * BELOW partition granularity via [[FileStatsManifest]]. The table is
     * range-laid-out on user_id (16 disjoint-range files), the manifest

@@ -41,13 +41,20 @@ object FileStatsManifest {
 
   val ManifestDirName = "_manifest"
 
-  /** One manifest row per data file: path, row count, per-column min/max. */
-  def collect(spark: SparkSession, root: String, statCols: Seq[String]): DataFrame =
-    spark.read.option("basePath", root).parquet(root)
-      .groupBy(col("_metadata.file_path").as("file"))
+  /** One manifest row per data file: path, row count, per-column min/max.
+    * `paths` narrows the scan to specific files (incremental update); empty
+    * means the whole tree.
+    */
+  def collect(spark: SparkSession, root: String, statCols: Seq[String],
+      paths: Seq[String] = Seq.empty): DataFrame = {
+    val src =
+      if (paths.isEmpty) spark.read.option("basePath", root).parquet(root)
+      else spark.read.option("basePath", root).parquet(paths: _*)
+    src.groupBy(col("_metadata.file_path").as("file"))
       .agg(count(lit(1)).as("n_rows"),
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+  }
 
   /** Build and persist the manifest for `root` (single parquet file — the
     * manifest has one row per data file; a 100 TB tree with 10^6 files is a
@@ -56,6 +63,34 @@ object FileStatsManifest {
   def write(spark: SparkSession, root: String, statCols: Seq[String]): Unit =
     collect(spark, root, statCols).coalesce(1)
       .write.mode("overwrite").parquet(s"${root.stripSuffix("/")}/$ManifestDirName")
+
+  /** Incremental manifest maintenance: scan ONLY files the manifest does
+    * not know, drop entries for files that no longer exist (compaction /
+    * partition overwrite), keep every still-valid row untouched. Cost is
+    * O(new files' bytes) + O(manifest rows), never a full-tree rescan —
+    * after an hourly ingest at 100 TB the update reads one hour, not the
+    * table. Returns (filesScanned, filesTotal). Requires an existing
+    * manifest ([[write]] bootstraps).
+    */
+  def update(spark: SparkSession, root: String, statCols: Seq[String]): (Int, Int) = {
+    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val mDir = s"${root.stripSuffix("/")}/$ManifestDirName"
+    val old = spark.read.parquet(mDir)
+    val fileIdx = old.schema.fieldIndex("file")
+    val live = liveFiles(spark, root)
+    val liveSet = live.map(norm).toSet
+    // manifest is one row per file by construction — driver-small
+    val kept = old.collect().filter(r => liveSet(norm(r.getString(fileIdx))))
+    val knownSet = kept.map(r => norm(r.getString(fileIdx))).toSet
+    val newFiles = live.filterNot(p => knownSet(norm(p)))
+    val fresh =
+      if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else collect(spark, root, statCols, newFiles).collect()
+    spark.createDataFrame(
+      java.util.Arrays.asList(kept ++ fresh: _*), old.schema)
+      .coalesce(1).write.mode("overwrite").parquet(mDir)
+    (newFiles.length, live.length)
+  }
 
   /** All current data-file paths under `root` (what a scan would read). */
   private def liveFiles(spark: SparkSession, root: String): Seq[String] = {

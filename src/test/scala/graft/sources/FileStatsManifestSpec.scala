@@ -44,5 +44,17 @@ class FileStatsManifestSpec extends SparkSpec {
     assert(got == (100L until 110L).toSet,
       s"rows in the unmanifested file must survive pruning: $got")
     assert(nSel >= 1)
+
+    // incremental update scans ONLY the one new file, after which pruning
+    // on the new range needs exactly one file
+    val (scanned, total) = FileStatsManifest.update(spark, s"file:$dir", Seq("id"))
+    assert(scanned == 1 && total == 6, s"($scanned, $total)")
+    val (df2, nSel2, nTot2) = FileStatsManifest.prunedRead(spark, s"file:$dir", "id", 100, 200)
+    assert(nSel2 == 1 && nTot2 == 6, s"($nSel2, $nTot2)")
+    assert(df2.select("id").collect().map(_.getLong(0)).toSet == (100L until 110L).toSet)
+
+    // idempotent: nothing new => nothing scanned, manifest unchanged
+    val (scanned2, _) = FileStatsManifest.update(spark, s"file:$dir", Seq("id"))
+    assert(scanned2 == 0, s"re-update scanned $scanned2 files")
   }
 }
