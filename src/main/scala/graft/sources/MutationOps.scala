@@ -39,7 +39,7 @@ object MutationOps {
     * deterministic predicate over partition columns only ⇒ Catalyst prunes
     * at planning, no file of an untouched partition is ever listed.
     */
-  private def partitionPredicate(touched: Seq[Seq[Int]]): Column =
+  private[sources] def partitionPredicate(touched: Seq[Seq[Int]]): Column =
     touched.map { tuple =>
       LandingTable.PartitionCols.zip(tuple).map { case (c, v) =>
         col(c).cast("int") === lit(v)

@@ -87,6 +87,22 @@ class MutationOpsSpec extends SparkSpec {
     assert(got == Map("b" -> 2L, "d" -> 4L), got)
   }
 
+  test("the touched-partition predicate prunes at planning, not at runtime") {
+    val cfg = mkCfg()
+    LandingTable.overwritePartitions(frame(Seq(
+      row(10, "a", 1), row(11, "b", 2), row(12, "c", 3), row(13, "d", 4))), cfg)
+    val pruned = LandingTable.read(spark, cfg)
+      .filter(MutationOps.partitionPredicate(Seq(Seq(2023, 6, 27, 11))))
+    val scans = pruned.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, pruned.queryExecution.sparkPlan.toString)
+    // 1 of 4 hour directories selected => no file of the other 3 is listed,
+    // the physical backing of the "cost ∝ partitions touched" contract
+    assert(scans.head.selectedPartitions.partitionCount == 1,
+      s"expected 1 selected partition dir, got ${scans.head.selectedPartitions.partitionCount}")
+  }
+
   test("deleteByKey with no matching keys touches nothing") {
     val cfg = mkCfg()
     LandingTable.overwritePartitions(frame(Seq(row(10, "a", 1))), cfg)
