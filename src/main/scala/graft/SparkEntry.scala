@@ -117,6 +117,9 @@ object SparkEntry {
     "c1_compact" -> (MaintenanceQueries.c1Compact _),
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
+    "q40_hof" -> (R.q40Hof _),
+    "q41_datetime" -> (R.q41Datetime _),
+    "q42_percentile" -> (R.q42Percentile _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -934,6 +937,49 @@ object SparkEntry {
         |WHERE user_id BETWEEN (SELECT mn + (mx - mn) // 4 FROM b)
         | AND (SELECT mn + (mx - mn) // 2 FROM b)
         |GROUP BY user_id""".stripMargin,
+    "q40_hof" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        | len(list_filter(embedding, x -> x > 0)) AS n_pos,
+        | CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_val,
+        | CAST(list_position(embedding,
+        |   list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_pos,
+        | len(list_filter(embedding, x -> x > 0.5)) > 0 AS has_gt_half,
+        | CAST(CAST(list_aggregate(list_transform(
+        |   list_sort(embedding, 'DESC')[1:3], x -> CAST(x AS DOUBLE)), 'sum')
+        |  AS DECIMAL(20,6)) AS DOUBLE) AS top3_sum,
+        | CAST(CAST(list_aggregate(list_transform(range(1, len(embedding)+1),
+        |   i -> CAST(embedding[i] AS DOUBLE) *
+        |        CAST(embedding[len(embedding)+1-i] AS DOUBLE)), 'sum')
+        |  AS DECIMAL(20,6)) AS DOUBLE) AS selfrev_dot
+        |FROM embeddings""".stripMargin,
+    "q41_datetime" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate AS DATE) AS od,
+        | CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | CAST(o_orderdate AS DATE) + CAST(
+        |   CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+        |        ELSE (8 - isodow(o_orderdate)) % 7 END AS INTEGER) AS next_mon,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01')
+        |   AS INTEGER) AS days_to_96,
+        | CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+        | CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        | CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        | CAST(week(o_orderdate) AS INTEGER) AS woy,
+        | CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr_start,
+        | epoch_ms(o_orderdate) // 1000 AS epoch_s
+        |FROM orders""".stripMargin,
+    "q42_percentile" ->
+      """SELECT l_returnflag,
+        | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty,
+        | percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50_qty,
+        | percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90_qty,
+        | CAST(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+        |   AS DECIMAL(20,6)) AS DOUBLE) AS med_price,
+        | CAST(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+        |   AS DECIMAL(20,6)) AS DOUBLE) AS p95_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e11PqAdc]] — the same

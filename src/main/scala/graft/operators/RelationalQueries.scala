@@ -782,4 +782,78 @@ object RelationalQueries {
           .as("revenue"),
         count(lit(1)).as("n_items"))
   }
+
+  /** q40: higher-order array functions — filter/exists/transform/aggregate/
+    * zip_with/sort/slice over the embedding column, the row-local array
+    * algebra a feature-engineering pass is made of. Everything is per-row
+    * (zero shuffle, one scan, stays in whole-stage codegen); outputs are
+    * order-independent or integer-valued, and the two float folds round
+    * through DECIMAL(20,6) so the oracle hash-matches bit-for-bit.
+    */
+  def q40Hof(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = col("embedding")
+    def fold(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0.0), (acc, v) => acc + v)
+    table(spark, sfDir, "embeddings").select(
+      col("vec_id"),
+      size(e).as("dim"),
+      size(filter(e, x => x > lit(0f))).as("n_pos"),
+      array_max(e).cast("double").as("max_val"),
+      array_position(e, array_max(e)).as("argmax_pos"),
+      exists(e, x => x > lit(0.5f)).as("has_gt_half"),
+      fold(transform(slice(sort_array(e, asc = false), 1, 3),
+        x => x.cast("double")))
+        .cast("decimal(20,6)").cast("double").as("top3_sum"),
+      fold(zip_with(e, reverse(e),
+        (x, y) => x.cast("double") * y.cast("double")))
+        .cast("decimal(20,6)").cast("double").as("selfrev_dot"))
+  }
+
+  /** q41: date/interval arithmetic suite — month arithmetic with end-of-month
+    * clamping, calendar parts (ISO week, quarter, day-of-week/-year),
+    * next-weekday, day differences, quarter truncation, epoch seconds. One
+    * projection over a single scan (no shuffle at any scale); Spark and the
+    * oracle agree because the session timezone is pinned to UTC and every
+    * output is a DATE or an integer (no fractional time arithmetic).
+    */
+  def q41Datetime(spark: SparkSession, sfDir: String): DataFrame = {
+    val od = to_date(col("o_orderdate"))
+    table(spark, sfDir, "orders").select(
+      col("o_orderkey"),
+      od.as("od"),
+      add_months(od, 3).as("plus3m"),
+      last_day(od).as("eom"),
+      next_day(od, "Monday").as("next_mon"),
+      datediff(lit("1996-01-01").cast("date"), od).as("days_to_96"),
+      quarter(od).as("qtr"),
+      dayofweek(od).as("dow"),
+      dayofyear(od).as("doy"),
+      weekofyear(od).as("woy"),
+      date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr_start"),
+      unix_timestamp(col("o_orderdate")).as("epoch_s"))
+  }
+
+  /** q42: exact distribution statistics — SQL-standard inverse-distribution
+    * aggregates (`percentile_disc` = smallest value whose cumulative
+    * distribution reaches p, `percentile_cont` = linear interpolation),
+    * grouped by return flag. Exact percentiles sort within each group —
+    * the expensive-but-correct sibling of q17's sketches (at 100 TB you run
+    * q17's approx_percentile unless the SLA demands exactness; both are now
+    * covered). Interpolated values round through DECIMAL(20,6) to absorb
+    * sub-ulp interpolation differences between engines.
+    */
+  def q42Percentile(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "lineitem").createOrReplaceTempView("q42_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty,
+        | percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50_qty,
+        | percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90_qty,
+        | CAST(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+        |   AS DECIMAL(20,6)) AS DOUBLE) AS med_price,
+        | CAST(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+        |   AS DECIMAL(20,6)) AS DOUBLE) AS p95_price,
+        | count(*) AS n
+        |FROM q42_lineitem GROUP BY l_returnflag""".stripMargin)
+  }
 }

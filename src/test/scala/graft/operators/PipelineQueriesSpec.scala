@@ -103,4 +103,45 @@ class PipelineQueriesSpec extends SparkSpec {
     val got = IngestParityQueries.st1StreamingHourly(spark, sfDir)
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
+
+  test("q40: argmax position indexes the max element; top3 bounds the rest") {
+    val r = RelationalQueries.q40Hof(spark, sfDir)
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val j = r.join(emb, "vec_id")
+    assert(j.filter(col("argmax_pos") < 1 || col("argmax_pos") > col("dim")).isEmpty)
+    assert(j.filter(
+      element_at(col("embedding"), col("argmax_pos").cast("int")).cast("double")
+        =!= col("max_val")).isEmpty)
+    // top3_sum can never fall below 3× any non-top-3 element's contribution
+    assert(r.filter(col("top3_sum") < col("max_val")).isEmpty)
+  }
+
+  test("q41: next_mon is the first strictly-later Monday; plus3m clamps") {
+    val r = RelationalQueries.q41Datetime(spark, sfDir)
+    assert(r.filter(dayofweek(col("next_mon")) =!= 2).isEmpty)
+    val gap = datediff(col("next_mon"), col("od"))
+    assert(r.filter(gap < 1 || gap > 7).isEmpty)
+    // add_months never overflows into the following month
+    assert(r.filter(month(col("plus3m")) =!= month(add_months(col("od"), 3))).isEmpty)
+    assert(r.filter(col("eom") < col("od")).isEmpty)
+  }
+
+  test("q42: disc percentiles are members of the group; cont is bracketed") {
+    val li = RelationalQueries.table(spark, sfDir, "lineitem")
+    val r = RelationalQueries.q42Percentile(spark, sfDir)
+    val members = li.select(col("l_returnflag"), col("l_quantity")).distinct()
+    // each percentile_disc output is an actual quantity of its group
+    for (c <- Seq("q25_qty", "q50_qty", "q90_qty"))
+      assert(r.join(members,
+        r("l_returnflag") === members("l_returnflag") &&
+          r(c) === members("l_quantity"), "left_anti").isEmpty, c)
+    val bounds = li.groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+    assert(r.join(bounds, "l_returnflag")
+      .filter(col("med_price") < col("mn") || col("p95_price") > col("mx") ||
+        col("med_price") > col("p95_price")).isEmpty)
+    assert(r.filter(col("q25_qty") > col("q50_qty") ||
+      col("q50_qty") > col("q90_qty")).isEmpty)
+  }
 }
