@@ -120,6 +120,8 @@ object SparkEntry {
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
+    "d22_segment_dedup" -> (T.d22SegmentDedup _),
+    "d23_packing" -> (T.d23Packing _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -980,6 +982,42 @@ object SparkEntry {
         |   AS DECIMAL(20,6)) AS DOUBLE) AS p95_price,
         | count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "d22_segment_dedup" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |inst AS (
+        | SELECT doc_id,
+        |  CAST('0x' || substr(md5(unnest(list_transform(
+        |    range(0, CAST(ceil(len(t) / 10.0) AS BIGINT)),
+        |    g -> array_to_string(t[g*10+1 : g*10+10], ' ')))), 1, 15)
+        |   AS BIGINT) AS h
+        | FROM toks),
+        |gc AS (SELECT h, count(*) AS c FROM inst GROUP BY h)
+        |SELECT doc_id, count(*) AS n_segments,
+        | CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_dup_segments,
+        | CAST(CAST(CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |   / count(*) AS DECIMAL(10,6)) AS DOUBLE) AS dup_ratio
+        |FROM inst JOIN gc USING (h)
+        |GROUP BY doc_id""".stripMargin,
+    "d23_packing" ->
+      """WITH toks AS (
+        | SELECT doc_id, source,
+        |  len(string_split_regex(trim(text), '\s+')) AS n
+        | FROM documents),
+        |w AS (
+        | SELECT doc_id, source, n,
+        |  sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |               ROWS UNBOUNDED PRECEDING) AS cum
+        | FROM toks)
+        |SELECT source, CAST((cum - n) // 2048 AS BIGINT) AS bin,
+        | count(*) AS n_docs,
+        | CAST(sum(n) AS BIGINT) AS tot_tokens,
+        | min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        | CAST(CAST(CAST(sum(n) AS DOUBLE) / 2048 AS DECIMAL(10,6)) AS DOUBLE)
+        |   AS fill_ratio
+        |FROM w GROUP BY source, (cum - n) // 2048""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e11PqAdc]] — the same

@@ -221,4 +221,73 @@ object TextQueries {
         (col("n_tokens") >= 5 && col("distinct_ratio_dec") >= 0.3 &&
           col("top_bigram_frac_dec") <= 0.2).as("keep"))
   }
+
+  /** d22: segment-level corpus deduplication (the CCNet/RefinedWeb paragraph
+    * dedup, at fixed 10-token segment granularity since the synthetic corpus
+    * has no paragraph breaks) — each document is cut into non-overlapping
+    * 10-token windows, every window instance is hashed, and an instance is a
+    * duplicate when its hash occurs ≥ 2 times corpus-wide. Reported per
+    * document: segment count, duplicated-segment count, duplication ratio.
+    *
+    * Scale shape: tokens are staged as a real column (one tokenize per row),
+    * the segment build is row-local array math, and the only shuffles carry
+    * (60-bit hash) keys — first the global occurrence count (map-side
+    * partial agg), then the hash-keyed join back and the doc_id re-agg.
+    * Document bodies never shuffle; this is the same bytes-per-row budget
+    * as d1/d13 and survives a 100-TB corpus.
+    */
+  def d22SegmentDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.h60
+    val t = col("t")
+    val segs = transform(
+      sequence(lit(0), ceil(size(t).cast("double") / 10.0).cast("int") - 1),
+      g => concat_ws(" ", slice(t, g * 10 + 1, lit(10))))
+    val inst = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(segs).as("seg"))
+      .select(col("doc_id"), h60(col("seg")).as("h"))
+    val counts = inst.groupBy("h").agg(count(lit(1)).as("c"))
+    inst.join(counts, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_segments"))
+      .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+        (col("n_dup_segments").cast("double") / col("n_segments"))
+          .cast("decimal(10,6)").cast("double").as("dup_ratio"))
+  }
+
+  /** d23: sequence packing — the pre-tokenization step that packs documents
+    * into fixed token-budget bins (2048 here) for training-batch assembly.
+    * Deterministic contiguous packing: within each source stratum, documents
+    * are laid out in doc_id order and a document starts the bin its
+    * exclusive prefix-sum of token counts falls into (documents may straddle
+    * a boundary — the contiguous-layout convention, where the tokenizer
+    * splits at the boundary). Reported per (source, bin): document count,
+    * token total, id range, and fill ratio.
+    *
+    * Scale shape: the prefix sum is a window per SOURCE stratum, not a
+    * global sort — strata are the parallel unit exactly like the per-shard
+    * packing of a real pipeline (swap `source` for the file/partition id at
+    * 100 TB and no single task ever sees more than a shard). The window
+    * input is (source, doc_id, n) — 24 bytes/row, not the text.
+    */
+  def d23Packing(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .withColumn("bin", expr("(cum - n) div 2048"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("tot_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .withColumn("fill_ratio",
+        (col("tot_tokens").cast("double") / lit(2048.0))
+          .cast("decimal(10,6)").cast("double"))
+  }
 }
