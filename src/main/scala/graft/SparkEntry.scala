@@ -122,6 +122,10 @@ object SparkEntry {
     "q42_percentile" -> (R.q42Percentile _),
     "d22_segment_dedup" -> (T.d22SegmentDedup _),
     "d23_packing" -> (T.d23Packing _),
+    "d24_pii_redact" -> (T.d24PiiRedact _),
+    "d25_decontaminate" -> (T.d25Decontaminate _),
+    "d26_domain_mix" -> (T.d26DomainMix _),
+    "d27_quality_classifier" -> (T.d27QualityClassifier _),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1018,6 +1022,74 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(n) AS DOUBLE) / 2048 AS DECIMAL(10,6)) AS DOUBLE)
         |   AS fill_ratio
         |FROM w GROUP BY source, (cum - n) // 2048""".stripMargin,
+    "d24_pii_redact" ->
+      """WITH salted AS (
+        | SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |    || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS raw
+        | FROM documents)
+        |SELECT doc_id,
+        | len(regexp_extract_all(raw,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        | len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS n_phones,
+        | len(regexp_extract_all(raw,
+        |   '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS n_ips,
+        | regexp_replace(
+        |   regexp_replace(
+        |     regexp_replace(raw, '\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+        |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |   '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
+        |FROM salted""".stripMargin,
+    "d25_decontaminate" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |sh AS (
+        | SELECT DISTINCT doc_id,
+        |  CAST('0x' || substr(md5(
+        |    array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15)
+        |   AS BIGINT) AS h
+        | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+        |       FROM toks WHERE len(t) >= 5) u),
+        |ev AS (SELECT doc_id AS eval_id, h FROM sh WHERE doc_id % 40 = 0),
+        |tr AS (SELECT doc_id, h FROM sh WHERE doc_id % 40 <> 0)
+        |SELECT tr.doc_id, count(DISTINCT tr.h) AS leaked_shingles,
+        | count(DISTINCT ev.eval_id) AS eval_docs_hit
+        |FROM tr JOIN ev USING (h)
+        |GROUP BY tr.doc_id""".stripMargin,
+    "d26_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS total FROM documents GROUP BY source),
+        |m AS (SELECT min(total) AS min_total FROM c),
+        |r AS (
+        | SELECT source, total,
+        |  CAST(floor(100.0 * sqrt(CAST(min_total AS DOUBLE)
+        |    / CAST(total AS DOUBLE))) AS INT) AS keep_pct
+        | FROM c CROSS JOIN m),
+        |b AS (
+        | SELECT source,
+        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 AS b
+        | FROM documents)
+        |SELECT r.source, r.total, r.keep_pct,
+        | CAST(sum(CASE WHEN b.b < r.keep_pct THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS kept
+        |FROM b JOIN r USING (source)
+        |GROUP BY r.source, r.total, r.keep_pct""".stripMargin,
+    "d27_quality_classifier" ->
+      """WITH f AS (
+        | SELECT doc_id, length(text) AS len,
+        |  len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |  length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct_cnt,
+        |  length(regexp_replace(text, '[^aeiou]', '', 'g')) AS vowel_cnt
+        | FROM documents)
+        |, s AS (
+        | SELECT doc_id,
+        |  CAST(-2.0 AS DOUBLE) + CAST(0.004 AS DOUBLE) * len
+        |   - CAST(0.05 AS DOUBLE) * n_tokens
+        |   + CAST(0.02 AS DOUBLE) * vowel_cnt
+        |   - CAST(0.8 AS DOUBLE) * punct_cnt AS logit
+        | FROM f)
+        |SELECT doc_id, logit, logit > 0.0 AS keep FROM s""".stripMargin,
   )
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e11PqAdc]] — the same

@@ -290,4 +290,130 @@ object TextQueries {
         (col("tot_tokens").cast("double") / lit(2048.0))
           .cast("decimal(10,6)").cast("double"))
   }
+
+  /** d24: PII detection + redaction — the scrub pass every training corpus
+    * runs before the tokenizer: regex families for emails, phone numbers and
+    * IPv4 addresses are counted and masked with typed placeholders. The
+    * synthetic corpus carries no PII, so each document is deterministically
+    * salted with one of each kind (derived from `doc_id`, identically on
+    * both engines) and the redactor has real work to do; swap the salt for
+    * the raw text in production.
+    *
+    * The patterns stay in the RE2 ∩ java.util.regex common subset (char
+    * classes, bounded counts — no backrefs or lookaround) so Spark and the
+    * oracle agree byte-for-byte. Row-local scan, zero shuffle; regexes are
+    * the accepted cost of a scrub pass (three anchored-literal families,
+    * not catastrophic-backtracking candidates).
+    */
+  def d24PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+1-555-[0-9]{4}"
+    val ip = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val salted = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"), lit("@example.com"),
+      lit(" call +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"), lit(".7"))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), salted.as("raw"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(phone), lit(0))).as("n_phones"),
+        size(regexp_extract_all(col("raw"), lit(ip), lit(0))).as("n_ips"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), phone, "<PHONE>"),
+            email, "<EMAIL>"),
+          ip, "<IP>").as("redacted"))
+  }
+
+  /** d25: benchmark decontamination — flag training documents sharing any
+    * 5-token shingle with a held-out eval set (the n-gram-overlap test-set
+    * leak check run before every pretraining job; eval membership here is
+    * `doc_id % 40 = 0` standing in for the benchmark corpus). Reported per
+    * contaminated train doc: distinct leaked shingles and distinct eval
+    * docs hit.
+    *
+    * Scale shape: both sides reduce to DISTINCT (doc, shingle-hash) pairs
+    * before the join, so the shuffle carries 60-bit keys — never text — and
+    * the eval side of a real run (a few thousand benchmark docs) broadcasts.
+    * The contaminated-pair set is bounded by eval size × band width, the
+    * same bounded-candidate argument as d13.
+    */
+  def d25Decontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.h60
+    val t = col("t")
+    val grams = when(size(t) >= 5,
+      transform(sequence(lit(1), size(t) - 4),
+        i => concat_ws(" ", slice(t, i, lit(5)))))
+      .otherwise(array().cast("array<string>"))
+    val shingled = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), h60(col("g")).as("h"))
+      .distinct()
+    val eval_ = shingled.filter(col("doc_id") % 40 === 0)
+      .select(col("doc_id").as("eval_id"), col("h"))
+    val train = shingled.filter(col("doc_id") % 40 =!= 0)
+    train.join(broadcast(eval_), "h")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("leaked_shingles"),
+        countDistinct(col("eval_id")).as("eval_docs_hit"))
+  }
+
+  /** d26: domain temperature-resampling — the multilingual/multi-source
+    * mixture rebalance (alpha = 0.5 sampling): each source keeps documents
+    * at a rate ∝ sqrt(smallest-source share), flattening the domain
+    * distribution without upsampling. The keep decision reuses d18's
+    * content-keyed h60 systematic sampler, so the selected subset is
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Determinism of the rate itself: `floor(100·sqrt(min_cnt/cnt))` uses
+    * only IEEE-exact ops (divide, sqrt, multiply are correctly rounded;
+    * inputs are exact integers), so both engines compute the identical
+    * integer threshold. Per-source counts are one tiny partial-agg pass
+    * broadcast back; the sampling scan is shuffle-free.
+    */
+  def d26DomainMix(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.h60
+    val docs = table(spark, sfDir, "documents")
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("total"))
+    val minCnt = counts.agg(min(col("total")).as("min_total"))
+    val rated = counts.crossJoin(broadcast(minCnt))
+      .select(col("source"), col("total"),
+        floor(lit(100.0) *
+          sqrt(col("min_total").cast("double") / col("total").cast("double")))
+          .cast("int").as("keep_pct"))
+    docs.select(col("source"),
+        pmod(h60(col("text")), lit(100L)).as("b"))
+      .join(broadcast(rated), "source")
+      .groupBy("source", "total", "keep_pct")
+      .agg(sum(when(col("b") < col("keep_pct"), 1L).otherwise(0L)).as("kept"))
+      .select(col("source"), col("total"), col("keep_pct"), col("kept"))
+  }
+
+  /** d27: quality-classifier inference — the learned half of quality
+    * filtering (d3 is the heuristic half): a logistic-regression scorer over
+    * d2's feature vector with frozen weights, evaluated as one codegen'd
+    * column expression per row. The margin (logit) is reported rather than
+    * the sigmoid so the oracle comparison is pure IEEE arithmetic — each
+    * weight·feature product and the left-to-right sum are correctly-rounded
+    * doubles over exact integer features, hence bit-identical across
+    * engines; `exp` carries no such guarantee. Classifier inference at
+    * 100 TB is exactly this shape: a broadcast-free, shuffle-free scan.
+    */
+  def d27QualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.cclass
+    val t = table(spark, sfDir, "documents")
+    val nTok = size(tokens(col("text")))
+    t.select(col("doc_id"),
+        length(col("text")).as("len"), nTok.as("n_tokens"),
+        cclass(col("text"), "count", ".!?,;:").as("punct_cnt"),
+        cclass(col("text"), "count", "aeiou").as("vowel_cnt"))
+      .select(col("doc_id"),
+        (lit(-2.0) + lit(0.004) * col("len") - lit(0.05) * col("n_tokens") +
+          lit(0.02) * col("vowel_cnt") - lit(0.8) * col("punct_cnt"))
+          .as("logit"))
+      .select(col("doc_id"), col("logit"), (col("logit") > 0.0).as("keep"))
+  }
 }
