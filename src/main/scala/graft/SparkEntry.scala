@@ -98,6 +98,7 @@ object SparkEntry {
     "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
+    "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
     "d20_cluster_clean" -> ((s, d) => D.d20ClusterClean(s, d)),
@@ -756,6 +757,7 @@ object SparkEntry {
     "e8_lsh_projections" -> e8OracleSql,
     "e11_pq_adc" -> e11OracleSql,
     "e12_quant_recall" -> e12OracleSql,
+    "e13_pq_refine" -> e13OracleSql,
     "e10_sq_knn" ->
       """WITH ex AS (
         | SELECT unnest(range(0, len(embedding))) AS pos, unnest(embedding) AS v
@@ -1096,7 +1098,10 @@ object SparkEntry {
     * M×K sub-dot tables, unrolled in the same order, decimal-rounded before
     * the argmax and before the sum, ties to the lowest centroid id.
     */
-  private def e11OracleSql: String = {
+  /** the WITH-chain through `ranked` shared by e11 (direct ADC top-k) and
+    * e13 (ADC shortlist + exact re-rank).
+    */
+  private def e11RankedBody: String = {
     val M = 8; val sub = 8; val K = 4
     def sdec(vec: String, cArr: String, m: Int): String = {
       val terms = (1 to sub).map(i =>
@@ -1133,10 +1138,41 @@ object SparkEntry {
        | SELECT query_id, neighbor_id, sim_dec,
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
-       | FROM scored)
+       | FROM scored)""".stripMargin
+  }
+
+  private def e11OracleSql: String =
+    s"""$e11RankedBody
        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS pq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
-  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e13PqRefine]] — e11's
+    * ranked ADC chain cut at shortlist=10, then exact cosine (e2's fold
+    * and decimal rounding) re-ranks the shortlist to the final top-3.
+    */
+  private def e13OracleSql: String =
+    s"""$e11RankedBody,
+       |short AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= 10),
+       |exact AS (
+       | SELECT sh.query_id, sh.neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |   AS DECIMAL(20,6)) AS sim_dec
+       | FROM short sh
+       | JOIN embeddings q ON q.vec_id = sh.query_id
+       | JOIN embeddings n ON n.vec_id = sh.neighbor_id),
+       |rr AS (
+       | SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM exact)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS refined_sim
+       |FROM rr WHERE rank <= 3""".stripMargin
 
   /** duckdb mirror of [[graft.operators.RelationalQueries.q37Zorder]] —
     * identical bit-interleave arithmetic, `//` for the integral division.

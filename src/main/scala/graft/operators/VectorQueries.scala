@@ -330,6 +330,41 @@ object VectorQueries {
         col("sim_dec").cast("double").as("pq_sim"))
   }
 
+  /** e13: two-stage ANN — PQ-ADC shortlist, exact re-rank (the standard
+    * IVF-PQ serving recipe: approximate distances prune N down to a
+    * per-query shortlist, exact arithmetic fixes the final order). Stage 1
+    * reuses e11's ADC scoring with a wider k (shortlist=10); stage 2 fetches
+    * the true vectors for ONLY those candidates and re-scores with e2's
+    * exact decimal-rounded cosine.
+    *
+    * Scale shape: the re-rank join touches `shortlist` rows per query —
+    * the query side (queries × shortlist pairs) broadcasts and the vector
+    * fetch is one hash-join probe of the embeddings scan; exact FLOPs are
+    * Q·shortlist·d instead of Q·N·d. Recall is whatever stage 1 delivers
+    * (e12 measures it); the re-rank can only improve the ordering.
+    */
+  def e13PqRefine(spark: SparkSession, sfDir: String, shortlist: Int = 10,
+      k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val cand = e11PqAdc(spark, sfDir, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val queries = emb.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb")).filter(col("query_id") < 10)
+    val sim = dot(col("q_emb"), col("embedding")) /
+      (sqrt(foldSum(col("q_emb"), x => x * x)) *
+        sqrt(foldSum(col("embedding"), x => x * x)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    emb.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(cand.join(broadcast(queries), "query_id")), "neighbor_id")
+      .withColumn("sim_dec", sim.cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("refined_sim"))
+  }
+
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
     * against the exact brute-force top-k (e2) — e7's quality-measurement
     * discipline applied to the compression paths: quantization loss is a
