@@ -88,6 +88,7 @@ object SparkEntry {
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st5_sliding_window" -> (IP.st5SlidingWindow _),
+    "st7_chained_agg" -> (IP.st7ChainedAgg _),
     "st6_stream_outer_join" -> (IP.st6StreamOuterJoin _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
@@ -678,6 +679,19 @@ object SparkEntry {
         |FROM events
         |GROUP BY date_trunc('hour', ts)
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+    "st7_chained_agg" ->
+      """WITH q AS (
+        | SELECT date_trunc('hour', ts) +
+        |   (minute(ts) // 15) * (INTERVAL 15 MINUTE) AS q_start,
+        |  count(*) AS cnt15
+        | FROM events GROUP BY 1)
+        |SELECT date_trunc('hour', q_start) AS hour_ts,
+        | count(*) AS n_quarters,
+        | CAST(sum(cnt15) AS BIGINT) AS cnt,
+        | max(cnt15) AS max_quarter
+        |FROM q GROUP BY 1
+        |HAVING date_trunc('hour', q_start) + INTERVAL 1 HOUR <=
         |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
     "st5_sliding_window" ->
       """WITH w AS (

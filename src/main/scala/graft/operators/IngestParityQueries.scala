@@ -371,6 +371,49 @@ object IngestParityQueries {
         sum(col("p_id")).as("sum_p_id"))
   }
 
+  /** st7: CHAINED stateful aggregation — two time-window aggregations in a
+    * single append-mode streaming query (the multiple-stateful-operator
+    * surface): events roll up into 15-minute windows, and those window rows
+    * re-aggregate window-over-window (`window(col("window"), "1 hour")`)
+    * into hourly rollups of quarter counts. This is the streaming form of a
+    * two-level pre-aggregation pyramid: the second operator's state holds
+    * (horizon / 1h) open hours of 4 rows each, regardless of event volume,
+    * because the first level already collapsed raw events.
+    *
+    * Emission semantics the oracle pins: both operators share the event-time
+    * watermark (final value max(ts) - 40min); a quarter emits when the
+    * watermark passes its end and flows to the hour aggregation within the
+    * same micro-batch, so the emitted hours are exactly those with
+    * `hour_end <= final watermark` — every quarter of such an hour has
+    * necessarily closed first. Hours still inside the horizon sit in
+    * second-level state and must NOT appear.
+    */
+  def st7ChainedAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("chain-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st7_chain_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val q = spark.readStream
+      .schema(eventsSchema)
+      .options(CsvOptions.toReaderOptions(CsvOptions()))
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .withWatermark("ts", "40 minutes")
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(count(lit(1)).as("cnt15"))
+      .groupBy(window(col("window"), "1 hour"))
+      .agg(count(lit(1)).as("n_quarters"), sum(col("cnt15")).as("cnt"),
+        max(col("cnt15")).as("max_quarter"))
+      .select(col("window.start").as("hour_ts"), col("n_quarters"),
+        col("cnt"), col("max_quarter"))
+      .writeStream.format("memory").queryName(qn)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(qn).select("hour_ts", "n_quarters", "cnt", "max_quarter")
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
