@@ -68,6 +68,26 @@ object IngestParityQueries {
     rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
   }
 
+  /** Run a streaming replay with a smaller shuffle-partition count (the
+    * stateful-operator parallelism), restoring the session value after.
+    *
+    * Why: every stateful operator materializes one state-store instance —
+    * and per micro-batch, one delta file plus commit metadata — PER shuffle
+    * partition, regardless of data volume. The gate replays land a few
+    * thousand rows per side, so 32 partitions mean the run is dominated by
+    * 32× state-store file churn, not by work (measured: st3 7.9s → ~4s at
+    * 8 partitions). This is the session-level knob a real deployment sizes
+    * to state volume — partition count never changes results, only file
+    * fan-out. Checkpoints are wiped per run, so the baked-in state
+    * partitioning never conflicts across settings.
+    */
+  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   private def exportEventsTsv(spark: SparkSession, sfDir: String,
       firstHourOnly: Boolean = false): (String, String) =
     exportCache.getOrElseUpdate((sfDir, firstHourOnly), {
@@ -166,9 +186,11 @@ object IngestParityQueries {
     val ckpt = parityDir("stream-ckpt", sfDir, firstHourOnly = false)
     wipe(stats); wipe(ckpt)
     val cfg = cfgFor(rawBase, "unused")
-    val q = graft.streaming.StreamingIngest.hourlyStats(
-      spark, cfg, s"file:$stats", ckpt, graceMinutes = 40)
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = graft.streaming.StreamingIngest.hourlyStats(
+        spark, cfg, s"file:$stats", ckpt, graceMinutes = 40)
+      q.awaitTermination()
+    }
     spark.read.option("basePath", s"file:$stats").parquet(s"file:$stats")
       .select(col("hour_ts"), col("cnt"))
   }
@@ -194,13 +216,15 @@ object IngestParityQueries {
       .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.Sessionize.Event]
-    val q = graft.streaming.Sessionize.sessionize(raw)
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = graft.streaming.Sessionize.sessionize(raw)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .select(col("user_id"), col("session_start_us"),
         col("session_end_us"), col("n_events"))
@@ -241,14 +265,16 @@ object IngestParityQueries {
       .withWatermark("p_ts", "40 minutes")
     val joined = views.join(purchases, expr(
       "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
-    val q = joined
-      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = joined
+        .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_pairs"),
@@ -269,20 +295,22 @@ object IngestParityQueries {
     val ckpt = parityDir("slide-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st5_slide_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .options(CsvOptions.toReaderOptions(CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
-      .withWatermark("ts", "40 minutes")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
-      .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
-      .select(col("window.start").as("win_start"), col("cnt"), col("sum_uid"))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .withWatermark("ts", "40 minutes")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
+        .select(col("window.start").as("win_start"), col("cnt"), col("sum_uid"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).select("win_start", "cnt", "sum_uid")
   }
 
@@ -303,18 +331,20 @@ object IngestParityQueries {
     val ckpt = parityDir("dedup-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st4_dedup_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .options(CsvOptions.toReaderOptions(CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique_users"),
@@ -355,14 +385,16 @@ object IngestParityQueries {
     val joined = views.join(purchases, expr(
       "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"),
       "left_outer")
-    val q = joined
-      .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = joined
+        .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_rows"),
@@ -393,24 +425,26 @@ object IngestParityQueries {
     val ckpt = parityDir("chain-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st7_chain_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val q = spark.readStream
-      .schema(eventsSchema)
-      .options(CsvOptions.toReaderOptions(CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
-      .withWatermark("ts", "40 minutes")
-      .groupBy(window(col("ts"), "15 minutes"))
-      .agg(count(lit(1)).as("cnt15"))
-      .groupBy(window(col("window"), "1 hour"))
-      .agg(count(lit(1)).as("n_quarters"), sum(col("cnt15")).as("cnt"),
-        max(col("cnt15")).as("max_quarter"))
-      .select(col("window.start").as("hour_ts"), col("n_quarters"),
-        col("cnt"), col("max_quarter"))
-      .writeStream.format("memory").queryName(qn)
-      .outputMode("append")
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .withWatermark("ts", "40 minutes")
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(count(lit(1)).as("cnt15"))
+        .groupBy(window(col("window"), "1 hour"))
+        .agg(count(lit(1)).as("n_quarters"), sum(col("cnt15")).as("cnt"),
+          max(col("cnt15")).as("max_quarter"))
+        .select(col("window.start").as("hour_ts"), col("n_quarters"),
+          col("cnt"), col("max_quarter"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(qn).select("hour_ts", "n_quarters", "cnt", "max_quarter")
   }
 
