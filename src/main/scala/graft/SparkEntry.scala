@@ -89,6 +89,7 @@ object SparkEntry {
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st5_sliding_window" -> (IP.st5SlidingWindow _),
     "st7_chained_agg" -> (IP.st7ChainedAgg _),
+    "st8_state_reader" -> (IP.st8StateReader _),
     "st6_stream_outer_join" -> (IP.st6StreamOuterJoin _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
@@ -119,9 +120,11 @@ object SparkEntry {
     "c1_compact" -> (MaintenanceQueries.c1Compact _),
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
+    "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
+    "q43_variant" -> (R.q43Variant _),
     "d22_segment_dedup" -> (T.d22SegmentDedup _),
     "d23_packing" -> (T.d23Packing _),
     "d24_pii_redact" -> (T.d24PiiRedact _),
@@ -315,6 +318,12 @@ object SparkEntry {
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events
         |GROUP BY (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)""".stripMargin,
+    "q43_variant" ->
+      """SELECT event_type AS et, 'fixed' AS tag1, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type""".stripMargin,
     "q13_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
@@ -1038,6 +1047,29 @@ object SparkEntry {
         | CAST(CAST(CAST(sum(n) AS DOUBLE) / 2048 AS DECIMAL(10,6)) AS DOUBLE)
         |   AS fill_ratio
         |FROM w GROUP BY source, (cum - n) // 2048""".stripMargin,
+    "st8_state_reader" ->
+      """WITH k AS (
+        | SELECT DISTINCT user_id, event_type FROM events WHERE day(ts) = 1)
+        |SELECT event_type, count(*) AS n_state_keys,
+        | CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+        |FROM k GROUP BY event_type""".stripMargin,
+    "u4_snapshot_diff" ->
+      """WITH day0 AS (
+        | SELECT event_id FROM events
+        | WHERE date_trunc('day', ts) =
+        |       (SELECT min(date_trunc('day', ts)) FROM events)),
+        |cls AS (
+        | SELECT event_id,
+        |  CASE WHEN event_id % 7 = 0 THEN 'delete'
+        |       WHEN event_id % 3 = 0 THEN 'update'
+        |       ELSE 'unchanged' END AS change_type
+        | FROM day0
+        | UNION ALL
+        | SELECT event_id + 1000000000, 'insert' FROM day0
+        | WHERE event_id % 5 = 0)
+        |SELECT change_type, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_key
+        |FROM cls GROUP BY change_type""".stripMargin,
     "d24_pii_redact" ->
       """WITH salted AS (
         | SELECT doc_id,

@@ -448,6 +448,43 @@ object IngestParityQueries {
     spark.table(qn).select("hour_ts", "n_quarters", "cnt", "max_quarter")
   }
 
+  /** st8: streaming-state OBSERVABILITY — the state-store data source. A
+    * dedup replay (st4's operator, scoped to day=01) leaves its key state in
+    * the checkpoint; `spark.read.format("statestore")` then reads that state
+    * back as a DataFrame and audits it: the keys held MUST be exactly the
+    * distinct (user_id, event_type) pairs of the input, which the oracle
+    * states directly from the parquet. This is the operational surface for
+    * debugging a production stream — state size/skew/content inspection
+    * without touching the running query — and the audit doubles as a
+    * correctness proof of the dedup operator's state contract.
+    */
+  def st8StateReader(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("stateread-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st8_state_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    withStreamShuffle(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.format("statestore").load(ckpt)
+      .select(col("key.user_id").as("user_id"),
+        col("key.event_type").as("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_state_keys"),
+        sum(col("user_id")).as("sum_user_ids"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.

@@ -214,4 +214,38 @@ object MaintenanceQueries {
         sum(col("event_id")).as("sum_eid"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
   }
+
+  /** u4: snapshot CDC — land day-1, apply the full mutation suite (u1's
+    * merge: value corrections for `event_id % 3 = 0`, inserts at shifted ids
+    * for `% 5 = 0`; then u2's takedown of `% 7 = 0` over the ORIGINAL ids),
+    * and diff the mutated table against the pre-mutation snapshot with
+    * [[MutationOps.snapshotDiff]]. The oracle restates the expected
+    * classification purely from the id arithmetic — delete beats update
+    * (the takedown runs last), inserts are exactly the shifted ids — so the
+    * hash fails if the diff misclassifies a single key.
+    */
+  def u4SnapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("u4", sfDir)}")
+    LandingTable.overwritePartitions(base, cfg)
+
+    val dataCols = eventsSchema.fieldNames.map(col).toSeq
+    val corrections = base.filter(col("event_id") % 3 === 0)
+      .withColumn("value", col("value") + lit(1000.0))
+      .withColumn("props", lit("updated"))
+    val inserts = base.filter(col("event_id") % 5 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("props", lit("inserted"))
+    MutationOps.mergeByKey(spark, cfg,
+      corrections.select(dataCols: _*).unionByName(inserts.select(dataCols: _*)),
+      Seq("event_id"))
+    MutationOps.deleteByKey(spark, cfg,
+      base.filter(col("event_id") % 7 === 0).select("event_id").distinct(),
+      "event_id")
+
+    MutationOps.snapshotDiff(base, LandingTable.read(spark, cfg),
+        Seq("event_id"), Seq("value", "props"))
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_key"))
+  }
 }

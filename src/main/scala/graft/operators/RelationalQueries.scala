@@ -856,4 +856,32 @@ object RelationalQueries {
         | count(*) AS n
         |FROM q42_lineitem GROUP BY l_returnflag""".stripMargin)
   }
+
+  /** q43: semi-structured data through the VARIANT type — `parse_json` into
+    * Spark's binary variant encoding once, then typed `variant_get` path
+    * extraction (object fields, nested objects, array elements) instead of
+    * re-parsing JSON text per access. At 100 TB this is the difference
+    * between one parse + O(1) binary path reads and a full JSON text parse
+    * per extracted field (`get_json_object`-style, q12); shredded parquet
+    * writes take it further. The document is assembled with a nested object
+    * and an array so the path grammar is actually exercised; the oracle
+    * re-derives the same values from the relational sources.
+    */
+  def q43Variant(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = concat(
+      lit("""{"et":""""), col("event_type"),
+      lit("""","meta":{"k":"""), get_json_object(col("props"), "$.k"),
+      lit(""","uid":"""), col("user_id").cast("string"),
+      lit("""},"tags":[""""), col("event_type"), lit("""","fixed"]}"""))
+    table(spark, sfDir, "events")
+      .select(col("event_id"), parse_json(doc).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.et', 'string')").as("et"),
+        expr("variant_get(v, '$.meta.k', 'long')").as("k"),
+        expr("variant_get(v, '$.meta.uid', 'long')").as("uid"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"))
+      .groupBy("et", "tag1")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        sum(col("uid")).as("sum_uid"))
+  }
 }

@@ -117,4 +117,36 @@ object MutationOps {
     }
     (touched, emptied)
   }
+
+  /** CDC between two snapshots of a keyed table: classify every key as
+    * `insert` (new only), `delete` (old only), `update` (both, any compared
+    * column differs, null-safe) or `unchanged`. This is the diff a
+    * training-data refresh publishes downstream — "which documents changed
+    * since the last corpus cut" — without any change log, just the two
+    * states.
+    *
+    * Scale shape: one full outer shuffle join on the key columns — both
+    * sides pruned to key + compared columns BEFORE the shuffle, so the
+    * bytes moved are the comparison footprint, not whole rows. No driver
+    * materialization; the result streams.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
+      compare: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val o = oldDf.select((keys ++ compare).map(col): _*)
+      .withColumn("_old_present", lit(1))
+    val n0 = newDf.select((keys ++ compare).map(col): _*)
+      .withColumn("_new_present", lit(1))
+    val n = compare.foldLeft(n0)((d, c) => d.withColumnRenamed(c, s"_new_$c"))
+    val changed = compare
+      .map(c => !(col(c) <=> col(s"_new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_old_present").isNull, "insert")
+          .when(col("_new_present").isNull, "delete")
+          .when(changed, "update")
+          .otherwise("unchanged"))
+      .select((keys.map(col) :+ col("change_type")): _*)
+  }
 }
