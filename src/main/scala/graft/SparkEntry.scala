@@ -1065,7 +1065,8 @@ object SparkEntry {
         |       ELSE 'unchanged' END AS change_type
         | FROM day0
         | UNION ALL
-        | SELECT event_id + 1000000000, 'insert' FROM day0
+        | SELECT event_id + (SELECT max(event_id) + 1 FROM day0), 'insert'
+        | FROM day0
         | WHERE event_id % 5 = 0)
         |SELECT change_type, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_key

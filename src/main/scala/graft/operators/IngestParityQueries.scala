@@ -80,6 +80,13 @@ object IngestParityQueries {
     * to state volume — partition count never changes results, only file
     * fan-out. Checkpoints are wiped per run, so the baked-in state
     * partitioning never conflicts across settings.
+    *
+    * Contract: this patches the SHARED session conf for the duration of
+    * `f`, so it assumes the gate's single-threaded runner (Verify/Bench run
+    * queries sequentially on one session). A concurrent query on the same
+    * SparkSession during the window would silently plan with `n` shuffle
+    * partitions; a multi-tenant deployment should instead run the replay on
+    * its own `spark.newSession()` whose conf it owns.
     */
   private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

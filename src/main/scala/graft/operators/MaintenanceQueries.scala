@@ -230,11 +230,15 @@ object MaintenanceQueries {
     LandingTable.overwritePartitions(base, cfg)
 
     val dataCols = eventsSchema.fieldNames.map(col).toSeq
+    // insert ids are shifted past max(event_id)+1 so they can never collide
+    // with an existing id at ANY scale factor; the oracle derives the same
+    // shift from the same slice (one scalar agg, driver-side config)
+    val shift = base.agg(max(col("event_id"))).collect()(0).getLong(0) + 1L
     val corrections = base.filter(col("event_id") % 3 === 0)
       .withColumn("value", col("value") + lit(1000.0))
       .withColumn("props", lit("updated"))
     val inserts = base.filter(col("event_id") % 5 === 0)
-      .withColumn("event_id", col("event_id") + lit(1000000000L))
+      .withColumn("event_id", col("event_id") + lit(shift))
       .withColumn("props", lit("inserted"))
     MutationOps.mergeByKey(spark, cfg,
       corrections.select(dataCols: _*).unionByName(inserts.select(dataCols: _*)),

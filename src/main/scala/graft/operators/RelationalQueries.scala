@@ -868,11 +868,18 @@ object RelationalQueries {
     * re-derives the same values from the relational sources.
     */
   def q43Variant(spark: SparkSession, sfDir: String): DataFrame = {
-    val doc = concat(
-      lit("""{"et":""""), col("event_type"),
-      lit("""","meta":{"k":"""), get_json_object(col("props"), "$.k"),
-      lit(""","uid":"""), col("user_id").cast("string"),
-      lit("""},"tags":[""""), col("event_type"), lit("""","fixed"]}"""))
+    // Assemble the document with to_json(named_struct(...)) rather than raw
+    // string concat: values are JSON-escaped (quotes/backslashes in
+    // event_type can't produce malformed documents) and a null field stays a
+    // JSON null instead of nulling the whole string.
+    val doc = to_json(
+      struct(
+        col("event_type").as("et"),
+        struct(
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("user_id").as("uid")).as("meta"),
+        array(col("event_type"), lit("fixed")).as("tags")),
+      Map("ignoreNullFields" -> "false"))
     table(spark, sfDir, "events")
       .select(col("event_id"), parse_json(doc).as("v"))
       .select(col("event_id"),

@@ -129,22 +129,36 @@ object MutationOps {
     * sides pruned to key + compared columns BEFORE the shuffle, so the
     * bytes moved are the comparison footprint, not whole rows. No driver
     * materialization; the result streams.
+    *
+    * Precondition: `keys` must uniquely identify a row in BOTH snapshots
+    * (it is a keyed-table diff). A duplicated key would make the full outer
+    * join emit one row per old×new pairing and misclassify them as
+    * update/unchanged; this method does not scan-validate uniqueness (that
+    * would double the cost) — callers own the contract, and the gate's u4
+    * query pins it for the events key.
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, keys: Seq[String],
       compare: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
+    // internal marker/rename prefix chosen to be collision-proof against
+    // caller schemas (no user column starts with "__graft_diff")
+    val oldPresent = "__graft_diff_old_present"
+    val newPresent = "__graft_diff_new_present"
+    def newSide(c: String) = s"__graft_diff_new_$c"
+    require(!(keys ++ compare).exists(_.startsWith("__graft_diff")),
+      "snapshotDiff: column names starting with __graft_diff are reserved")
     val o = oldDf.select((keys ++ compare).map(col): _*)
-      .withColumn("_old_present", lit(1))
+      .withColumn(oldPresent, lit(1))
     val n0 = newDf.select((keys ++ compare).map(col): _*)
-      .withColumn("_new_present", lit(1))
-    val n = compare.foldLeft(n0)((d, c) => d.withColumnRenamed(c, s"_new_$c"))
+      .withColumn(newPresent, lit(1))
+    val n = compare.foldLeft(n0)((d, c) => d.withColumnRenamed(c, newSide(c)))
     val changed = compare
-      .map(c => !(col(c) <=> col(s"_new_$c")))
+      .map(c => !(col(c) <=> col(newSide(c))))
       .reduceOption(_ || _).getOrElse(lit(false))
     o.join(n, keys, "full_outer")
       .withColumn("change_type",
-        when(col("_old_present").isNull, "insert")
-          .when(col("_new_present").isNull, "delete")
+        when(col(oldPresent).isNull, "insert")
+          .when(col(newPresent).isNull, "delete")
           .when(changed, "update")
           .otherwise("unchanged"))
       .select((keys.map(col) :+ col("change_type")): _*)
