@@ -125,6 +125,8 @@ object SparkEntry {
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
     "q43_variant" -> (R.q43Variant _),
+    "q44_recursive_cte" -> (R.q44RecursiveCte _),
+    "q45_listagg" -> (R.q45Listagg _),
     "d22_segment_dedup" -> (T.d22SegmentDedup _),
     "d23_packing" -> (T.d23Packing _),
     "d24_pii_redact" -> (T.d24PiiRedact _),
@@ -324,6 +326,24 @@ object SparkEntry {
         |   AS sum_k,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events GROUP BY event_type""".stripMargin,
+    "q44_recursive_cte" ->
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        |  FROM customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.root, t.depth + 1
+        |  FROM customer c JOIN tree t
+        |    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = t.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+        |       CAST(sum(node) AS BIGINT) AS sum_keys
+        |FROM tree GROUP BY root""".stripMargin,
+    "q45_listagg" ->
+      """SELECT r_name,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
     "q13_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total

@@ -891,4 +891,45 @@ object RelationalQueries {
       .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
         sum(col("uid")).as("sum_uid"))
   }
+
+  /** q44: recursive CTE (Spark 4 `WITH RECURSIVE`) — hierarchy walk over a
+    * digit-tree on customer keys: parent(k) = floor(k/10), roots are keys
+    * < 10, so every customer appears exactly once and depth grows with
+    * log10(N). Each recursion step is one equi-join of the frontier against
+    * the customer scan (partial-agg'd hash join, frontier shrinks to the
+    * leaf level then empties); the engine iterates to fixpoint like our
+    * hand-rolled connectedComponents (d19) but fully declaratively. The
+    * cast-through-floor keeps integer division identical across engines.
+    */
+  def q44RecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "customer").createOrReplaceTempView("q44_customer")
+    spark.sql(
+      """WITH RECURSIVE tree AS (
+        |  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+        |  FROM q44_customer WHERE c_custkey < 10
+        |  UNION ALL
+        |  SELECT c.c_custkey, t.root, t.depth + 1
+        |  FROM q44_customer c JOIN tree t
+        |    ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = t.node
+        |  WHERE c.c_custkey >= 10)
+        |SELECT root, count(*) AS n_nodes, max(depth) AS max_depth,
+        |       CAST(sum(node) AS BIGINT) AS sum_keys
+        |FROM tree GROUP BY root""".stripMargin)
+  }
+
+  /** q45: ordered string aggregation (`listagg ... WITHIN GROUP`, new in
+    * Spark 4) — the canonical "make a deterministic label out of a group"
+    * op. The explicit WITHIN GROUP ordering is what makes the result
+    * hashable at all: an unordered listagg is nondeterministic under
+    * parallel aggregation by construction. Grouped on the 5-row region dim
+    * after a broadcast join, so the shuffle carries one row per region.
+    */
+  def q45Listagg(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "nation")
+      .join(broadcast(table(spark, sfDir, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
+        count(lit(1)).as("n_nations"))
 }
