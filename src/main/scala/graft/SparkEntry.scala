@@ -99,6 +99,7 @@ object SparkEntry {
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
     "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
+    "e14_ivf_pq" -> ((s, d) => V.e14IvfPq(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
@@ -799,6 +800,7 @@ object SparkEntry {
         |FROM wn GROUP BY doc_id""".stripMargin,
     "e8_lsh_projections" -> e8OracleSql,
     "e11_pq_adc" -> e11OracleSql,
+    "e14_ivf_pq" -> e14OracleSql,
     "e12_quant_recall" -> e12OracleSql,
     "e13_pq_refine" -> e13OracleSql,
     "e10_sq_knn" ->
@@ -1168,7 +1170,10 @@ object SparkEntry {
   /** the WITH-chain through `ranked` shared by e11 (direct ADC top-k) and
     * e13 (ADC shortlist + exact re-rank).
     */
-  private def e11RankedBody: String = {
+  /** Shared SQL fragments of the PQ oracle: (cents c0..c3 defs, the code
+    * array expression over `e`/`s`, the ADC score over `q`/`c`/`s`).
+    */
+  private def pqSqlPieces: (String, String, String) = {
     val M = 8; val sub = 8; val K = 4
     def sdec(vec: String, cArr: String, m: Int): String = {
       val terms = (1 to sub).map(i =>
@@ -1191,6 +1196,11 @@ object SparkEntry {
     }.mkString(" + ")
     val cDefs = (0 until K).map(c =>
       s"(SELECT embedding FROM embeddings WHERE vec_id = $c) AS c$c").mkString(",\n ")
+    (cDefs, codeArr, scoreTerms)
+  }
+
+  private def e11RankedBody: String = {
+    val (cDefs, codeArr, scoreTerms) = pqSqlPieces
     s"""WITH cents AS (
        | SELECT $cDefs),
        |codes AS (
@@ -1206,6 +1216,48 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
        | FROM scored)""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e14IvfPq]] — e4's
+    * IVF assignment restricts e11's ADC scoring to each query's probed
+    * centroid bin (nprobe=1), then top-3 within the bin.
+    */
+  private def e14OracleSql: String = {
+    val (cDefs, codeArr, scoreTerms) = pqSqlPieces
+    s"""WITH cents AS (
+       | SELECT $cDefs),
+       |ivfc AS (
+       | SELECT vec_id AS centroid_id, embedding AS c_emb
+       | FROM embeddings WHERE vec_id < 4),
+       |asg0 AS (
+       | SELECT e.vec_id, c.centroid_id,
+       |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+       |   AS DECIMAL(20,6)) AS a_sim
+       | FROM embeddings e, ivfc c),
+       |asg AS (
+       | SELECT vec_id, centroid_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
+       | WHERE a_rk = 1),
+       |codes AS (
+       | SELECT e.vec_id AS neighbor_id, $codeArr AS code
+       | FROM embeddings e, cents s),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.neighbor_id,
+       |  CAST($scoreTerms AS DECIMAL(24,6)) AS sim_dec
+       | FROM embeddings q
+       | JOIN asg qa ON qa.vec_id = q.vec_id
+       | JOIN asg na ON na.centroid_id = qa.centroid_id
+       | JOIN codes c ON c.neighbor_id = na.vec_id, cents s
+       | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivfpq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
   private def e11OracleSql: String =

@@ -265,69 +265,119 @@ object VectorQueries {
     * identically (lowest centroid id) and the score sum is exact decimal
     * arithmetic in both engines.
     */
-  def e11PqAdc(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
-    val emb = table(spark, sfDir, "embeddings")
-    val M = 8; val sub = 8; val K = 4
-    val cents = emb.filter(col("vec_id") < K)
+  private val PqM = 8; private val PqSub = 8; private val PqK = 4
+
+  /** The K demo sub-codebooks as one broadcastable row (c0..c3 arrays). */
+  private def pqCents(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < PqK)
       .agg(map_from_entries(collect_list(struct(
         col("vec_id").cast("int").as("k"), col("embedding").as("v")))).as("cm"))
-      .select((0 until K).map(c => element_at(col("cm"), c).as(s"c$c")): _*)
+      .select((0 until PqK).map(c => element_at(col("cm"), c).as(s"c$c")): _*)
 
-    // Sub-dot of dims [m*sub+1, m*sub+sub] as a fold: seeding at 0.0 makes
-    // the FP sum bit-identical to the unrolled left-to-right form
-    // (0.0 + t1 == t1), so the decimal cast — and the oracle — see exactly
-    // the values the element_at-unrolled version produced, at ~1/4 the
-    // expression nodes (the e8 trick applied per subspace).
-    def sdec(a: Column, b: Column, m: Int): Column =
-      aggregate(
-        zip_with(slice(a, m * sub + 1, sub), slice(b, m * sub + 1, sub),
-          (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
+  // Sub-dot of dims [m*sub+1, m*sub+sub] as a fold: seeding at 0.0 makes
+  // the FP sum bit-identical to the unrolled left-to-right form
+  // (0.0 + t1 == t1), so the decimal cast — and the oracle — see exactly
+  // the values the element_at-unrolled version produced, at ~1/4 the
+  // expression nodes (the e8 trick applied per subspace).
+  private def pqSdec(a: Column, b: Column, m: Int): Column =
+    aggregate(
+      zip_with(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
 
-    // Every (m, c) sub-dot is STAGED as a real column before the argmax /
-    // lookup consumes it. The when-chains reference each sub-dot up to four
-    // times; inlined, that multiplies the ~25-node dot products into a
-    // several-thousand-node tree whose per-run Janino compile dwarfs the
-    // actual work (2 k vectors). Multi-referenced aliases survive
-    // CollapseProject, so the staged form keeps the tree (and codegen) ~4x
-    // smaller with bit-identical decimal semantics.
-    def subDots(idCol: Column, idName: String, vec: Column)(df: DataFrame) =
-      df.select(idCol.as(idName) +:
-        (for { m <- 0 until M; c <- 0 until K }
-          yield sdec(vec, col(s"c$c"), m).as(s"s_${m}_$c")): _*)
+  // Every (m, c) sub-dot is STAGED as a real column before the argmax /
+  // lookup consumes it. The when-chains reference each sub-dot up to four
+  // times; inlined, that multiplies the ~25-node dot products into a
+  // several-thousand-node tree whose per-run Janino compile dwarfs the
+  // actual work (2 k vectors). Multi-referenced aliases survive
+  // CollapseProject, so the staged form keeps the tree (and codegen) ~4x
+  // smaller with bit-identical decimal semantics.
+  private def pqSubDots(idCol: Column, idName: String, vec: Column)(
+      df: DataFrame): DataFrame =
+    df.select(idCol.as(idName) +:
+      (for { m <- 0 until PqM; c <- 0 until PqK }
+        yield pqSdec(vec, col(s"c$c"), m).as(s"s_${m}_$c")): _*)
+
+  /** PQ codes for every vector: (neighbor_id, code[M]) — M sub-codebook
+    * argmax ids, decimal-rounded before comparison so ties break identically
+    * across engines (lowest centroid id).
+    */
+  private[operators] def pqCodes(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
     def codeM(m: Int): Column = {
-      val s = (0 until K).map(c => col(s"s_${m}_$c"))
+      val s = (0 until PqK).map(c => col(s"s_${m}_$c"))
       when(s(0) >= s(1) && s(0) >= s(2) && s(0) >= s(3), 0)
         .when(s(1) >= s(2) && s(1) >= s(3), 1)
         .when(s(2) >= s(3), 2)
         .otherwise(3)
     }
-    val codes = subDots(col("vec_id"), "neighbor_id", col("embedding"))(
-      emb.crossJoin(broadcast(cents)))
+    pqSubDots(col("vec_id"), "neighbor_id", col("embedding"))(
+      emb.crossJoin(broadcast(pqCents(emb))))
       .select(col("neighbor_id"),
-        array((0 until M).map(codeM): _*).as("code"))
+        array((0 until PqM).map(codeM): _*).as("code"))
+  }
 
-    // the query's M×K ADC table, staged once per query row (10 rows)
-    val qtab = subDots(col("vec_id"), "query_id", col("embedding"))(
-      emb.filter(col("vec_id") < 10).crossJoin(broadcast(cents)))
+  /** The query set's M×K ADC tables, staged once per query row (10 rows):
+    * (query_id, q_m_c...).
+    */
+  private[operators] def pqQueryTable(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    pqSubDots(col("vec_id"), "query_id", col("embedding"))(
+      emb.filter(col("vec_id") < 10).crossJoin(broadcast(pqCents(emb))))
       .select(col("query_id") +:
-        (for { m <- 0 until M; c <- 0 until K }
+        (for { m <- 0 until PqM; c <- 0 until PqK }
           yield col(s"s_${m}_$c").as(s"q_${m}_$c")): _*)
-    val scoreDec = (0 until M).map { m =>
-      when(element_at(col("code"), m + 1) === 0, col(s"q_${m}_0"))
-        .when(element_at(col("code"), m + 1) === 1, col(s"q_${m}_1"))
-        .when(element_at(col("code"), m + 1) === 2, col(s"q_${m}_2"))
-        .otherwise(col(s"q_${m}_3"))
-    }.reduce(_ + _)
+  }
+
+  /** ADC score: M table lookups against the staged query table. */
+  private[operators] def pqScoreDec: Column = (0 until PqM).map { m =>
+    when(element_at(col("code"), m + 1) === 0, col(s"q_${m}_0"))
+      .when(element_at(col("code"), m + 1) === 1, col(s"q_${m}_1"))
+      .when(element_at(col("code"), m + 1) === 2, col(s"q_${m}_2"))
+      .otherwise(col(s"q_${m}_3"))
+  }.reduce(_ + _)
+
+  def e11PqAdc(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-    codes.crossJoin(broadcast(qtab))
+    pqCodes(spark, sfDir).crossJoin(broadcast(pqQueryTable(spark, sfDir)))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_dec", scoreDec.cast("decimal(24,6)"))
+      .withColumn("sim_dec", pqScoreDec.cast("decimal(24,6)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim_dec").cast("double").as("pq_sim"))
+  }
+
+  /** e14: IVF-PQ — the two halves composed into the standard 100 TB ANN
+    * recipe: IVF's coarse codebook (e4's assignment) prunes each query's
+    * candidate set to its probed bin (N/C vectors, nprobe=1 here like e6),
+    * and inside the bin candidates are scored from their 8-byte PQ codes
+    * via the ADC table (e11) — no full vector is touched after indexing.
+    * At 10⁹ vectors this is what fits in memory: the bin join replaces
+    * e11's corpus-wide cross join, and the compressed codes replace the
+    * raw embeddings. Chain e13's exact re-rank on top for serving.
+    *
+    * Plan shape: assignment and codes are single broadcast-codebook scans;
+    * the candidate generation is an equi-join on centroid_id with the tiny
+    * query side broadcast — no cartesian product anywhere.
+    */
+  def e14IvfPq(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val asg = graft.operators.DedupQueries.e4IvfAssign(spark, sfDir)
+      .select(col("vec_id"), col("centroid_id"))
+    val queries = pqQueryTable(spark, sfDir)
+      .join(broadcast(asg.withColumnRenamed("vec_id", "query_id")), "query_id")
+    val cands = pqCodes(spark, sfDir)
+      .join(broadcast(asg.withColumnRenamed("vec_id", "neighbor_id")), "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    cands.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", pqScoreDec.cast("decimal(24,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivfpq_sim"))
   }
 
   /** e13: two-stage ANN — PQ-ADC shortlist, exact re-rank (the standard
