@@ -122,6 +122,7 @@ object SparkEntry {
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
     "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
+    "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -1093,6 +1094,25 @@ object SparkEntry {
         |SELECT change_type, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_key
         |FROM cls GROUP BY change_type""".stripMargin,
+    "u5_scd2" ->
+      """WITH m AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_attr
+        | FROM events),
+        |ch AS (
+        | SELECT user_id, ts, event_id, event_type FROM m
+        | WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr)
+        |SELECT user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS version,
+        | event_type, ts AS effective_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS effective_to,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |   AS is_current
+        |FROM ch""".stripMargin,
     "d24_pii_redact" ->
       """WITH salted AS (
         | SELECT doc_id,

@@ -252,4 +252,19 @@ object MaintenanceQueries {
       .groupBy("change_type")
       .agg(count(lit(1)).as("cnt"), sum(col("event_id")).as("sum_key"))
   }
+
+  /** u5: SCD Type-2 dimension build — the events stream treated as attribute
+    * changes for a user dimension (tracked attribute: event_type). Every
+    * user gets one version row per distinct consecutive state with
+    * `[effective_from, effective_to)` validity and `is_current`; consecutive
+    * no-change records compress into the open version
+    * ([[MutationOps.scd2]]). The oracle restates the contract with the same
+    * two window passes, so the hash pins version numbering, validity ranges,
+    * and the change-compression rule row for row.
+    */
+  def u5Scd2(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = RelationalQueries.eventsTable(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    MutationOps.scd2(src, Seq("user_id"), Seq("event_type"), "ts", "event_id")
+  }
 }

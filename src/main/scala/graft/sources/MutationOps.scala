@@ -163,4 +163,42 @@ object MutationOps {
           .otherwise("unchanged"))
       .select((keys.map(col) :+ col("change_type")): _*)
   }
+
+  /** Build a type-2 slowly-changing dimension from a change stream: one
+    * version row per (key, distinct consecutive attribute state), carrying
+    * `[effective_from, effective_to)` validity and `is_current`. Consecutive
+    * records whose tracked attributes are unchanged (null-safe) are
+    * compressed into the open version — the standard SCD2 contract.
+    *
+    * Ordering within a key is `(tsCol, tiebreak)`; `tiebreak` must make the
+    * ordering total (a unique record id) or version numbering is undefined.
+    *
+    * Scale shape: one shuffle on the key columns, then two window passes
+    * that share the same partitioning (the change-compression filter and
+    * the validity/lead pass) — no second exchange, sorts are spillable, and
+    * key cardinality (users/entities) drives parallelism, so there are no
+    * giant window partitions at corpus scale.
+    */
+  def scd2(changes: DataFrame, keys: Seq[String], attrs: Seq[String],
+      tsCol: String, tiebreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col(tiebreak).asc)
+    val attrChanged = attrs
+      .map(a => !(col(a) <=> lag(col(a), 1).over(w)))
+      .reduce(_ || _)
+    val compressed = changes
+      .withColumn("__scd2_rn", row_number().over(w))
+      .withColumn("__scd2_keep", col("__scd2_rn") === 1 || attrChanged)
+      .filter(col("__scd2_keep"))
+      .drop("__scd2_rn", "__scd2_keep")
+    compressed
+      .withColumn("version", row_number().over(w))
+      .withColumn("effective_from", col(tsCol))
+      .withColumn("effective_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("effective_to").isNull)
+      .select((keys.map(col) ++ Seq(col("version")) ++ attrs.map(col) ++
+        Seq(col("effective_from"), col("effective_to"), col("is_current"))): _*)
+  }
 }
