@@ -87,6 +87,7 @@ object SparkEntry {
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
+    "st9_transform_with_state" -> (IP.st9TransformWithState _),
     "st5_sliding_window" -> (IP.st5SlidingWindow _),
     "st7_chained_agg" -> (IP.st7ChainedAgg _),
     "st8_state_reader" -> (IP.st8StateReader _),
@@ -1094,6 +1095,10 @@ object SparkEntry {
         |SELECT change_type, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_key
         |FROM cls GROUP BY change_type""".stripMargin,
+    "st9_transform_with_state" ->
+      """SELECT event_type, count(*) AS n_events,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events WHERE day(ts) = 1 GROUP BY event_type""".stripMargin,
     "u5_scd2" ->
       """WITH m AS (
         | SELECT user_id, ts, event_id, event_type,

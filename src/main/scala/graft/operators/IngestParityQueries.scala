@@ -492,6 +492,52 @@ object IngestParityQueries {
         sum(col("user_id")).as("sum_user_ids"))
   }
 
+  /** st9: `transformWithState` (Spark 4's arbitrary-stateful-processing API,
+    * RocksDB-backed typed state variables) — per-event-type running totals
+    * emitted cumulatively each micro-batch ([[graft.streaming
+    * .RunningTotals]]). The final row per key (largest count — strictly
+    * increasing across batches) must equal the plain batch GROUP BY, which
+    * is exactly what the oracle states; the reduction is max-by-struct, so
+    * the query is batching-independent by construction. The RocksDB
+    * provider is scoped to this query and restored after (the HDFS-backed
+    * default stays in force for the other replays). Scope is glob-pruned to
+    * day=01 like st8 — the operator surface is per-key state, so bounding
+    * INPUT by directory pruning keeps replay cost off the gate without
+    * touching semantics.
+    */
+  def st9TransformWithState(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("tws-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st9_tws_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.get(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStreamShuffle(spark, 8) {
+      import spark.implicits._
+      implicit val s: SparkSession = spark
+      val in = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("event_type"), col("user_id"))
+        .as[graft.streaming.RunningTotals.In]
+      val q = graft.streaming.RunningTotals.totals(in)
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set(providerKey, prevProvider)
+    spark.table(qn)
+      .groupBy("event_type")
+      .agg(max(struct(col("n"), col("sum_uid"))).as("m"))
+      .select(col("event_type"), col("m.n").as("n_events"),
+        col("m.sum_uid").as("sum_uid"))
+  }
+
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
     * SUCCESS) and one absent hour (probe -> skip -> NOT_CREATED). Oracle is
     * the constant expected state table.
