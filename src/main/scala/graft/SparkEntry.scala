@@ -136,6 +136,7 @@ object SparkEntry {
     "d25_decontaminate" -> (T.d25Decontaminate _),
     "d26_domain_mix" -> (T.d26DomainMix _),
     "d27_quality_classifier" -> (T.d27QualityClassifier _),
+    "d28_tfidf" -> ((s, d) => T.d28Tfidf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1095,6 +1096,27 @@ object SparkEntry {
         |SELECT change_type, count(*) AS cnt,
         | CAST(sum(event_id) AS BIGINT) AS sum_key
         |FROM cls GROUP BY change_type""".stripMargin,
+    "d28_tfidf" ->
+      """WITH tok AS (
+        | SELECT doc_id,
+        |  unnest(string_split_regex(trim(text), '\s+')) AS term
+        | FROM documents),
+        |tf AS (
+        | SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term,
+        |  CAST(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS DECIMAL(20,6))
+        |    AS score_dec
+        | FROM tf JOIN dfreq df USING (term), n),
+        |r AS (
+        | SELECT doc_id, term, score_dec,
+        |  row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score_dec DESC, term ASC) AS rank
+        | FROM scored)
+        |SELECT doc_id, rank, term, CAST(score_dec AS DOUBLE) AS tfidf
+        |FROM r WHERE rank <= 3""".stripMargin,
     "st9_transform_with_state" ->
       """SELECT event_type, count(*) AS n_events,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid

@@ -416,4 +416,37 @@ object TextQueries {
           .as("logit"))
       .select(col("doc_id"), col("logit"), (col("logit") > 0.0).as("keep"))
   }
+
+  /** d28: TF-IDF keyword extraction — top-3 terms per document by
+    * tf·ln(N/df), the classic corpus-statistics scorer (keyword tagging,
+    * topic hints, retrieval features for a training corpus).
+    *
+    * Scale shape: explode → (doc, term) partial-agg'd count (the shuffle
+    * carries tokens + counts, never document bodies), document frequencies
+    * are a second partial-agg'd count over DISTINCT (doc, term) rows — tf's
+    * output, no re-scan — and the corpus size joins in as a broadcast
+    * 1-row aggregate (no driver collect). The final per-doc top-k windows
+    * on doc_id (high cardinality). Scores round through DECIMAL(20,6)
+    * before ranking so sub-ulp `ln` differences between engines cannot
+    * reorder; ties break on the term itself.
+    */
+  def d28Tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_dec").desc, col("term").asc)
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_dec",
+        (col("tf") * log(col("n_docs").cast("double") / col("df")))
+          .cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"),
+        col("score_dec").cast("double").as("tfidf"))
+  }
 }
