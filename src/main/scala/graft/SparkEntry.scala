@@ -727,10 +727,12 @@ object SparkEntry {
         |HAVING date_trunc('hour', q_start) + INTERVAL 1 HOUR <=
         |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
     "st5_sliding_window" ->
-      """WITH w AS (
+      """WITH scoped AS (
+        | SELECT ts, user_id FROM events WHERE day(ts) <= 9),
+        |w AS (
         | SELECT date_trunc('hour', ts) +
         |   (minute(ts) // 30) * (INTERVAL 30 MINUTE) AS s1, user_id
-        | FROM events),
+        | FROM scoped),
         |b AS (
         | SELECT s1 AS win_start, user_id FROM w
         | UNION ALL
@@ -739,7 +741,7 @@ object SparkEntry {
         | CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM b GROUP BY win_start
         |HAVING win_start + INTERVAL 1 HOUR <=
-        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM scoped)""".stripMargin,
     "q28_salted_agg" ->
       """SELECT event_type, CAST(sum(event_id) AS BIGINT) AS sum_event_id,
         | count(*) AS cnt

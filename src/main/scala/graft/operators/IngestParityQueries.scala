@@ -295,7 +295,10 @@ object IngestParityQueries {
     * windowing-mode surface. The duckdb oracle assigns each event its two
     * containing window starts directly and applies the same
     * watermark-closure rule; window state is bounded by (horizon / slide)
-    * open windows regardless of throughput.
+    * open windows regardless of throughput. Scope is glob-pruned to days
+    * 01-09 (st3's directory-pruning discipline): the windowing semantics
+    * are per-window and the oracle mirrors the scope, so the extra three
+    * weeks of replay bought nothing but local-FS scan time.
     */
   def st5SlidingWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -306,7 +309,7 @@ object IngestParityQueries {
       val q = spark.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
-        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
         .withWatermark("ts", "40 minutes")
         .groupBy(window(col("ts"), "1 hour", "30 minutes"))
         .agg(count(lit(1)).as("cnt"), sum(col("user_id")).as("sum_uid"))
