@@ -101,6 +101,7 @@ object SparkEntry {
     "e10_sq_knn" -> ((s, d) => V.e10SqKnn(s, d)),
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
     "e14_ivf_pq" -> ((s, d) => V.e14IvfPq(s, d)),
+    "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
@@ -806,6 +807,7 @@ object SparkEntry {
     "e8_lsh_projections" -> e8OracleSql,
     "e11_pq_adc" -> e11OracleSql,
     "e14_ivf_pq" -> e14OracleSql,
+    "e15_kmeans" -> e15OracleSql,
     "e12_quant_recall" -> e12OracleSql,
     "e13_pq_refine" -> e13OracleSql,
     "e10_sq_knn" ->
@@ -1341,6 +1343,55 @@ object SparkEntry {
        | FROM exact)
        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS refined_sim
        |FROM rr WHERE rank <= 3""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e15Kmeans]] — the
+    * Lloyd iterations unrolled programmatically into a CTE chain: assign
+    * (decimal-rounded dot argmax, lowest-centroid ties) and update
+    * (per-dim exact-decimal sums, IEEE double mean) per round, then the
+    * final assignment's bin stats with decimal-rounded centroid norms.
+    */
+  private def e15OracleSql: String = {
+    val iters = 2
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         | SELECT vec_id, embedding, centroid_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+         |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+         |      AS DECIMAL(20,6)) DESC,
+         |     c.centroid_id ASC) AS rk
+         |  FROM embeddings e, $cents c) t WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, asg: String): String =
+      s"""$name AS (
+         | SELECT centroid_id, list(CAST(sum_v AS DOUBLE) / cnt ORDER BY pos) AS c
+         | FROM (
+         |  SELECT centroid_id, pos,
+         |   sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(30,12))) AS sum_v,
+         |   count(*) AS cnt
+         |  FROM (SELECT centroid_id, unnest(range(0, len(embedding))) AS pos,
+         |         unnest(embedding) AS v FROM $asg) x
+         |  GROUP BY centroid_id, pos) m
+         | GROUP BY centroid_id)""".stripMargin
+    val rounds = (0 until iters).flatMap { t =>
+      Seq(assignCte(s"a$t", s"c$t"), updateCte(s"c${t + 1}", s"a$t"))
+    }.mkString(",\n")
+    s"""WITH c0 AS (
+       | SELECT CAST(vec_id AS INT) AS centroid_id,
+       |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       | FROM embeddings WHERE vec_id < 4),
+       |$rounds,
+       |${assignCte("afin", s"c$iters")},
+       |norms AS (
+       | SELECT centroid_id,
+       |  CAST(CAST(sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum'))
+       |   AS DECIMAL(20,6)) AS DOUBLE) AS centroid_norm
+       | FROM c$iters)
+       |SELECT a.centroid_id, count(*) AS n_assigned,
+       | CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids, n.centroid_norm
+       |FROM afin a JOIN norms n USING (centroid_id)
+       |GROUP BY a.centroid_id, n.centroid_norm""".stripMargin
+  }
 
   /** duckdb mirror of [[graft.operators.RelationalQueries.q37Zorder]] —
     * identical bit-interleave arithmetic, `//` for the integral division.

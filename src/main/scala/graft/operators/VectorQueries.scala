@@ -415,6 +415,71 @@ object VectorQueries {
         col("sim_dec").cast("double").as("refined_sim"))
   }
 
+  /** e15: k-means codebook TRAINING (Lloyd iterations) — the piece e4/e6/
+    * e11 take as given ("production trains the codebook"): starting from
+    * the demo seeds (vec_id < K), alternate assignment (argmax decimal-
+    * rounded dot, ties to lowest centroid — e4's rule) and update (per-bin
+    * per-dimension mean, exact-decimal sums cast to double before the
+    * IEEE division) for `iters` rounds, then report the final bins and
+    * centroid norms. Spherical k-means on the dot metric, matching how the
+    * trained codebook is consumed by the IVF queries.
+    *
+    * Scale shape per iteration: one broadcast-codebook assignment scan
+    * (no shuffle) and one partial-agg'd (centroid, dim) mean — the shuffle
+    * carries K·d aggregate rows, never vectors. Iterations are a driver
+    * loop over DataFrames like d19's label propagation; plans stay O(1)
+    * per round because each round's centroids collapse to a broadcast
+    * relation. Determinism: sums are exact decimal (order-independent),
+    * means divide as doubles (one correctly-rounded IEEE op in both
+    * engines), assignment ranks round through DECIMAL(20,6).
+    */
+  def e15Kmeans(spark: SparkSession, sfDir: String, iters: Int = 2,
+      k: Int = 4, dims: Int = 64): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dotDec = aggregate(
+      zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
+    def assign(cents: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+      emb.crossJoin(broadcast(cents))
+        .withColumn("sim_dec", dotDec)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    }
+    var cents = emb.filter(col("vec_id") < k)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        transform(col("embedding"), x => x.cast("double")).as("c"))
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("centroid_id", "pos")
+        .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .groupBy("centroid_id")
+        .agg(map_from_entries(collect_list(
+          struct(col("pos"), col("mean")))).as("m"))
+        .select(col("centroid_id"),
+          transform(sequence(lit(0), lit(dims - 1)),
+            i => element_at(col("m"), i)).as("c"))
+        // d19's iterative-plan rule: truncate lineage each round (the K-row
+        // centroid frame is tiny) so codegen stays O(1) per round and the
+        // final assign + norm consumers don't recompute the whole chain
+        .localCheckpoint(true)
+    }
+    val norm = sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
+    assign(cents)
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("vec_id")).as("sum_vec_ids"))
+      .join(cents.select(col("centroid_id"),
+        norm.cast("decimal(20,6)").cast("double").as("centroid_norm")),
+        "centroid_id")
+      .select(col("centroid_id"), col("n_assigned"), col("sum_vec_ids"),
+        col("centroid_norm"))
+  }
+
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
     * against the exact brute-force top-k (e2) — e7's quality-measurement
     * discipline applied to the compression paths: quantization loss is a

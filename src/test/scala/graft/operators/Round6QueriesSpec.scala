@@ -85,6 +85,18 @@ class Round6QueriesSpec extends SparkSpec {
     }
   }
 
+  test("e15: trained bins partition the corpus and centroids are finite") {
+    val out = VectorQueries.e15Kmeans(spark, sfDir).cache()
+    try {
+      val n = RelationalQueries.table(spark, sfDir, "embeddings").count()
+      val agg = out.agg(sum(col("n_assigned")), count(lit(1))).collect()(0)
+      assert(agg.getLong(0) == n) // every vector lands in exactly one bin
+      assert(agg.getLong(1) <= 4 && agg.getLong(1) >= 1)
+      assert(out.filter(col("centroid_norm").isNull ||
+        col("centroid_norm") <= 0.0).isEmpty)
+    } finally out.unpersist()
+  }
+
   test("d28: exactly k keywords per doc, ranked by non-increasing score") {
     val out = TextQueries.d28Tfidf(spark, sfDir).cache()
     try {
