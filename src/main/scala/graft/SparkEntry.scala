@@ -90,6 +90,8 @@ object SparkEntry {
     "st9_transform_with_state" -> (IP.st9TransformWithState _),
     "st5_sliding_window" -> (IP.st5SlidingWindow _),
     "st7_chained_agg" -> (IP.st7ChainedAgg _),
+    "st10_dedup_within_watermark" -> (IP.st10DedupWithinWatermark _),
+    "st11_streaming_backfill" -> (IP.st11StreamingBackfill _),
     "st8_state_reader" -> (IP.st8StateReader _),
     "st6_stream_outer_join" -> (IP.st6StreamOuterJoin _),
     "q31_salted_join" -> (R.q31SaltedJoin _),
@@ -102,6 +104,8 @@ object SparkEntry {
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
     "e14_ivf_pq" -> ((s, d) => V.e14IvfPq(s, d)),
     "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
+    "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
+    "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
@@ -587,8 +591,29 @@ object SparkEntry {
       """SELECT event_type,
         | CAST(count(*) AS BIGINT) AS n_unique_users,
         | CAST(sum(user_id) AS BIGINT) AS sum_user_ids
-        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |FROM (SELECT DISTINCT user_id, event_type FROM events
+        |      WHERE day(ts) < 10)
         |GROUP BY event_type""".stripMargin,
+    // st10: delay (13h) > half the day=01 span, so no dedup state can evict
+    // mid-replay and the bounded-state operator provably emits the global
+    // distinct (see st10DedupWithinWatermark scaladoc for the 2×delay rule)
+    "st10_dedup_within_watermark" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_unique_users,
+        | CAST(sum(user_id) AS BIGINT) AS sum_user_ids
+        |FROM (SELECT DISTINCT user_id, event_type FROM events
+        |      WHERE day(ts) = 1)
+        |GROUP BY event_type""".stripMargin,
+    // st11: the backfill contract stated directly — after repairing the
+    // crippled hour, the landing table IS the original day=01 slice
+    "st11_streaming_backfill" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts,
+        | count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE day(ts) = 1
+        |GROUP BY date_trunc('hour', ts)""".stripMargin,
     "q36_ewma" ->
       """SELECT user_id, CAST(len(vals) AS BIGINT) AS n_events,
         | CAST(CAST(list_reduce(vals, (acc, x) -> acc * 0.7 + x * 0.3)
@@ -715,18 +740,20 @@ object SparkEntry {
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
         |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
     "st7_chained_agg" ->
-      """WITH q AS (
+      """WITH scoped AS (
+        | SELECT ts FROM events WHERE day(ts) < 10),
+        |q AS (
         | SELECT date_trunc('hour', ts) +
         |   (minute(ts) // 15) * (INTERVAL 15 MINUTE) AS q_start,
         |  count(*) AS cnt15
-        | FROM events GROUP BY 1)
+        | FROM scoped GROUP BY 1)
         |SELECT date_trunc('hour', q_start) AS hour_ts,
         | count(*) AS n_quarters,
         | CAST(sum(cnt15) AS BIGINT) AS cnt,
         | max(cnt15) AS max_quarter
         |FROM q GROUP BY 1
         |HAVING date_trunc('hour', q_start) + INTERVAL 1 HOUR <=
-        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM scoped)""".stripMargin,
     "st5_sliding_window" ->
       """WITH scoped AS (
         | SELECT ts, user_id FROM events WHERE day(ts) <= 9),
@@ -808,6 +835,8 @@ object SparkEntry {
     "e11_pq_adc" -> e11OracleSql,
     "e14_ivf_pq" -> e14OracleSql,
     "e15_kmeans" -> e15OracleSql,
+    "e16_nprobe" -> e16OracleSql,
+    "e17_trained_ivfpq" -> e17OracleSql,
     "e12_quant_recall" -> e12OracleSql,
     "e13_pq_refine" -> e13OracleSql,
     "e10_sq_knn" ->
@@ -1350,18 +1379,27 @@ object SparkEntry {
     * (per-dim exact-decimal sums, IEEE double mean) per round, then the
     * final assignment's bin stats with decimal-rounded centroid norms.
     */
-  private def e15OracleSql: String = {
-    val iters = 2
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         | SELECT vec_id, embedding, centroid_id FROM (
-         |  SELECT e.vec_id, e.embedding, c.centroid_id,
-         |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
-         |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
-         |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
-         |      AS DECIMAL(20,6)) DESC,
-         |     c.centroid_id ASC) AS rk
-         |  FROM embeddings e, $cents c) t WHERE rk = 1)""".stripMargin
+  /** One nearest-trained-centroid assignment CTE (decimal argmax, lowest-id
+    * ties) — duckdb mirror of `VectorQueries.assignTrained`; shared by the
+    * e15 and e17 oracles.
+    */
+  private def kmeansAssignCte(name: String, cents: String): String =
+    s"""$name AS (
+       | SELECT vec_id, embedding, centroid_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.centroid_id,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+       |      AS DECIMAL(20,6)) DESC,
+       |     c.centroid_id ASC) AS rk
+       |  FROM embeddings e, $cents c) t WHERE rk = 1)""".stripMargin
+
+  /** The k-means training CTE chain (c0 demo seeds → `iters` assign/update
+    * rounds → trained centroids in CTE `c<iters>`) — duckdb mirror of
+    * [[graft.operators.VectorQueries.kmeansCentroids]]. No leading WITH so
+    * callers can prepend their own CTEs.
+    */
+  private def kmeansChainSql(iters: Int): String = {
     def updateCte(name: String, asg: String): String =
       s"""$name AS (
          | SELECT centroid_id, list(CAST(sum_v AS DOUBLE) / cnt ORDER BY pos) AS c
@@ -1374,14 +1412,19 @@ object SparkEntry {
          |  GROUP BY centroid_id, pos) m
          | GROUP BY centroid_id)""".stripMargin
     val rounds = (0 until iters).flatMap { t =>
-      Seq(assignCte(s"a$t", s"c$t"), updateCte(s"c${t + 1}", s"a$t"))
+      Seq(kmeansAssignCte(s"a$t", s"c$t"), updateCte(s"c${t + 1}", s"a$t"))
     }.mkString(",\n")
-    s"""WITH c0 AS (
+    s"""c0 AS (
        | SELECT CAST(vec_id AS INT) AS centroid_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        | FROM embeddings WHERE vec_id < 4),
-       |$rounds,
-       |${assignCte("afin", s"c$iters")},
+       |$rounds""".stripMargin
+  }
+
+  private def e15OracleSql: String = {
+    val iters = 2
+    s"""WITH ${kmeansChainSql(iters)},
+       |${kmeansAssignCte("afin", s"c$iters")},
        |norms AS (
        | SELECT centroid_id,
        |  CAST(CAST(sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum'))
@@ -1392,6 +1435,103 @@ object SparkEntry {
        |FROM afin a JOIN norms n USING (centroid_id)
        |GROUP BY a.centroid_id, n.centroid_norm""".stripMargin
   }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e17TrainedIvfPq]] —
+    * the e15 training chain's trained centroids drive the coarse
+    * assignment, then e14's IVF-PQ search pipeline unchanged.
+    */
+  private def e17OracleSql: String = {
+    val iters = 2
+    val (cDefs, codeArr, scoreTerms) = pqSqlPieces
+    s"""WITH cents AS (
+       | SELECT $cDefs),
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("tasg0", s"c$iters")},
+       |tasg AS (SELECT vec_id, centroid_id FROM tasg0),
+       |codes AS (
+       | SELECT e.vec_id AS neighbor_id, $codeArr AS code
+       | FROM embeddings e, cents s),
+       |scored AS (
+       | SELECT q.vec_id AS query_id, c.neighbor_id,
+       |  CAST($scoreTerms AS DECIMAL(24,6)) AS sim_dec
+       | FROM embeddings q
+       | JOIN tasg qa ON qa.vec_id = q.vec_id
+       | JOIN tasg na ON na.centroid_id = qa.centroid_id
+       | JOIN codes c ON c.neighbor_id = na.vec_id, cents s
+       | WHERE q.vec_id < 10 AND c.neighbor_id <> q.vec_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS tivfpq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.e16NprobeRecall]] —
+    * e7's brute/IVF composition with the assignment RANKS kept, swept over
+    * nprobe ∈ {1, 2, 4}.
+    */
+  private def e16OracleSql: String =
+    """WITH dots AS (
+      | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+      |  CAST(
+      |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+      |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(q.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(n.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+      |  AS DECIMAL(20,6)) AS sim_dec
+      | FROM embeddings q, embeddings n
+      | WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+      |brute AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |                      ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+      |  FROM dots) WHERE rank <= 3),
+      |ivfc AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb
+      | FROM embeddings WHERE vec_id < 4),
+      |asg0 AS (
+      | SELECT e.vec_id, c.centroid_id,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      |     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+      |    AS DECIMAL(20,6)) DESC, c.centroid_id ASC) AS a_rk
+      | FROM embeddings e, ivfc c),
+      |asg AS (SELECT vec_id, centroid_id FROM asg0 WHERE a_rk = 1),
+      |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+      |cand AS (
+      | SELECT np.nprobe, p.vec_id AS query_id, a.vec_id AS neighbor_id
+      | FROM asg0 p CROSS JOIN np
+      | JOIN asg a ON a.centroid_id = p.centroid_id
+      | WHERE p.vec_id < 10 AND p.a_rk <= np.nprobe AND a.vec_id <> p.vec_id),
+      |scored AS (
+      | SELECT c.nprobe, c.query_id, c.neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.embedding)+1),
+      |    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM cand c
+      | JOIN embeddings q ON q.vec_id = c.query_id
+      | JOIN embeddings n ON n.vec_id = c.neighbor_id),
+      |topk AS (
+      | SELECT nprobe, query_id, neighbor_id FROM (
+      |  SELECT nprobe, query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY nprobe, query_id
+      |     ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM scored)
+      | WHERE rk <= 3),
+      |hits AS (
+      | SELECT t.nprobe, count(*) AS sum_hits
+      | FROM topk t JOIN brute b
+      |   ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+      | GROUP BY t.nprobe),
+      |nc AS (SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY nprobe)
+      |SELECT nc.nprobe, nc.n_candidates,
+      | CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+      | CAST(COALESCE(h.sum_hits, 0) AS DOUBLE) / 30 AS avg_recall
+      |FROM nc LEFT JOIN hits h ON h.nprobe = nc.nprobe""".stripMargin
 
   /** duckdb mirror of [[graft.operators.RelationalQueries.q37Zorder]] —
     * identical bit-interleave arithmetic, `//` for the integral division.

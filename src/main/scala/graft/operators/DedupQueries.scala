@@ -495,6 +495,65 @@ object DedupQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** e16: the IVF recall-vs-cost CURVE — e6's probe search swept over
+    * `nprobe` ∈ {1, 2, 4} (e6/e14 hardcode nprobe=1; production ANN tunes
+    * recall with exactly this dial). A query's probed bins are the top-nprobe
+    * centroids by its own assignment ranking; candidates are the union of
+    * those bins — disjoint by construction (IVF assignment is a partition of
+    * the corpus), so no cross-bin dedup is ever needed. Output per nprobe:
+    * candidate count (the cost axis — pairs scored) and recall@k against the
+    * exact brute-force top-k (e2), the quality axis. nprobe=C degenerates to
+    * brute force; the curve is the evidence for choosing the operating point.
+    *
+    * Plan shape: ONE assignment scan serves both sides (queries keep ranks
+    * 1..nprobe, corpus keeps rank 1); the (query × nprobe) probe table is a
+    * few dozen rows broadcast into the candidate equi-join on centroid_id —
+    * the sweep multiplies only the tiny probe side, never the corpus.
+    */
+  def e16NprobeRecall(spark: SparkSession, sfDir: String, k: Int = 3,
+      nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
+    val ranked = emb.crossJoin(broadcast(cents))
+      .withColumn("a_sim", dotOf(col("embedding"), col("c_emb")).cast("decimal(20,6)"))
+      .withColumn("a_rk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("a_rk") === 1)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"), col("centroid_id"))
+    val probes = ranked.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"), col("a_rk"))
+      .crossJoin(nprobes.toDF("nprobe"))
+      .filter(col("a_rk") <= col("nprobe"))
+
+    val cand = assigned.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec",
+        dotOf(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "query_id")
+      .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    val topk = cand.withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    val brute = VectorQueries.e2KnnBrute(spark, sfDir, k)
+      .select("query_id", "neighbor_id")
+    val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("sum_hits"))
+    cand.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .na.fill(0L, Seq("sum_hits"))
+      .select(col("nprobe"), col("n_candidates"), col("sum_hits"),
+        (col("sum_hits").cast("double") / lit(10.0 * k)).as("avg_recall"))
+  }
+
   /** e4: IVF(-flat) assignment — vectors binned to their nearest centroid
     * from a fixed codebook (vec_id < 4 as demo centroids; real deployments
     * train the codebook). The partition step of IVF ANN search: at query

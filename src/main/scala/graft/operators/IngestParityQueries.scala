@@ -331,10 +331,14 @@ object IngestParityQueries {
     * the true global distinct regardless of how the replay splits into
     * micro-batches (state never expires, so a late re-occurrence can never
     * re-emit), which is what makes the oracle exact. The production
-    * trade-off is documented, not silently taken: an unbounded stream
-    * bounds this state with `dropDuplicatesWithinWatermark`, accepting
-    * re-emission of keys idle past the horizon — the same
-    * exactness-vs-state dial as every streaming dedup.
+    * trade-off is documented AND exercised: [[st10DedupWithinWatermark]] is
+    * the bounded-state `dropDuplicatesWithinWatermark` variant an unbounded
+    * stream must use, accepting re-emission of keys idle past the horizon —
+    * the same exactness-vs-state dial as every streaming dedup. Scope is
+    * glob-pruned to days 01-09 (st3/st5's directory-pruning discipline,
+    * mirrored by the oracle): the key-set semantics are scope-independent,
+    * so the extra three weeks of 720-directory local-FS replay bought
+    * nothing but gate time.
     */
   def st4StreamDedup(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -345,7 +349,7 @@ object IngestParityQueries {
       val q = spark.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
-        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
         .select(col("user_id"), col("event_type"))
         .dropDuplicates("user_id", "event_type")
         .writeStream.format("memory").queryName(qn)
@@ -359,6 +363,92 @@ object IngestParityQueries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_unique_users"),
         sum(col("user_id")).as("sum_user_ids"))
+  }
+
+  /** st10: BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`,
+    * the variant st4's docstring promises: state for a key is kept only
+    * until the watermark passes its event time plus the delay, so an
+    * unbounded stream's dedup memory is bounded by the horizon instead of
+    * growing with key cardinality forever. The price is re-emission: a key
+    * idle past the horizon deduplicates afresh.
+    *
+    * Why the oracle is exact here: a key first seen at t₀ can evict only
+    * when watermark > t₀ + delay, and the watermark never exceeds
+    * max(ts) − delay — so eviction needs the replay to span MORE than
+    * 2×delay. The day=01 slice spans < 24 h and the delay is 13 h, so no
+    * key can evict mid-replay under ANY micro-batch split: every key emits
+    * exactly once and the emitted key set is the global distinct, stated
+    * directly by the oracle — while the query still runs the bounded-state
+    * operator (per-key expiry timers, watermark-driven eviction scans). The
+    * re-emission side of the contract (idle keys past the horizon DO
+    * re-emit) is batching-dependent by nature, so it is pinned with
+    * explicitly controlled batches in `DedupWithinWatermarkSpec`, not here.
+    */
+  def st10DedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("dedupww-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st10_dedupww_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    withStreamShuffle(spark, 8) {
+      val q = spark.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .withWatermark("ts", "13 hours")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.table(qn)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"),
+        sum(col("user_id")).as("sum_user_ids"))
+  }
+
+  /** st11: STREAMING BACKFILL parity — the reference's backfill story
+    * (`/root/reference/README.md:49-60`: re-run the hour's load, the
+    * truncate decorator makes it idempotent) replayed stream-natively and
+    * proven non-destructive. Day 01 is batch-landed with its FIRST hour
+    * deliberately crippled (half the rows — a failed earlier load), then
+    * [[graft.streaming.StreamingIngest.backfillHour]] streams exactly that
+    * hour's raw TSV files back through the atomic truncate-and-replace
+    * sink. The whole-day readback equals the original events iff the
+    * replayed hour was fully repaired AND no other hour was disturbed —
+    * both halves of the backfill contract in one hash. Untouched-partition
+    * FILE identity (not just content) is pinned in `StreamingIngestSpec`.
+    */
+  def st11StreamingBackfill(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val landing = parityDir("backfill-landing", sfDir, firstHourOnly = false)
+    val ckpt = parityDir("backfill-ckpt", sfDir, firstHourOnly = false)
+    wipe(landing); wipe(ckpt)
+    val cfg = cfgFor(rawBase, s"file:$landing")
+
+    val day1 = RelationalQueries.eventsTable(spark, sfDir)
+      .filter(dayofmonth(col("ts")) === 1)
+    val h0 = day1.agg(min(date_trunc("hour", col("ts"))))
+      .collect()(0).getTimestamp(0)
+    val crippled = day1.filter(!(date_trunc("hour", col("ts")) === lit(h0) &&
+      col("event_id") % 2 === 0))
+    LandingTable.overwritePartitions(crippled, cfg)
+
+    val hour = PartitionHour.fromInstant(h0.toInstant) // session TZ is UTC
+    withStreamShuffle(spark, 8) {
+      val q = graft.streaming.StreamingIngest.backfillHour(spark, cfg, hour, ckpt)
+      q.awaitTermination()
+    }
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("user_id")).as("sum_uid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
   }
 
   /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner
@@ -428,7 +518,10 @@ object IngestParityQueries {
     * same micro-batch, so the emitted hours are exactly those with
     * `hour_end <= final watermark` — every quarter of such an hour has
     * necessarily closed first. Hours still inside the horizon sit in
-    * second-level state and must NOT appear.
+    * second-level state and must NOT appear. Scope is glob-pruned to days
+    * 01-09 like st3/st5 (the oracle mirrors both the slice and its
+    * scope-local final watermark): the two-level emission rule is
+    * per-window, so the full month of replay is gate cost, not proof.
     */
   def st7ChainedAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -439,7 +532,7 @@ object IngestParityQueries {
       val q = spark.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
-        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
         .withWatermark("ts", "40 minutes")
         .groupBy(window(col("ts"), "15 minutes"))
         .agg(count(lit(1)).as("cnt15"))
@@ -514,6 +607,9 @@ object IngestParityQueries {
     wipe(ckpt)
     val qn = "st9_tws_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // shared-session conf swap — same single-threaded-gate contract as
+    // [[withStreamShuffle]] (see its scaladoc): Verify/Bench run queries
+    // sequentially, so no concurrent query can observe the RocksDB provider
     val prevProvider = spark.conf.get(providerKey)
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")

@@ -365,10 +365,15 @@ object VectorQueries {
   def e14IvfPq(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val asg = graft.operators.DedupQueries.e4IvfAssign(spark, sfDir)
       .select(col("vec_id"), col("centroid_id"))
+    // query side: only the query vectors' assignments broadcast (bounded by
+    // the query set, never the corpus); candidate side: codes ⋈ assignment is
+    // N-row ⋈ N-row on vec_id — a co-partitioned shuffle hash join, because
+    // broadcasting the corpus-wide assignment table fails at 10⁹ vectors.
     val queries = pqQueryTable(spark, sfDir)
-      .join(broadcast(asg.withColumnRenamed("vec_id", "query_id")), "query_id")
+      .join(broadcast(asg.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "query_id")), "query_id")
     val cands = pqCodes(spark, sfDir)
-      .join(broadcast(asg.withColumnRenamed("vec_id", "neighbor_id")), "neighbor_id")
+      .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
     cands.join(broadcast(queries), "centroid_id")
@@ -432,27 +437,44 @@ object VectorQueries {
     * relation. Determinism: sums are exact decimal (order-independent),
     * means divide as doubles (one correctly-rounded IEEE op in both
     * engines), assignment ranks round through DECIMAL(20,6).
+    *
+    * Split as [[kmeansCentroids]] (the trained codebook, consumed by e17's
+    * trained-index search) + [[e15Kmeans]] (bin stats + norms, the gate
+    * diagnostic view of the same training run).
     */
-  def e15Kmeans(spark: SparkSession, sfDir: String, iters: Int = 2,
-      k: Int = 4, dims: Int = 64): DataFrame = {
+  /** Decimal-rounded dot of the embedding against a trained (double) centroid
+    * array column `c` — the assignment metric shared by e15/e17.
+    */
+  private def trainedDotDec: Column = aggregate(
+    zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
+    lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
+
+  /** One nearest-trained-centroid assignment pass (broadcast codebook, no
+    * shuffle; decimal argmax, ties to lowest centroid — e4's rule).
+    */
+  private def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim_dec", trainedDotDec)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** The trained codebook itself — `iters` Lloyd rounds from the demo seeds,
+    * returned as (centroid_id, c: array<double>). Shared by e15 (training
+    * diagnostics) and e17 (trained-index search); see [[e15Kmeans]] for the
+    * determinism and per-iteration scale contract.
+    */
+  private[operators] def kmeansCentroids(spark: SparkSession, sfDir: String,
+      iters: Int = 2, k: Int = 4): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val dotDec = aggregate(
-      zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
-    def assign(cents: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
-      emb.crossJoin(broadcast(cents))
-        .withColumn("sim_dec", dotDec)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("embedding"), col("centroid_id"))
-    }
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("c"))
     for (_ <- 1 to iters) {
-      cents = assign(cents)
+      cents = assignTrained(emb, cents)
         .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("centroid_id", "pos")
         .agg((sum(col("v").cast("double").cast("decimal(30,12)")).cast("double") /
@@ -460,16 +482,26 @@ object VectorQueries {
         .groupBy("centroid_id")
         .agg(map_from_entries(collect_list(
           struct(col("pos"), col("mean")))).as("m"))
+        // dims derives from the data itself: the (centroid, pos) rollup emits
+        // exactly one map entry per dimension, so size(m) == len(embedding) —
+        // a different-dimensional fixture reshapes instead of null-padding
         .select(col("centroid_id"),
-          transform(sequence(lit(0), lit(dims - 1)),
+          transform(sequence(lit(0), size(col("m")) - 1),
             i => element_at(col("m"), i)).as("c"))
         // d19's iterative-plan rule: truncate lineage each round (the K-row
         // centroid frame is tiny) so codegen stays O(1) per round and the
         // final assign + norm consumers don't recompute the whole chain
         .localCheckpoint(true)
     }
+    cents
+  }
+
+  def e15Kmeans(spark: SparkSession, sfDir: String, iters: Int = 2,
+      k: Int = 4): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = kmeansCentroids(spark, sfDir, iters, k)
     val norm = sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
-    assign(cents)
+    assignTrained(emb, cents)
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_assigned"),
         sum(col("vec_id")).as("sum_vec_ids"))
@@ -478,6 +510,40 @@ object VectorQueries {
         "centroid_id")
       .select(col("centroid_id"), col("n_assigned"), col("sum_vec_ids"),
         col("centroid_norm"))
+  }
+
+  /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
+    * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
+    * the demo seeds; production indexes search the codebook k-means actually
+    * produced, so here the coarse assignment runs against
+    * [[kmeansCentroids]]' trained centroids and everything downstream is
+    * e14's recipe unchanged: probed-bin equi-join candidate generation
+    * (nprobe=1), 8-byte PQ codes, ADC table lookups, decimal-ranked top-k.
+    *
+    * Scale shape: training shuffles K·d aggregate rows per round
+    * ([[e15Kmeans]]); the trained codebook is a K-row broadcast; assignment
+    * is one scan; search is e14's shuffle-hash candidate join — no stage
+    * grows with N beyond the linear scans.
+    */
+  def e17TrainedIvfPq(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val asg = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("centroid_id"))
+    val queries = pqQueryTable(spark, sfDir)
+      .join(broadcast(asg.filter(col("vec_id") < 10)
+        .withColumnRenamed("vec_id", "query_id")), "query_id")
+    val cands = pqCodes(spark, sfDir)
+      .join(asg.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    cands.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", pqScoreDec.cast("decimal(24,6)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("tivfpq_sim"))
   }
 
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)

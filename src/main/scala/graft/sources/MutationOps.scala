@@ -183,6 +183,10 @@ object MutationOps {
       tsCol: String, tiebreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    // same reserved-prefix contract as snapshotDiff: the working columns
+    // below would silently clobber a caller column of the same name
+    require(!(keys ++ attrs ++ Seq(tsCol, tiebreak)).exists(_.startsWith("__scd2")),
+      "scd2: column names starting with __scd2 are reserved")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col(tiebreak).asc)
     val attrChanged = attrs

@@ -50,6 +50,40 @@ object StreamingIngest {
       .start()
   }
 
+  /** Streaming BACKFILL of one past hour — the stream-native form of the
+    * reference's backfill story (re-run the hour's load job; the decorator's
+    * `WRITE_TRUNCATE` makes the re-run idempotent,
+    * `/root/reference/README.md:49-60`, `bigquery_interaction.py:18-20`):
+    * stream exactly that hour's raw files (directory-pruned source glob — no
+    * other hour is even listed) into the landing table through the same
+    * atomic truncate-and-replace commit batch ingest uses. Partitions not
+    * present in the replayed batch are physically untouched, so a backfill
+    * can run next to live traffic on other hours.
+    *
+    * Batch-atomicity contract: each micro-batch overwrites the partitions IT
+    * contains, so the replayed hour must arrive as one batch — leave
+    * `maxFilesPerTrigger` unset and `Trigger.AvailableNow` delivers all
+    * files of the hour in a single batch, mirroring the reference's
+    * one-job-per-hour atomicity unit. (A multi-batch feed would need a
+    * stage-then-swap at query end; per-hour backfill doesn't.)
+    */
+  def backfillHour(spark: SparkSession, cfg: IngestConfig,
+      hour: graft.core.PartitionHour, checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(cfg.schema)
+      .options(CsvOptions.toReaderOptions(cfg.csv))
+      .csv(graft.core.PartitionCodec.toDir(cfg.sourceBase, hour))
+    raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) LandingTable.overwritePartitions(batch, cfg)
+      }
+      .start()
+  }
+
   /** Watermarked hourly aggregate stream: emits each hour's final count
     * exactly once, `graceMinutes` after the hour closes (append mode — only
     * watermark-closed windows leave the operator), into a batch-keyed stats
