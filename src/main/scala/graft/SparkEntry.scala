@@ -594,9 +594,10 @@ object SparkEntry {
         |FROM (SELECT DISTINCT user_id, event_type FROM events
         |      WHERE day(ts) < 10)
         |GROUP BY event_type""".stripMargin,
-    // st10: delay (13h) > half the day=01 span, so no dedup state can evict
-    // mid-replay and the bounded-state operator provably emits the global
-    // distinct (see st10DedupWithinWatermark scaladoc for the 2×delay rule)
+    // st10: delay (25h) > the day=01 span, so under ANY micro-batch split no
+    // row can be late-dropped and no dedup state can evict mid-replay — the
+    // bounded-state operator provably emits the global distinct (see
+    // st10DedupWithinWatermark scaladoc)
     "st10_dedup_within_watermark" ->
       """SELECT event_type,
         | CAST(count(*) AS BIGINT) AS n_unique_users,

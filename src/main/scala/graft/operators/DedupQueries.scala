@@ -547,11 +547,18 @@ object DedupQueries {
       .select("query_id", "neighbor_id")
     val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
       .groupBy("nprobe").agg(count(lit(1)).as("sum_hits"))
+    // recall denominator derived from the probe table (queries x k), not
+    // hardcoded — a non-default k or query set stays self-consistent (the
+    // duckdb oracle only covers the default k=3 / nprobes={1,2,4} config)
+    val qCounts = probes.groupBy("nprobe")
+      .agg(countDistinct(col("query_id")).as("n_queries"))
     cand.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
       .join(hits, Seq("nprobe"), "left")
+      .join(qCounts, Seq("nprobe"))
       .na.fill(0L, Seq("sum_hits"))
       .select(col("nprobe"), col("n_candidates"), col("sum_hits"),
-        (col("sum_hits").cast("double") / lit(10.0 * k)).as("avg_recall"))
+        (col("sum_hits").cast("double") /
+          (col("n_queries") * lit(k)).cast("double")).as("avg_recall"))
   }
 
   /** e4: IVF(-flat) assignment — vectors binned to their nearest centroid

@@ -372,17 +372,18 @@ object IngestParityQueries {
     * growing with key cardinality forever. The price is re-emission: a key
     * idle past the horizon deduplicates afresh.
     *
-    * Why the oracle is exact here: a key first seen at t₀ can evict only
-    * when watermark > t₀ + delay, and the watermark never exceeds
-    * max(ts) − delay — so eviction needs the replay to span MORE than
-    * 2×delay. The day=01 slice spans < 24 h and the delay is 13 h, so no
-    * key can evict mid-replay under ANY micro-batch split: every key emits
+    * Why the oracle is exact here UNDER ANY micro-batch split: the delay
+    * (25 h) exceeds the replayed span (day=01 spans < 24 h), so the
+    * watermark — never more than max(ts) − delay — stays below min(ts) for
+    * the whole replay. No input row can ever be late-dropped and no dedup
+    * state can evict (eviction needs watermark > t₀ + delay), regardless of
+    * how the file source batches the hour directories: every key emits
     * exactly once and the emitted key set is the global distinct, stated
     * directly by the oracle — while the query still runs the bounded-state
     * operator (per-key expiry timers, watermark-driven eviction scans). The
     * re-emission side of the contract (idle keys past the horizon DO
-    * re-emit) is batching-dependent by nature, so it is pinned with
-    * explicitly controlled batches in `DedupWithinWatermarkSpec`, not here.
+    * re-emit) and in-horizon suppression are pinned with explicitly
+    * controlled batches in `DedupWithinWatermarkSpec`.
     */
   def st10DedupWithinWatermark(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -395,7 +396,7 @@ object IngestParityQueries {
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
         .select(col("user_id"), col("event_type"), col("ts"))
-        .withWatermark("ts", "13 hours")
+        .withWatermark("ts", "25 hours")
         .dropDuplicatesWithinWatermark("user_id", "event_type")
         .select(col("user_id"), col("event_type"))
         .writeStream.format("memory").queryName(qn)

@@ -65,7 +65,11 @@ object StreamingIngest {
     * `maxFilesPerTrigger` unset and `Trigger.AvailableNow` delivers all
     * files of the hour in a single batch, mirroring the reference's
     * one-job-per-hour atomicity unit. (A multi-batch feed would need a
-    * stage-then-swap at query end; per-hour backfill doesn't.)
+    * stage-then-swap at query end; per-hour backfill doesn't.) The contract
+    * is ENFORCED, not just documented: a second non-empty batch (someone
+    * passed `maxFilesPerTrigger`, or a non-AvailableNow trigger split the
+    * hour) fails the query loudly instead of silently leaving only the last
+    * batch's rows in the partition.
     */
   def backfillHour(spark: SparkSession, cfg: IngestConfig,
       hour: graft.core.PartitionHour, checkpoint: String,
@@ -78,8 +82,15 @@ object StreamingIngest {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) LandingTable.overwritePartitions(batch, cfg)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          require(batchId == 0,
+            s"backfillHour($hour): hour split across micro-batches (non-empty " +
+            s"batch $batchId after batch 0) — each overwrite replaces the " +
+            "partition, so a split delivery would keep only the last batch; " +
+            "run with Trigger.AvailableNow and maxFilesPerTrigger unset")
+          LandingTable.overwritePartitions(batch, cfg)
+        }
       }
       .start()
   }

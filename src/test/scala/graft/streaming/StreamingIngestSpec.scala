@@ -45,6 +45,57 @@ class StreamingIngestSpec extends SparkSpec {
     assert(rows.filter("hour = 12").count() == 3)
   }
 
+  test("backfillHour repairs exactly the target hour; untouched partitions keep FILE identity") {
+    import graft.sources.LandingTable
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-bf-raw").toString
+    val landing = Files.createTempDirectory("graft-bf-landing").toString + "/t"
+    val ckpt = Files.createTempDirectory("graft-bf-ckpt").toString
+    val cfg = IngestConfig(s"file:$base", s"file:$landing", schema, "event_ts", "device_id")
+
+    // raw truth: hour 12 has 3 rows, hour 13 has 2 rows
+    val h12 = PartitionHour(2023, 6, 27, 12)
+    val h13 = PartitionHour(2023, 6, 27, 13)
+    writeTsv(base, h12, "a.tsv", Seq(
+      "2023-06-27 12:01:00\tdev-1\t10",
+      "2023-06-27 12:02:00\tdev-2\t20",
+      "2023-06-27 12:03:00\tdev-3\t30"))
+    writeTsv(base, h13, "b.tsv", Seq(
+      "2023-06-27 13:01:00\tdev-4\t40",
+      "2023-06-27 13:02:00\tdev-5\t50"))
+
+    // land both hours, hour 12 CRIPPLED (a failed earlier load: 1 of 3 rows)
+    def r(s: String, dev: String, b: Long) = Row(java.sql.Timestamp.valueOf(s), dev, b)
+    LandingTable.overwritePartitions(spark.createDataFrame(Seq(
+      r("2023-06-27 12:01:00", "dev-1", 10L),
+      r("2023-06-27 13:01:00", "dev-4", 40L),
+      r("2023-06-27 13:02:00", "dev-5", 50L)).asJava, schema), cfg)
+
+    def filesOf(h: PartitionHour): Set[String] = {
+      val d = new java.io.File(landing, PartitionCodec.toHivePath(h))
+      Option(d.listFiles()).map(_.filter(_.isFile).map(f =>
+        f.getName + ":" + f.lastModified()).toSet).getOrElse(Set.empty)
+    }
+    val h13Before = filesOf(h13)
+    assert(h13Before.nonEmpty)
+    val h12Before = filesOf(h12)
+
+    val q = StreamingIngest.backfillHour(spark, cfg, h12, ckpt)
+    q.awaitTermination(60000)
+
+    // the crippled hour is fully repaired from raw
+    val got = LandingTable.read(spark, cfg)
+      .filter("hour = 12").select("device_id", "bytes").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet
+    assert(got == Set(("dev-1", 10L), ("dev-2", 20L), ("dev-3", 30L)), got)
+    assert(filesOf(h12) != h12Before, "backfilled hour must be rewritten")
+    // the untouched hour keeps its exact files — name AND mtime, not just
+    // content: the backfill never rewrote the partition
+    assert(filesOf(h13) == h13Before)
+    assert(LandingTable.read(spark, cfg).filter("hour = 13").count() == 2)
+  }
+
   test("hourlyStats emits watermark-final windows once into batch-keyed dirs") {
     val base = Files.createTempDirectory("graft-st2-raw").toString
     val stats = Files.createTempDirectory("graft-st2-stats").toString + "/t"
