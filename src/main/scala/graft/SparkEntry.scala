@@ -129,10 +129,12 @@ object SparkEntry {
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
     "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
     "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
+    "u6_scd2_merge" -> (MaintenanceQueries.u6Scd2Merge _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
     "q43_variant" -> (R.q43Variant _),
+    "q46_variant_shredded" -> (R.q46VariantShredded _),
     "q44_recursive_cte" -> (R.q44RecursiveCte _),
     "q45_listagg" -> (R.q45Listagg _),
     "d22_segment_dedup" -> (T.d22SegmentDedup _),
@@ -330,6 +332,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY (CAST(json_extract_string(props, '$.k') AS BIGINT) % 10)""".stripMargin,
     "q43_variant" ->
+      """SELECT event_type AS et, 'fixed' AS tag1, count(*) AS cnt,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |   AS sum_k,
+        | CAST(sum(user_id) AS BIGINT) AS sum_uid
+        |FROM events GROUP BY event_type""".stripMargin,
+    // q46: same semantic contract as q43 (the shredded table is derived from
+    // the same document assembly) — equality proves the shred/write/pruned-
+    // read chain loses nothing vs the direct variant_get path
+    "q46_variant_shredded" ->
       """SELECT event_type AS et, 'fixed' AS tag1, count(*) AS cnt,
         | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
         |   AS sum_k,
@@ -1156,6 +1167,28 @@ object SparkEntry {
         | CAST(sum(user_id) AS BIGINT) AS sum_uid
         |FROM events WHERE day(ts) = 1 GROUP BY event_type""".stripMargin,
     "u5_scd2" ->
+      """WITH m AS (
+        | SELECT user_id, ts, event_id, event_type,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS prev_attr
+        | FROM events),
+        |ch AS (
+        | SELECT user_id, ts, event_id, event_type FROM m
+        | WHERE rn = 1 OR event_type IS DISTINCT FROM prev_attr)
+        |SELECT user_id,
+        | row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS version,
+        | event_type, ts AS effective_from,
+        | lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |   AS effective_to,
+        | (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+        |   AS is_current
+        |FROM ch""".stripMargin,
+    // u6: deliberately u5's full-rebuild SQL over the ENTIRE stream — the
+    // Spark side built the dimension from days <20 and MERGED days >=20
+    // incrementally, so hash equality proves incremental merge ≡ rebuild
+    "u6_scd2_merge" ->
       """WITH m AS (
         | SELECT user_id, ts, event_id, event_type,
         |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,

@@ -267,4 +267,31 @@ object MaintenanceQueries {
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
     MutationOps.scd2(src, Seq("user_id"), Seq("event_type"), "ts", "event_id")
   }
+
+  /** u6: INCREMENTAL SCD2 merge — the production composition u5's full
+    * rebuild doesn't cover: the dimension already exists on disk (built from
+    * the stream up to day 19, key-bucket-partitioned via
+    * [[MutationOps.scd2WriteTable]]), then the day-20+ change batch is
+    * merged in with [[MutationOps.scd2MergeTable]] — affected keys close
+    * their open versions / extend their history, unaffected keys and
+    * buckets are never read or rewritten (file identity pinned in
+    * `MutationOpsSpec`). The oracle is u5's full-rebuild SQL over the ENTIRE
+    * stream: hash equality is the exact statement that incremental merge ≡
+    * rebuild-from-scratch, including version renumbering, cross-boundary
+    * change compression, and closure of superseded open versions.
+    */
+  def u6Scd2Merge(spark: SparkSession, sfDir: String): DataFrame = {
+    val src = RelationalQueries.eventsTable(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+    val dimPath = s"file:${scratch("u6", sfDir)}"
+    val existing = MutationOps.scd2(src.filter(dayofmonth(col("ts")) < 20),
+      Seq("user_id"), Seq("event_type"), "ts", "event_id")
+    MutationOps.scd2WriteTable(existing, dimPath, Seq("user_id"), nBuckets = 8)
+    MutationOps.scd2MergeTable(spark, dimPath,
+      src.filter(dayofmonth(col("ts")) >= 20),
+      Seq("user_id"), Seq("event_type"), "ts", "event_id", nBuckets = 8)
+    spark.read.option("basePath", dimPath).parquet(dimPath)
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+  }
 }

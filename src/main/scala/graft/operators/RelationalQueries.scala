@@ -892,6 +892,51 @@ object RelationalQueries {
         sum(col("uid")).as("sum_uid"))
   }
 
+  /** q46: VARIANT SHREDDING — the storage-side completion of q43. q43 pays
+    * one `parse_json` per row per QUERY; shredding pays it once per row per
+    * INGEST: the hot paths are extracted into typed top-level parquet
+    * columns at write time, with the full variant binary riding along for
+    * rare/unanticipated paths. A query over the hot paths then reads a
+    * pruned `ReadSchema` of plain typed columns — it never deserializes (or
+    * even I/Os, with parquet column chunks) the variant blobs. At 100 TB
+    * that is the difference between scanning terabytes of binary documents
+    * and scanning the few typed columns the query names; the pruning is
+    * pinned in `PlanShapeSpec`. This is the manual form of the parquet
+    * variant-shredding spec (typed_value subcolumns), rebuilt on plain
+    * parquet like [[graft.sources.FileStatsManifest]] rebuilds file
+    * skipping. The oracle re-derives the aggregate from the relational
+    * sources, proving the shred→write→pruned-read chain lossless.
+    */
+  def q46VariantShredded(spark: SparkSession, sfDir: String): DataFrame = {
+    val doc = to_json(
+      struct(
+        col("event_type").as("et"),
+        struct(
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("user_id").as("uid")).as("meta"),
+        array(col("event_type"), lit("fixed")).as("tags")),
+      Map("ignoreNullFields" -> "false"))
+    val shredDir = new java.io.File(
+      s"target/parity/variant-shred-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    // shred on write: one parse per row, hot paths -> typed columns
+    table(spark, sfDir, "events")
+      .select(col("event_id"), parse_json(doc).as("v"))
+      .select(col("event_id"),
+        expr("variant_get(v, '$.et', 'string')").as("et"),
+        expr("variant_get(v, '$.meta.k', 'long')").as("k"),
+        expr("variant_get(v, '$.meta.uid', 'long')").as("uid"),
+        expr("variant_get(v, '$.tags[1]', 'string')").as("tag1"),
+        col("v"))
+      .write.mode("overwrite").parquet(s"file:$shredDir")
+    // query the shredded columns only: the variant blob column is pruned
+    // out of the scan entirely
+    spark.read.parquet(s"file:$shredDir")
+      .groupBy("et", "tag1")
+      .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+        sum(col("uid")).as("sum_uid"))
+  }
+
   /** q44: recursive CTE (Spark 4 `WITH RECURSIVE`) — hierarchy walk over a
     * digit-tree on customer keys: parent(k) = floor(k/10), roots are keys
     * < 10, so every customer appears exactly once and depth grows with

@@ -66,29 +66,59 @@ object FileStatsManifest {
 
   /** Incremental manifest maintenance: scan ONLY files the manifest does
     * not know, drop entries for files that no longer exist (compaction /
-    * partition overwrite), keep every still-valid row untouched. Cost is
-    * O(new files' bytes) + O(manifest rows), never a full-tree rescan —
-    * after an hourly ingest at 100 TB the update reads one hour, not the
-    * table. Returns (filesScanned, filesTotal). Requires an existing
-    * manifest ([[write]] bootstraps).
+    * partition overwrite), keep every still-valid row untouched. The
+    * keep/drop set is computed as a distributed semi/anti join — manifest
+    * rows never collect to the driver (a 10^8-file manifest is multi-GB);
+    * only the NEW files' paths do, and those are O(files since last update)
+    * by construction. The new generation is staged beside the live manifest
+    * and swapped in by rename, because the merged frame lazily reads the
+    * old one. Cost is O(new files' bytes) + one manifest-sized join, never
+    * a full-tree rescan — after an hourly ingest at 100 TB the update reads
+    * one hour, not the table. Returns (filesScanned, filesTotal). Requires
+    * an existing manifest ([[write]] bootstraps).
     */
   def update(spark: SparkSession, root: String, statCols: Seq[String]): (Int, Int) = {
-    def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    import org.apache.hadoop.fs.Path
     val mDir = s"${root.stripSuffix("/")}/$ManifestDirName"
     val old = spark.read.parquet(mDir)
-    val fileIdx = old.schema.fieldIndex("file")
     val live = liveFiles(spark, root)
-    val liveSet = live.map(norm).toSet
-    // manifest is one row per file by construction — driver-small
-    val kept = old.collect().filter(r => liveSet(norm(r.getString(fileIdx))))
-    val knownSet = kept.map(r => norm(r.getString(fileIdx))).toSet
-    val newFiles = live.filterNot(p => knownSet(norm(p)))
-    val fresh =
-      if (newFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else collect(spark, root, statCols, newFiles).collect()
-    spark.createDataFrame(
-      java.util.Arrays.asList(kept ++ fresh: _*), old.schema)
-      .coalesce(1).write.mode("overwrite").parquet(mDir)
+    import spark.implicits._
+    // `_metadata.file_path` is URI-form (`file:///…`), FileSystem listings
+    // `file:/…` — join on the scheme-free path
+    def normed(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, "^[A-Za-z0-9+.-]+:/+", "/")
+    val liveDf = live.toDF("live_path")
+      .withColumn("norm", normed(col("live_path")))
+    val oldN = old.withColumn("norm", normed(col("file")))
+    // rows for files still on disk survive untouched; deleted files' rows
+    // drop out of the semi join — the manifest never leaves the executors
+    val kept = oldN
+      .join(liveDf.select("norm"), Seq("norm"), "left_semi")
+      .select(old.columns.map(col): _*)
+    // only the NEW file paths come to the driver (they must: the scan needs
+    // a path list) — O(files since last update), never O(manifest)
+    val newFiles = liveDf
+      .join(oldN.select("norm"), Seq("norm"), "left_anti")
+      .select("live_path").as[String].collect().toSeq
+    val merged =
+      if (newFiles.isEmpty) kept
+      else kept.unionByName(
+        collect(spark, root, statCols, newFiles).select(old.columns.map(col): _*))
+    // stage-then-swap: `merged` still lazily READS mDir, so write the new
+    // generation beside it (leading underscore keeps it invisible) and
+    // rename over the old one only after the write committed
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val liveP = new Path(s"${root.stripSuffix("/")}/$ManifestDirName")
+    val token = java.util.UUID.randomUUID().toString
+    val tmp = new Path(liveP.getParent, s"$ManifestDirName-staged-$token")
+    val trash = new Path(liveP.getParent, s"$ManifestDirName-trash-$token")
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(liveP, trash), s"manifest swap: could not set aside $liveP")
+    if (!fs.rename(tmp, liveP)) {
+      fs.rename(trash, liveP) // restore; the update is lost, the table is not
+      throw new IllegalStateException(s"manifest swap: could not publish $tmp")
+    }
+    fs.delete(trash, true)
     (newFiles.length, live.length)
   }
 

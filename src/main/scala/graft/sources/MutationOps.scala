@@ -205,4 +205,81 @@ object MutationOps {
       .select((keys.map(col) ++ Seq(col("version")) ++ attrs.map(col) ++
         Seq(col("effective_from"), col("effective_to"), col("is_current"))): _*)
   }
+
+  /** INCREMENTAL SCD2 merge: apply a change batch to an existing [[scd2]]
+    * dimension without re-reading the unaffected keys' history. Affected
+    * keys (those present in `changes`) have their version history re-derived
+    * from (their existing version rows ∪ the new records) — an existing
+    * version row IS the key's compressed change point, so replaying it
+    * through [[scd2]] reproduces the full history, closes the open version
+    * when a new record supersedes it, compresses a no-attr-change record
+    * into the open version, and even handles late records that land between
+    * existing versions. Every other key's rows pass through untouched.
+    *
+    * The result is IDENTICAL to rebuilding from the full change stream
+    * (the gate's u6 oracle states exactly that), at the cost of the change
+    * batch + affected keys' versions, not the corpus.
+    *
+    * `tiebreak` must be numeric: existing version rows re-enter the ordering
+    * with a synthesized tiebreak (`version - Long.MaxValue`) that preserves
+    * their relative order and sorts them below any caller tiebreak at equal
+    * timestamps.
+    */
+  def scd2Merge(existing: DataFrame, changes: DataFrame, keys: Seq[String],
+      attrs: Seq[String], tsCol: String, tiebreak: String): DataFrame = {
+    val affectedKeys = changes.select(keys.map(col): _*).distinct()
+    val untouched = existing.join(affectedKeys, keys, "left_anti")
+    val asChanges = existing.join(affectedKeys, keys, "left_semi")
+      .select(keys.map(col) ++ attrs.map(col) ++ Seq(
+        col("effective_from").as(tsCol),
+        (col("version").cast("long") - lit(Long.MaxValue)).as(tiebreak)): _*)
+    val merged = scd2(
+      asChanges.unionByName(
+        changes.select(keys.map(col) ++ attrs.map(col) ++
+          Seq(col(tsCol), col(tiebreak).cast("long")): _*)),
+      keys, attrs, tsCol, tiebreak)
+    untouched.unionByName(merged)
+  }
+
+  /** Key-bucket-partitioned physical form of the SCD2 dimension, the layout
+    * [[scd2MergeTable]] needs to make merges partition-scoped on disk: a
+    * dimension has no time axis to partition by (a key's versions must stay
+    * together), so the partition key is a stable hash bucket of the business
+    * key. One task per bucket ⇒ one file per bucket directory.
+    */
+  def scd2WriteTable(dim: DataFrame, dimPath: String, keys: Seq[String],
+      nBuckets: Int): Unit =
+    dim.withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dimPath)
+
+  /** [[scd2Merge]] against a [[scd2WriteTable]]-layout dimension on disk,
+    * touching only the buckets the change batch's keys hash into: the read
+    * carries a bucket-list partition predicate (directory-pruned before any
+    * file opens), and the write is a dynamic partition overwrite of exactly
+    * those bucket directories — untouched buckets keep their files
+    * physically intact (the u1/u2 discipline, pinned in `MutationOpsSpec`).
+    * Returns the touched bucket ids.
+    */
+  def scd2MergeTable(spark: SparkSession, dimPath: String, changes: DataFrame,
+      keys: Seq[String], attrs: Seq[String], tsCol: String, tiebreak: String,
+      nBuckets: Int): Seq[Int] = {
+    val touched = changes
+      .select(pmod(hash(keys.map(col): _*), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val affectedDim = spark.read.option("basePath", dimPath).parquet(dimPath)
+      .filter(col("bucket").cast("int").isin(touched: _*))
+      .drop("bucket")
+    val merged = scd2Merge(affectedDim, changes, keys, attrs, tsCol, tiebreak)
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try merged
+      .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(dimPath)
+    finally spark.conf.set(key, prev)
+    touched
+  }
 }

@@ -97,6 +97,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q46: shredded-variant read prunes the variant blob from the scan") {
+    val p = plan("q46_variant_shredded")
+    // the read-back plan must scan only the typed shredded columns — the
+    // variant binary column never appears in the ReadSchema (at 100 TB the
+    // blobs are the bulk of the bytes)
+    val rs = """ReadSchema: [^\n]*""".r.findFirstIn(p).getOrElse("")
+    assert(rs.nonEmpty, p)
+    assert(!rs.toLowerCase.contains("variant") && !rs.contains("v:"), rs)
+    assert(Seq("et:", "k:", "uid:", "tag1:").forall(rs.contains), rs)
+  }
+
   test("q39: constant dims broadcast; fact joins shuffle on their keys") {
     val p = plan("q39_tpch_deep")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // nation, region

@@ -57,4 +57,33 @@ class FileStatsManifestSpec extends SparkSpec {
     val (scanned2, _) = FileStatsManifest.update(spark, s"file:$dir", Seq("id"))
     assert(scanned2 == 0, s"re-update scanned $scanned2 files")
   }
+
+  test("update drops manifest rows for deleted files and rescans rewrites") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-manifest3").toString
+    (0L until 40L).toDF("id").withColumn("v", $"id")
+      .repartitionByRange(4, $"id")
+      .write.mode("overwrite").parquet(s"file:$dir")
+    FileStatsManifest.write(spark, s"file:$dir", Seq("id"))
+    assert(spark.read.parquet(s"file:$dir/_manifest").count() == 4)
+
+    // compaction-style rewrite: all four data files replaced by two new
+    // ones IN PLACE (a root-level overwrite would also delete the manifest,
+    // which no real compaction does — it rewrites data files only)
+    new java.io.File(dir).listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith("_") && !f.getName.startsWith("."))
+      .foreach(f => assert(f.delete()))
+    (0L until 40L).toDF("id").withColumn("v", $"id")
+      .repartitionByRange(2, $"id")
+      .write.mode("append").parquet(s"file:$dir")
+    val (scanned, total) = FileStatsManifest.update(spark, s"file:$dir", Seq("id"))
+    assert(scanned == 2 && total == 2, s"($scanned, $total)")
+    // the stale entries are gone: manifest rows == live files, and pruning
+    // over the rewritten layout still returns exact results
+    val m = spark.read.parquet(s"file:$dir/_manifest")
+    assert(m.count() == 2, "manifest must drop rows for deleted files")
+    val (df, _, nTot) = FileStatsManifest.prunedRead(spark, s"file:$dir", "id", 5, 7)
+    assert(nTot == 2)
+    assert(df.select("id").collect().map(_.getLong(0)).toSet == Set(5L, 6L, 7L))
+  }
 }

@@ -113,4 +113,64 @@ class MutationOpsSpec extends SparkSpec {
     assert(touched.isEmpty && emptied.isEmpty)
     assert(filesOf(cfg, 10) == before)
   }
+
+  test("scd2MergeTable rewrites only the change batch's buckets; merge ≡ rebuild") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val nBuckets = 4
+    // one initial record per user; user ids chosen at runtime so the change
+    // batch's bucket provably differs from at least one untouched bucket
+    val users = (1L to 8L).toSeq
+    val stream0 = users.map(u =>
+      (u, ts(f"2023-06-27 10:0${u % 6}%d:00"), u * 10, "A"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val dim = Files.createTempDirectory("graft-scd2m").toString + "/dim"
+    MutationOps.scd2WriteTable(
+      MutationOps.scd2(stream0, Seq("user_id"), Seq("event_type"), "ts", "event_id"),
+      s"file:$dim", Seq("user_id"), nBuckets)
+
+    val bucketOf = users.map(u => u ->
+      stream0.filter($"user_id" === u)
+        .select(pmod(hash($"user_id"), lit(nBuckets))).head().getInt(0)).toMap
+    val changeUser = users.head
+    val otherBucketUser = users.find(u => bucketOf(u) != bucketOf(changeUser))
+      .getOrElse(fail("need a user hashing to a different bucket"))
+    def bucketFiles(b: Int): Set[String] = {
+      val d = new java.io.File(s"$dim/bucket=$b")
+      Option(d.listFiles()).map(_.filter(_.isFile).map(f =>
+        f.getName + ":" + f.lastModified()).toSet).getOrElse(Set.empty)
+    }
+    val untouchedBefore = bucketFiles(bucketOf(otherBucketUser))
+    assert(untouchedBefore.nonEmpty)
+
+    // batch: changeUser switches to attr B at 12:00
+    val touched = MutationOps.scd2MergeTable(spark, s"file:$dim",
+      Seq((changeUser, ts("2023-06-27 12:00:00"), 999L, "B"))
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq("event_type"), "ts", "event_id", nBuckets)
+    assert(touched == Seq(bucketOf(changeUser)), touched)
+    assert(bucketFiles(bucketOf(otherBucketUser)) == untouchedBefore,
+      "bucket without any changed key must keep its exact files")
+
+    val after = spark.read.option("basePath", s"file:$dim").parquet(s"file:$dim")
+    val cu = after.filter($"user_id" === changeUser)
+      .select("version", "event_type", "effective_to", "is_current")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.getTimestamp(2)), r.getBoolean(3))).toSet
+    // open version closed at the new record's ts; new current version B
+    assert(cu == Set(
+      (1, "A", Some(ts("2023-06-27 12:00:00")), false),
+      (2, "B", None, true)), cu)
+    // a no-attr-change record compresses into the open version: same state
+    MutationOps.scd2MergeTable(spark, s"file:$dim",
+      Seq((changeUser, ts("2023-06-27 13:00:00"), 1000L, "B"))
+        .toDF("user_id", "ts", "event_id", "event_type"),
+      Seq("user_id"), Seq("event_type"), "ts", "event_id", nBuckets)
+    val cu2 = spark.read.option("basePath", s"file:$dim").parquet(s"file:$dim")
+      .filter($"user_id" === changeUser)
+      .select("version", "event_type", "is_current").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(cu2 == Set((1, "A", false), (2, "B", true)), cu2)
+  }
 }
