@@ -746,11 +746,13 @@ object SparkEntry {
         |        * (j + 1)), 'sum') AS BIGINT) AS checksum
         |FROM cut""".stripMargin,
     "st1_streaming_hourly" ->
-      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
-        |FROM events
+      """WITH scoped AS (
+        | SELECT ts FROM events WHERE day(ts) < 10)
+        |SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+        |FROM scoped
         |GROUP BY date_trunc('hour', ts)
         |HAVING date_trunc('hour', ts) + INTERVAL 1 HOUR <=
-        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM events)""".stripMargin,
+        |       (SELECT max(ts) - INTERVAL 40 MINUTE FROM scoped)""".stripMargin,
     "st7_chained_agg" ->
       """WITH scoped AS (
         | SELECT ts FROM events WHERE day(ts) < 10),
@@ -809,12 +811,14 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN p
         |  ON e.user_id = p.p_user AND epoch_us(e.ts) >= p.p_tsl""".stripMargin,
     "st2_streaming_sessions" ->
-      """WITH se AS (
+      """WITH scoped AS (
+        | SELECT user_id, event_id, ts FROM events WHERE day(ts) < 10),
+        |se AS (
         | SELECT user_id, event_id, epoch_us(ts) AS tu,
         |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
         |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |       THEN 1 ELSE 0 END AS brk
-        | FROM events
+        | FROM scoped
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
         |s2 AS (
         | SELECT user_id, tu,
@@ -829,7 +833,7 @@ object SparkEntry {
         |FROM sess
         |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
         |   OR (session_end_us + 1800000000) // 1000 <
-        |      (SELECT epoch_us(max(ts)) // 1000 - 2400000 FROM events)""".stripMargin,
+        |      (SELECT epoch_us(max(ts)) // 1000 - 2400000 FROM scoped)""".stripMargin,
     "d16_char_entropy" ->
       """WITH cc AS (
         | SELECT doc_id, ch, count(*) AS c FROM (

@@ -184,8 +184,13 @@ object IngestParityQueries {
     * windows, append-once `foreachBatch` partition overwrite
     * ([[graft.streaming.StreamingIngest.hourlyStats]]), then read the stats
     * table back. Only watermark-closed hours land (window.end <= final
-    * watermark = max(ts) - 40min), which the oracle reproduces exactly —
-    * the late-data semantics of the reference's :40 cron, stream-native.
+    * watermark = max(ts) - 40min over the replayed scope), which the oracle
+    * reproduces exactly — the late-data semantics of the reference's :40
+    * cron, stream-native. Scope is glob-pruned to days 01-09 like
+    * st3/st4/st5/st7 (the oracle mirrors the slice and its scope-local
+    * watermark; `Round5QueriesSpec`'s st7-vs-st1 cross-check is
+    * scope-robust): the emission rule is per-window, so the extra three
+    * weeks of replay bought gate time, not proof.
     */
   def st1StreamingHourly(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -195,7 +200,7 @@ object IngestParityQueries {
     val cfg = cfgFor(rawBase, "unused")
     withStreamShuffle(spark, 8) {
       val q = graft.streaming.StreamingIngest.hourlyStats(
-        spark, cfg, s"file:$stats", ckpt, graceMinutes = 40)
+        spark, cfg, s"file:$stats", ckpt, graceMinutes = 40, dayGlob = "0*")
       q.awaitTermination()
     }
     spark.read.option("basePath", s"file:$stats").parquet(s"file:$stats")
@@ -208,7 +213,10 @@ object IngestParityQueries {
     * 30-min gap, event-time timeout) into a memory sink. Emitted sessions =
     * every gap-closed session plus timeout-closed ones (last event + gap
     * strictly below the final watermark = max(ts) - 40min); the oracle
-    * reproduces both rules from the batch window form.
+    * reproduces both rules from the batch window form. Scope is glob-pruned
+    * to days 01-09 (st3's directory-pruning discipline, oracle mirrored
+    * with a scoped CTE incl. the scope-local watermark): sessionization is
+    * per-user-per-gap, so the full month of replay added scan time only.
     */
   def st2StreamingSessions(spark: SparkSession, sfDir: String): DataFrame = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir)
@@ -220,7 +228,7 @@ object IngestParityQueries {
     val raw = spark.readStream
       .schema(eventsSchema)
       .options(graft.core.CsvOptions.toReaderOptions(graft.core.CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
       .select(col("user_id"), col("ts"), col("event_id"))
       .as[graft.streaming.Sessionize.Event]
     withStreamShuffle(spark, 8) {

@@ -113,11 +113,15 @@ object StreamingIngest {
     */
   def hourlyStats(spark: SparkSession, cfg: IngestConfig, statsPath: String,
       checkpoint: String, graceMinutes: Int = 40,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+      trigger: Trigger = Trigger.AvailableNow(),
+      dayGlob: String = "*"): StreamingQuery = {
+    // dayGlob prunes the replay at the DIRECTORY level (days outside the
+    // glob are never even listed) — the windowing semantics are per-window,
+    // so a scoped replay is the same operator over fewer partitions
     val raw = spark.readStream
       .schema(cfg.schema)
       .options(CsvOptions.toReaderOptions(cfg.csv))
-      .csv(s"${cfg.sourceBase.stripSuffix("/")}/year=*/month=*/day=*/hour=*")
+      .csv(s"${cfg.sourceBase.stripSuffix("/")}/year=*/month=*/day=$dayGlob/hour=*")
     val agg = raw
       .withWatermark(cfg.partitionField, s"$graceMinutes minutes")
       .groupBy(window(col(cfg.partitionField), "1 hour"))

@@ -93,7 +93,10 @@ class PipelineQueriesSpec extends SparkSpec {
   }
 
   test("st1: emits exactly the watermark-closed hours with exact counts") {
+    // st1 replays the day=0* glob scope; mirror it (and its scope-local
+    // final watermark) in the batch restatement
     val events = RelationalQueries.eventsTable(spark, sfDir)
+      .filter(dayofmonth(col("ts")) < 10)
     val wm = events.agg(max(col("ts"))).collect()(0).getTimestamp(0).toInstant
       .minusSeconds(40 * 60)
     val expected = events
