@@ -68,31 +68,33 @@ object IngestParityQueries {
     rec(new java.io.File(dir)); new java.io.File(dir).mkdirs()
   }
 
-  /** Run a streaming replay with a smaller shuffle-partition count (the
-    * stateful-operator parallelism), restoring the session value after.
+  /** Run a streaming replay on a THROWAWAY child session
+    * (`spark.newSession()`: same SparkContext, shared cache and catalog
+    * metadata, but its OWN SQLConf and temp-view registry) with the
+    * stateful-operator shuffle parallelism sized to state volume.
     *
-    * Why: every stateful operator materializes one state-store instance —
-    * and per micro-batch, one delta file plus commit metadata — PER shuffle
-    * partition, regardless of data volume. The gate replays land a few
-    * thousand rows per side, so 32 partitions mean the run is dominated by
-    * 32× state-store file churn, not by work (measured: st3 7.9s → ~4s at
-    * 8 partitions). This is the session-level knob a real deployment sizes
-    * to state volume — partition count never changes results, only file
-    * fan-out. Checkpoints are wiped per run, so the baked-in state
-    * partitioning never conflicts across settings.
+    * Why the smaller shuffle count: every stateful operator materializes
+    * one state-store instance — and per micro-batch, one delta file plus
+    * commit metadata — PER shuffle partition, regardless of data volume.
+    * The gate replays land a few thousand rows per side, so 32 partitions
+    * mean the run is dominated by 32× state-store file churn, not by work
+    * (measured: st3 7.9s → ~4s at 8 partitions). Partition count never
+    * changes results, only file fan-out.
     *
-    * Contract: this patches the SHARED session conf for the duration of
-    * `f`, so it assumes the gate's single-threaded runner (Verify/Bench run
-    * queries sequentially on one session). A concurrent query on the same
-    * SparkSession during the window would silently plan with `n` shuffle
-    * partitions; a multi-tenant deployment should instead run the replay on
-    * its own `spark.newSession()` whose conf it owns.
+    * Why a child session: the replay owns every conf it touches — shuffle
+    * partitions here, st9's RocksDB state-store provider via `extraConf` —
+    * and they die with the session, so a concurrent query on the parent can
+    * NEVER observe them. (Earlier rounds patched the shared session conf
+    * and disclaimed "single-threaded gate only"; this closes that footgun.)
+    * Memory-sink tables register in the child's temp-view catalog, so the
+    * body both runs the stream and builds the read-back frame from `ss`.
     */
-  private def withStreamShuffle[T](spark: SparkSession, n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+  private def withStreamSession[T](spark: SparkSession, n: Int,
+      extraConf: Map[String, String] = Map.empty)(f: SparkSession => T): T = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", n.toString)
+    extraConf.foreach { case (k, v) => ss.conf.set(k, v) }
+    f(ss)
   }
 
   private def exportEventsTsv(spark: SparkSession, sfDir: String,
@@ -198,9 +200,9 @@ object IngestParityQueries {
     val ckpt = parityDir("stream-ckpt", sfDir, firstHourOnly = false)
     wipe(stats); wipe(ckpt)
     val cfg = cfgFor(rawBase, "unused")
-    withStreamShuffle(spark, 8) {
+    withStreamSession(spark, 8) { ss =>
       val q = graft.streaming.StreamingIngest.hourlyStats(
-        spark, cfg, s"file:$stats", ckpt, graceMinutes = 40, dayGlob = "0*")
+        ss, cfg, s"file:$stats", ckpt, graceMinutes = 40, dayGlob = "0*")
       q.awaitTermination()
     }
     spark.read.option("basePath", s"file:$stats").parquet(s"file:$stats")
@@ -223,15 +225,15 @@ object IngestParityQueries {
     val ckpt = parityDir("sess-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st2_sessions_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    import spark.implicits._
-    implicit val s: SparkSession = spark
-    val raw = spark.readStream
-      .schema(eventsSchema)
-      .options(graft.core.CsvOptions.toReaderOptions(graft.core.CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
-      .select(col("user_id"), col("ts"), col("event_id"))
-      .as[graft.streaming.Sessionize.Event]
-    withStreamShuffle(spark, 8) {
+    withStreamSession(spark, 8) { ss =>
+      import ss.implicits._
+      implicit val s: SparkSession = ss
+      val raw = ss.readStream
+        .schema(eventsSchema)
+        .options(graft.core.CsvOptions.toReaderOptions(graft.core.CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .as[graft.streaming.Sessionize.Event]
       val q = graft.streaming.Sessionize.sessionize(raw)
         .writeStream.format("memory").queryName(qn)
         .outputMode("append")
@@ -239,10 +241,10 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn)
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
     }
-    spark.table(qn)
-      .select(col("user_id"), col("session_start_us"),
-        col("session_end_us"), col("n_events"))
   }
 
   /** st3: STREAM-STREAM interval join end-to-end in the gate — two file
@@ -266,21 +268,21 @@ object IngestParityQueries {
     // stream-stream join is its own file source, so directory pruning (not
     // a post-read filter) is what keeps two full-tree scans off the gate;
     // the oracle mirrors the scope with a day() predicate
-    def stream() = spark.readStream
-      .schema(eventsSchema)
-      .options(CsvOptions.toReaderOptions(CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
-    val views = stream().filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("v_id"))
-      .withWatermark("v_ts", "40 minutes")
-    val purchases = stream().filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "40 minutes")
-    val joined = views.join(purchases, expr(
-      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
-    withStreamShuffle(spark, 8) {
+    withStreamSession(spark, 8) { ss =>
+      def stream() = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "40 minutes")
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "40 minutes")
+      val joined = views.join(purchases, expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"))
       val q = joined
         .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
         .writeStream.format("memory").queryName(qn)
@@ -289,11 +291,11 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("v_id")).as("sum_v_id"), sum(col("p_id")).as("sum_p_id"))
     }
-    spark.table(qn)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("v_id")).as("sum_v_id"), sum(col("p_id")).as("sum_p_id"))
   }
 
   /** st5: SLIDING windows — 1-hour windows every 30 minutes over the file
@@ -313,8 +315,8 @@ object IngestParityQueries {
     val ckpt = parityDir("slide-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st5_slide_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    withStreamShuffle(spark, 8) {
-      val q = spark.readStream
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
@@ -328,8 +330,8 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn).select("win_start", "cnt", "sum_uid")
     }
-    spark.table(qn).select("win_start", "cnt", "sum_uid")
   }
 
   /** st4: STREAMING exact deduplication — `dropDuplicates` over the file
@@ -353,8 +355,8 @@ object IngestParityQueries {
     val ckpt = parityDir("dedup-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st4_dedup_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    withStreamShuffle(spark, 8) {
-      val q = spark.readStream
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
@@ -366,11 +368,11 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique_users"),
+          sum(col("user_id")).as("sum_user_ids"))
     }
-    spark.table(qn)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique_users"),
-        sum(col("user_id")).as("sum_user_ids"))
   }
 
   /** st10: BOUNDED-STATE streaming dedup — `dropDuplicatesWithinWatermark`,
@@ -398,8 +400,8 @@ object IngestParityQueries {
     val ckpt = parityDir("dedupww-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st10_dedupww_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    withStreamShuffle(spark, 8) {
-      val q = spark.readStream
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
@@ -413,11 +415,11 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_unique_users"),
+          sum(col("user_id")).as("sum_user_ids"))
     }
-    spark.table(qn)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique_users"),
-        sum(col("user_id")).as("sum_user_ids"))
   }
 
   /** st11: STREAMING BACKFILL parity — the reference's backfill story
@@ -448,8 +450,8 @@ object IngestParityQueries {
     LandingTable.overwritePartitions(crippled, cfg)
 
     val hour = PartitionHour.fromInstant(h0.toInstant) // session TZ is UTC
-    withStreamShuffle(spark, 8) {
-      val q = graft.streaming.StreamingIngest.backfillHour(spark, cfg, hour, ckpt)
+    withStreamSession(spark, 8) { ss =>
+      val q = graft.streaming.StreamingIngest.backfillHour(ss, cfg, hour, ckpt)
       q.awaitTermination()
     }
     LandingTable.read(spark, cfg)
@@ -479,22 +481,22 @@ object IngestParityQueries {
     val ckpt = parityDir("outer-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st6_outer_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    def stream() = spark.readStream
-      .schema(eventsSchema)
-      .options(CsvOptions.toReaderOptions(CsvOptions()))
-      .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
-    val views = stream().filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
-        col("event_id").as("v_id"))
-      .withWatermark("v_ts", "40 minutes")
-    val purchases = stream().filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
-        col("event_id").as("p_id"))
-      .withWatermark("p_ts", "40 minutes")
-    val joined = views.join(purchases, expr(
-      "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"),
-      "left_outer")
-    withStreamShuffle(spark, 8) {
+    withStreamSession(spark, 8) { ss =>
+      def stream() = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+      val views = stream().filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("event_id").as("v_id"))
+        .withWatermark("v_ts", "40 minutes")
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+        .withWatermark("p_ts", "40 minutes")
+      val joined = views.join(purchases, expr(
+        "v_user = p_user AND p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 30 MINUTES"),
+        "left_outer")
       val q = joined
         .select(col("v_user").as("user_id"), col("v_id"), col("p_id"))
         .writeStream.format("memory").queryName(qn)
@@ -503,13 +505,13 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("p_id")).as("n_matched"),
+          sum(col("v_id")).as("sum_v_id"),
+          sum(col("p_id")).as("sum_p_id"))
     }
-    spark.table(qn)
-      .groupBy("user_id")
-      .agg(count(lit(1)).as("n_rows"),
-        count(col("p_id")).as("n_matched"),
-        sum(col("v_id")).as("sum_v_id"),
-        sum(col("p_id")).as("sum_p_id"))
   }
 
   /** st7: CHAINED stateful aggregation — two time-window aggregations in a
@@ -537,8 +539,8 @@ object IngestParityQueries {
     val ckpt = parityDir("chain-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st7_chain_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    withStreamShuffle(spark, 8) {
-      val q = spark.readStream
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
@@ -556,8 +558,8 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ss.table(qn).select("hour_ts", "n_quarters", "cnt", "max_quarter")
     }
-    spark.table(qn).select("hour_ts", "n_quarters", "cnt", "max_quarter")
   }
 
   /** st8: streaming-state OBSERVABILITY — the state-store data source. A
@@ -575,8 +577,8 @@ object IngestParityQueries {
     val ckpt = parityDir("stateread-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st8_state_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    withStreamShuffle(spark, 8) {
-      val q = spark.readStream
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
@@ -604,8 +606,9 @@ object IngestParityQueries {
     * increasing across batches) must equal the plain batch GROUP BY, which
     * is exactly what the oracle states; the reduction is max-by-struct, so
     * the query is batching-independent by construction. The RocksDB
-    * provider is scoped to this query and restored after (the HDFS-backed
-    * default stays in force for the other replays). Scope is glob-pruned to
+    * provider is set on the replay's own child session only (the
+    * HDFS-backed default stays in force everywhere else — no restore
+    * needed, the conf dies with the session). Scope is glob-pruned to
     * day=01 like st8 — the operator surface is per-key state, so bounding
     * INPUT by directory pruning keeps replay cost off the gate without
     * touching semantics.
@@ -615,17 +618,13 @@ object IngestParityQueries {
     val ckpt = parityDir("tws-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st9_tws_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    // shared-session conf swap — same single-threaded-gate contract as
-    // [[withStreamShuffle]] (see its scaladoc): Verify/Bench run queries
-    // sequentially, so no concurrent query can observe the RocksDB provider
-    val prevProvider = spark.conf.get(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try withStreamShuffle(spark, 8) {
-      import spark.implicits._
-      implicit val s: SparkSession = spark
-      val in = spark.readStream
+    withStreamSession(spark, 8, Map(
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ) { ss =>
+      import ss.implicits._
+      implicit val s: SparkSession = ss
+      val in = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
         .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
@@ -638,12 +637,12 @@ object IngestParityQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally spark.conf.set(providerKey, prevProvider)
-    spark.table(qn)
-      .groupBy("event_type")
-      .agg(max(struct(col("n"), col("sum_uid"))).as("m"))
-      .select(col("event_type"), col("m.n").as("n_events"),
-        col("m.sum_uid").as("sum_uid"))
+      ss.table(qn)
+        .groupBy("event_type")
+        .agg(max(struct(col("n"), col("sum_uid"))).as("m"))
+        .select(col("event_type"), col("m.n").as("n_events"),
+          col("m.sum_uid").as("sum_uid"))
+    }
   }
 
   /** O1: the workflow loop on one existing hour (probe -> ingest -> poll ->
