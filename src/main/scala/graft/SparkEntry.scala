@@ -85,6 +85,7 @@ object SparkEntry {
     "d15_corpus_dedup" -> (D.d15CorpusDedup _),
     "q30_asof_native" -> (R.q30AsofNative _),
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
+    "st12_session_window" -> (IP.st12SessionWindowAgg _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st9_transform_with_state" -> (IP.st9TransformWithState _),
@@ -834,6 +835,35 @@ object SparkEntry {
         |WHERE seq < (SELECT max(seq) FROM sess x WHERE x.user_id = sess.user_id)
         |   OR (session_end_us + 1800000000) // 1000 <
         |      (SELECT epoch_us(max(ts)) // 1000 - 2400000 FROM scoped)""".stripMargin,
+    // st12: built-in session_window aggregation — same gap-sessionization
+    // construction as st2's oracle, but the closure rule is the built-in
+    // operator's: a session (window end = last event + gap) emits iff its
+    // end <= the ms-floored final watermark
+    "st12_session_window" ->
+      """WITH scoped AS (
+        | SELECT user_id, event_id, ts FROM events WHERE day(ts) = 1),
+        |se AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS tu,
+        |  CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |        OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM scoped
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s2 AS (
+        | SELECT user_id, event_id, tu,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY tu ASC, event_id ASC
+        |                 ROWS UNBOUNDED PRECEDING) AS seq
+        | FROM se),
+        |sess AS (
+        | SELECT user_id, seq, min(tu) AS session_start_us,
+        |  max(tu) + 1800000000 AS session_end_us,
+        |  count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_eid
+        | FROM s2 GROUP BY user_id, seq)
+        |SELECT user_id, session_start_us, session_end_us, n_events, sum_eid
+        |FROM sess
+        |WHERE session_end_us <=
+        |      ((SELECT epoch_us(max(ts)) // 1000 FROM scoped) - 2400000) * 1000
+        |""".stripMargin,
     "d16_char_entropy" ->
       """WITH cc AS (
         | SELECT doc_id, ch, count(*) AS c FROM (

@@ -462,6 +462,52 @@ object IngestParityQueries {
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
   }
 
+  /** st12: BUILT-IN session windows — `groupBy(session_window(ts, gap))`
+    * aggregation, the declarative sibling of st2's arbitrary-stateful
+    * `flatMapGroupsWithState` sessionization. This completes the windowing
+    * API surface: tumbling (st1), sliding (st5), chained (st7), custom
+    * sessions (st2), built-in sessions (here). The operator merges
+    * overlapping per-key windows in state (a session's window is
+    * [first_ts, last_ts + gap)); in append mode a session emits exactly
+    * once, when the watermark passes its end.
+    *
+    * Emission rule the oracle pins: final watermark = max(ts over scope)
+    * ms-floored − 40 min; a session emits iff `last_ts + 30 min <=
+    * watermark`. The oracle restates gap-sessionization in batch form
+    * (st2's construction) and applies that closure rule; sessions still
+    * open at the horizon sit in state and must NOT appear. Scope day=01
+    * like st6/st8-st11 — session state is per (user, open session), so
+    * directory pruning bounds replay cost without touching semantics.
+    */
+  def st12SessionWindowAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("sesswin-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st12_sesswin_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .withWatermark("ts", "40 minutes")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("event_id")).as("sum_eid"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start_us"),
+          unix_micros(col("session_window.end")).as("session_end_us"),
+          col("n_events"), col("sum_eid"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(qn)
+        .select("user_id", "session_start_us", "session_end_us",
+          "n_events", "sum_eid")
+    }
+  }
+
   /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner
     * join surface. A view with no purchase within 30 minutes cannot emit
     * eagerly (a matching purchase may still arrive); it emits null-extended

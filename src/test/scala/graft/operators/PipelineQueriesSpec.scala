@@ -107,6 +107,27 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
   }
 
+  test("st12: emitted sessions are gap-wide, per-user disjoint, watermark-closed") {
+    val r = IngestParityQueries.st12SessionWindowAgg(spark, sfDir)
+    // a session's window end is last event + gap, so every window spans >= gap
+    assert(r.filter(col("session_end_us") - col("session_start_us") <
+      1800000000L).isEmpty)
+    assert(r.filter(col("n_events") < 1).isEmpty)
+    // sessions of one user never overlap: the next session's first event is
+    // > gap after the previous session's last event (= its window end)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_start_us")
+    assert(r.withColumn("prev_end", lag(col("session_end_us"), 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        col("session_start_us") < col("prev_end")).isEmpty)
+    // closure: no emitted session may end past the scope's final watermark
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+      .filter(dayofmonth(col("ts")) === 1)
+    val wmUs = (ev.agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+      / 1000L - 40L * 60 * 1000) * 1000
+    assert(r.filter(col("session_end_us") > wmUs).isEmpty)
+  }
+
   test("q40: argmax position indexes the max element; top3 bounds the rest") {
     val r = RelationalQueries.q40Hof(spark, sfDir)
     val emb = RelationalQueries.table(spark, sfDir, "embeddings")
