@@ -152,6 +152,16 @@ class MutationOpsSpec extends SparkSpec {
     assert(touched == Seq(bucketOf(changeUser)), touched)
     assert(bucketFiles(bucketOf(otherBucketUser)) == untouchedBefore,
       "bucket without any changed key must keep its exact files")
+    // read-side scoping: the bucket predicate prunes at planning — a merge
+    // never even lists the untouched buckets' files
+    val pruned = spark.read.option("basePath", s"file:$dim")
+      .parquet(s"file:$dim")
+      .filter(col("bucket").cast("int").isin(touched: _*))
+    val scans = pruned.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty && scans.head.selectedPartitions.partitionCount ==
+      touched.size, pruned.queryExecution.sparkPlan.toString)
 
     val after = spark.read.option("basePath", s"file:$dim").parquet(s"file:$dim")
     val cu = after.filter($"user_id" === changeUser)
