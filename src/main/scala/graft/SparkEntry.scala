@@ -67,6 +67,7 @@ object SparkEntry {
     "e5_cosine_neardup" -> ((s, d) => D.e5CosineNearDup(s, d)),
     "q19_grouping_sets" -> (R.q19GroupingSets _),
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
+    "e18_persisted_ivf" -> ((s, d) => V.e18PersistedIvf(s, d)),
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
     "q22_scalar_subquery" -> (R.q22ScalarSubquery _),
@@ -456,6 +457,39 @@ object SparkEntry {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
         |                        (o_orderstatus, o_orderpriority))""".stripMargin,
     "e6_ivf_search" ->
+      """WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb
+        | FROM embeddings WHERE vec_id < 4),
+        |asg0 AS (
+        | SELECT e.vec_id, e.embedding, c.centroid_id,
+        |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+        |   AS DECIMAL(20,6)) AS a_sim
+        | FROM embeddings e, cents c),
+        |asg AS (
+        | SELECT vec_id, embedding, centroid_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
+        | WHERE a_rk = 1),
+        |q AS (
+        | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+        | FROM asg WHERE vec_id < 10),
+        |cand AS (
+        | SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+        |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+        |   AS DECIMAL(20,6)) AS sim_dec
+        | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+        |  AND a.vec_id <> q.query_id),
+        |r AS (
+        | SELECT query_id, neighbor_id, sim_dec,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+        |FROM r WHERE rank <= 3""".stripMargin,
+    // e18: e6's restatement VERBATIM — the persisted, partition-pruned
+    // index path must return exactly what the in-memory probe search does
+    "e18_persisted_ivf" ->
       """WITH cents AS (
         | SELECT vec_id AS centroid_id, embedding AS c_emb
         | FROM embeddings WHERE vec_id < 4),

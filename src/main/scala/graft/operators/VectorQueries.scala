@@ -546,6 +546,59 @@ object VectorQueries {
         col("sim_dec").cast("double").as("tivfpq_sim"))
   }
 
+  /** e18: PERSISTED IVF index + partition-pruned serving — the storage side
+    * of the ANN family. e6/e14/e17 rebuild their inverted lists in memory
+    * on every run; a production index is built ONCE per corpus cut and
+    * persisted, and a query then touches only its probed bins ON DISK.
+    * Here the corpus assignment (e6's demo centroids, so the oracle is
+    * e6's restatement verbatim — same result, persisted path) is written
+    * as parquet PARTITIONED BY centroid_id — the on-disk form of IVF's
+    * inverted lists — and the serving read carries a centroid_id partition
+    * predicate: unprobed bins' directories are never listed, let alone
+    * scanned (`PartitionFilters` pinned in `PlanShapeSpec`). At 100 TB the
+    * build cost amortizes over every query; per-query serving I/O is
+    * ∝ nprobe/C of the corpus plus a broadcast of the query rows.
+    */
+  def e18PersistedIvf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("a_sim", dot(col("embedding"), col("c_emb")).cast("decimal(20,6)"))
+      .withColumn("a_rk", row_number().over(wAssign))
+      .filter(col("a_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+
+    val dir = new java.io.File(
+      s"target/parity/ivf-index-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"file:$dir")
+
+    val queries = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    // nprobe=1 probe set: the distinct centroids the queries map to — a
+    // tiny driver list that becomes the index read's partition predicate
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
     * against the exact brute-force top-k (e2) — e7's quality-measurement
     * discipline applied to the compression paths: quantization loss is a

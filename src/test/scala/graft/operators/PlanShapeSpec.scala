@@ -108,6 +108,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(Seq("et:", "k:", "uid:", "tag1:").forall(rs.contains), rs)
   }
 
+  test("e18: the persisted IVF index read is partition-pruned to probed bins") {
+    val p = plan("e18_persisted_ivf")
+    // the serving scan must carry a centroid_id PARTITION predicate — at
+    // scale unprobed bins' directories are never listed
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q39: constant dims broadcast; fact joins shuffle on their keys") {
     val p = plan("q39_tpch_deep")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // nation, region
