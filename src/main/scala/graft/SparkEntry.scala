@@ -132,6 +132,7 @@ object SparkEntry {
     "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
     "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
     "u6_scd2_merge" -> (MaintenanceQueries.u6Scd2Merge _),
+    "c3_compact_sweep" -> (MaintenanceQueries.c3CompactSweep _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -1090,6 +1091,23 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM events
         |WHERE date_trunc('hour', ts) = (SELECT min(date_trunc('hour', ts)) FROM events)""".stripMargin,
+    // c3: the sweep planner's contract stated from the raw events — every
+    // day-1 hour survives with exact content and exactly one file, and the
+    // compacted set is precisely the fragmented hours (every 8th hour with
+    // more than one row; a 1-row hour cannot fragment into >1 slices)
+    "c3_compact_sweep" ->
+      """WITH scoped AS (
+        | SELECT * FROM events
+        | WHERE date_trunc('day', ts) =
+        |       (SELECT min(date_trunc('day', ts)) FROM events))
+        |SELECT date_trunc('hour', ts) AS hour_ts,
+        | count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | CAST(1 AS BIGINT) AS n_files,
+        | (hour(date_trunc('hour', ts)) % 8 = 0 AND count(*) > 1)
+        |   AS was_compacted
+        |FROM scoped GROUP BY date_trunc('hour', ts)""".stripMargin,
     "s3_sql_catalog" ->
       """SELECT CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS cnt,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,

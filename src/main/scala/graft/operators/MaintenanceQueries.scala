@@ -127,6 +127,48 @@ object MaintenanceQueries {
       .select(lit(after).as("n_files"), col("cnt"), col("sum_eid"), col("sum_value"))
   }
 
+  /** c3: table-wide compaction SWEEP — [[LandingMaintenance
+    * .compactFragmented]] over a day-1 landing where every 8th hour was
+    * deliberately fragmented (re-landed as round-robin slices). The planner
+    * must select exactly the fragmented hours (>1 data file), compact each
+    * to one clustered file in a single partition-pruned job, and leave the
+    * rest alone. Output per hour: content aggregate (proves the rewrite
+    * lost/duplicated nothing), the post-sweep file count from
+    * `_metadata.file_path` (1 everywhere — fragmented hours collapsed,
+    * untouched hours were already single-file by construction), and the
+    * planner's own selected set as `was_compacted`, which the oracle
+    * restates as (hour % 8 = 0 AND cnt > 1): a 1-row hour can't fragment
+    * into >1 round-robin slices, so the planner must skip it, and a
+    * multi-row hour lands >1 slices under Spark's deterministic
+    * round-robin at the gate SFs (verified at sf0.001 and sf0.01; the
+    * planner itself keys on actual file counts, so only this demo's
+    * fragmentation step, not the operator, depends on that layout).
+    */
+  def c3CompactSweep(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("c3", sfDir)}")
+    // land one file per hour (hash on the hour => one task per partition)
+    LandingTable.overwritePartitions(
+      base.repartition(date_trunc("hour", col("ts"))), cfg)
+    // fragment every 8th hour into round-robin slices (ingest-retry litter)
+    val frag = base.filter(hour(col("ts")) % 8 === 0)
+    LandingTable.overwritePartitions(frag.repartition(5), cfg)
+
+    val compacted = LandingMaintenance.compactFragmented(spark, cfg, maxFiles = 1)
+    val compactedHours = compacted.map { case (h, _) =>
+      java.sql.Timestamp.from(h.toInstant)
+    }
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"),
+        countDistinct(col("_metadata.file_path")).as("n_files"))
+      .withColumn("was_compacted",
+        if (compactedHours.isEmpty) lit(false)
+        else col("hour_ts").isin(compactedHours.map(lit(_)): _*))
+  }
+
   /** u3: schema drift across partition generations. Generation 1 lands
     * without `props`/`quality`; generation 2 adds both. A `mergeSchema` read
     * presents the union schema with NULLs for pre-drift rows — the

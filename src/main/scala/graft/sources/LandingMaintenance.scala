@@ -41,6 +41,53 @@ object LandingMaintenance {
     (before, dataFiles())
   }
 
+  /** Table-wide compaction PLANNER: list every partition-hour (one glob —
+    * the same metadata walk any full scan pays), select those holding more
+    * than `maxFiles` data files, and compact the whole selected set in ONE
+    * job: the read carries a partition-tuple predicate (directories prune
+    * at planning), rows re-cluster to one task per hour (one output file
+    * per partition dir), and the dynamic overwrite replaces exactly the
+    * fragmented directories — every other partition keeps its files
+    * physically untouched (pinned in `LandingMaintenanceSpec`).
+    *
+    * This is [[compactPartition]] lifted from "compact the hour I name" to
+    * "find and fix what fragmentation exists", the job a 100 TB landing
+    * table schedules nightly: at 10^5 partitions with 1% fragmented, the
+    * planner is O(partitions) driver metadata and the rewrite reads 1% of
+    * the table. Returns (hour, filesBefore) per compacted partition.
+    */
+  def compactFragmented(spark: SparkSession, cfg: IngestConfig,
+      maxFiles: Int): Seq[(PartitionHour, Int)] = {
+    val root = new Path(cfg.landingPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val HourDir = raw"year=(\d{4})/month=(\d{2})/day=(\d{2})/hour=(\d{2})".r
+    val glob = new Path(root, "year=*/month=*/day=*/hour=*")
+    val fragmented = Option(fs.globStatus(glob)).getOrElse(Array.empty)
+      .filter(_.isDirectory).toSeq.flatMap { st =>
+        val rel = st.getPath.toString.stripPrefix(root.toString).stripPrefix("/")
+        rel match {
+          case HourDir(y, m, d, h) =>
+            val n = fs.listStatus(st.getPath)
+              .count(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+                !s.getPath.getName.startsWith("."))
+            if (n > maxFiles) Some((PartitionHour(y.toInt, m.toInt, d.toInt, h.toInt), n))
+            else None
+          case _ => None
+        }
+      }
+    if (fragmented.isEmpty) return Seq.empty
+    val tuples = fragmented.map { case (h, _) => Seq(h.year, h.month, h.day, h.hour) }
+    val rows = LandingTable.read(spark, cfg)
+      .filter(MutationOps.partitionPredicate(tuples))
+      .select(cfg.schema.fieldNames.map(col): _*)
+      // one task per hour => one clustered file per rewritten partition
+      .repartition(org.apache.spark.sql.functions.date_trunc(
+        "hour", col(cfg.partitionField)))
+    LandingTable.overwritePartitions(rows, cfg)
+    fragmented
+  }
+
   /** Register the landing tree as an external SQL table and recover its
     * partitions from the directory layout.
     */

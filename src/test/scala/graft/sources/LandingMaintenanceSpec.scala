@@ -51,6 +51,44 @@ class LandingMaintenanceSpec extends SparkSpec {
       PartitionHour(1999, 1, 1, 0)) == ((0, 0)))
   }
 
+  test("compactFragmented selects only fragmented hours; others keep FILE identity") {
+    val cfg = freshCfg()
+    // hour 12: 4 files (fragmented); hour 13: single file (healthy)
+    load(cfg, Seq(
+      ("2023-06-27 12:01:00", "d1", 1L), ("2023-06-27 12:02:00", "d2", 2L),
+      ("2023-06-27 12:03:00", "d3", 3L), ("2023-06-27 12:04:00", "d4", 4L)),
+      parts = 4)
+    import spark.implicits._
+    LandingTable.overwritePartitions(
+      Seq(("2023-06-27 13:01:00", "d5", 5L)).toDF("s", "device_id", "bytes")
+        .selectExpr("CAST(s AS TIMESTAMP) AS event_ts", "device_id", "bytes")
+        .coalesce(1), cfg)
+    def filesOf(h: Int): Set[String] = {
+      val d = new java.io.File(cfg.landingPath.stripPrefix("file:") +
+        f"/year=2023/month=06/day=27/hour=$h%02d")
+      Option(d.listFiles()).map(_.filter(f => f.isFile &&
+        !f.getName.startsWith("_") && !f.getName.startsWith("."))
+        .map(f => f.getName + ":" + f.lastModified()).toSet).getOrElse(Set.empty)
+    }
+    val h13Before = filesOf(13)
+    val h12FilesBefore = filesOf(12).size
+    // round-robin across 4 partitions does not guarantee 4 non-empty
+    // files; fragmentation (=> >1 file) is what the planner keys on
+    assert(h13Before.size == 1 && h12FilesBefore > 1)
+
+    val compacted = LandingMaintenance.compactFragmented(spark, cfg, maxFiles = 1)
+    assert(compacted.map { case (h, n) => (h.hour, n) } ==
+      Seq((12, h12FilesBefore)), compacted)
+    // the fragmented hour collapsed to one file with content intact
+    assert(filesOf(12).size == 1)
+    assert(LandingTable.readPartition(spark, cfg, PartitionHour(2023, 6, 27, 12))
+      .select("bytes").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // the healthy hour was never rewritten — name AND mtime identical
+    assert(filesOf(13) == h13Before)
+    // idempotent: a second sweep finds nothing
+    assert(LandingMaintenance.compactFragmented(spark, cfg, maxFiles = 1).isEmpty)
+  }
+
   test("register exposes a pruned SQL table over the landing tree") {
     val cfg = freshCfg()
     load(cfg, Seq(
