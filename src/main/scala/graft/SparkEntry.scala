@@ -676,7 +676,7 @@ object SparkEntry {
         |FROM events v JOIN events p
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
-        | AND day(v.ts) < 10 AND day(p.ts) < 10
+        | AND day(v.ts) = 1 AND day(p.ts) = 1
         | AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
         |GROUP BY v.user_id""".stripMargin,
     "st6_stream_outer_join" ->

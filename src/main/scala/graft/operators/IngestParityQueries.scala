@@ -264,15 +264,17 @@ object IngestParityQueries {
     val ckpt = parityDir("join-ckpt", sfDir, firstHourOnly = false)
     wipe(ckpt)
     val qn = "st3_join_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
-    // demo scope = days 01-09 via PARTITION-GLOB pruning — each side of a
-    // stream-stream join is its own file source, so directory pruning (not
-    // a post-read filter) is what keeps two full-tree scans off the gate;
-    // the oracle mirrors the scope with a day() predicate
+    // demo scope = day=01 via PARTITION-GLOB pruning (st6's scope — both
+    // stream-stream joins exercise the same per-row state machinery): each
+    // side is its own file source, so directory pruning, not a post-read
+    // filter, is what keeps two tree scans off the gate; the oracle mirrors
+    // the scope with a day() predicate on both sides, which also keeps the
+    // boundary consistent (a pair spanning midnight is excluded by BOTH)
     withStreamSession(spark, 8) { ss =>
       def stream() = ss.readStream
         .schema(eventsSchema)
         .options(CsvOptions.toReaderOptions(CsvOptions()))
-        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=0*/hour=*")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
       val views = stream().filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
           col("event_id").as("v_id"))
