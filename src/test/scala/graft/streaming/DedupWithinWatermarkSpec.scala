@@ -58,6 +58,12 @@ class DedupWithinWatermarkSpec extends SparkSpec {
       (1L, ts("2023-06-27 12:00:00")),
       (2L, ts("2023-06-27 15:00:00")),
       (1L, ts("2023-06-27 14:30:00"))))
+
+    // batch 5: a LATE row (13:30 < watermark 14:00) is dropped as input —
+    // a never-before-seen key below the horizon emits nothing at all
+    input.addData(DedupWithinWatermarkSpec.KeyedEvent(3L, ts("2023-06-27 13:30:00")))
+    q.processAllAvailable()
+    assert(!emitted().exists(_._1 == 3L))
     q.stop()
   }
 }
