@@ -87,6 +87,7 @@ object SparkEntry {
     "q30_asof_native" -> (R.q30AsofNative _),
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "st12_session_window" -> (IP.st12SessionWindowAgg _),
+    "st13_streaming_cdc" -> (IP.st13StreamingCdcApply _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st9_transform_with_state" -> (IP.st9TransformWithState _),
@@ -108,11 +109,13 @@ object SparkEntry {
     "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
+    "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
     "d19_cluster_dedup" -> ((s, d) => D.d19ClusterDedup(s, d)),
     "d20_cluster_clean" -> ((s, d) => D.d20ClusterClean(s, d)),
+    "d29_cluster_keep_best" -> ((s, d) => D.d29ClusterKeepBest(s, d)),
     "d21_repetition" -> ((s, d) => T.d21Repetition(s, d)),
     "e9_text_vector_join" -> (V.e9TextVectorJoin _),
     "q32_window_suite" -> (R.q32WindowSuite _),
@@ -133,6 +136,7 @@ object SparkEntry {
     "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
     "u6_scd2_merge" -> (MaintenanceQueries.u6Scd2Merge _),
     "c3_compact_sweep" -> (MaintenanceQueries.c3CompactSweep _),
+    "c4_retention" -> (MaintenanceQueries.c4Retention _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -621,6 +625,7 @@ object SparkEntry {
     "d13_lsh_pairs" -> d13OracleSql,
     "d19_cluster_dedup" -> d19OracleSql,
     "d20_cluster_clean" -> d20OracleSql,
+    "d29_cluster_keep_best" -> d29OracleSql,
     "q35_outer_join" ->
       """WITH pc AS (
         | SELECT o_custkey, count(*) AS n_orders,
@@ -874,6 +879,37 @@ object SparkEntry {
     // construction as st2's oracle, but the closure rule is the built-in
     // operator's: a session (window end = last event + gap) emits iff its
     // end <= the ms-floored final watermark
+    // st13: last-writer-wins is associative/commutative over micro-batches
+    // (the merge keeps the (ts, event_id)-max row per key), so the final
+    // table state is the arg-max over all day=01 changes under ANY batch
+    // split — stated directly as a per-user latest-event window
+    "st13_streaming_cdc" ->
+      """WITH scoped AS (
+        | SELECT user_id, ts, event_type, value, event_id
+        | FROM events WHERE day(ts) = 1),
+        |r AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM scoped)
+        |SELECT user_id, ts_us, event_type, value, event_id
+        |FROM r WHERE rn = 1""".stripMargin,
+    // c4: hours below the cutoff (first day's noon) are deleted directories;
+    // the oracle counts the same hours from the data — an hour with no rows
+    // never had a directory, so both sides count physically-existing hours
+    "c4_retention" ->
+      """WITH scoped AS (
+        | SELECT * FROM events WHERE day(ts) = 1),
+        |drop0 AS (
+        | SELECT count(DISTINCT date_trunc('hour', ts)) AS n_dropped
+        | FROM scoped WHERE hour(ts) < 12)
+        |SELECT date_trunc('hour', ts) AS hour_ts,
+        | count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | (SELECT n_dropped FROM drop0) AS n_dropped
+        |FROM scoped WHERE hour(ts) >= 12
+        |GROUP BY date_trunc('hour', ts)""".stripMargin,
     "st12_session_window" ->
       """WITH scoped AS (
         | SELECT user_id, event_id, ts FROM events WHERE day(ts) = 1),
@@ -917,6 +953,38 @@ object SparkEntry {
     "e14_ivf_pq" -> e14OracleSql,
     "e15_kmeans" -> e15OracleSql,
     "e16_nprobe" -> e16OracleSql,
+    // e19: e18's restatement with the label predicate applied inside the
+    // probed bins and nprobe=2 probe sets (a_rk <= 2)
+    "e19_filtered_ivf" ->
+      """WITH cents AS (
+        | SELECT vec_id AS centroid_id, embedding AS c_emb
+        | FROM embeddings WHERE vec_id < 4),
+        |asg0 AS (
+        | SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+        |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |   CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+        |     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+        |    AS DECIMAL(20,6)) DESC, c.centroid_id ASC) AS a_rk
+        | FROM embeddings e, cents c),
+        |asg AS (
+        | SELECT vec_id, embedding, label, centroid_id FROM asg0 WHERE a_rk = 1),
+        |q AS (
+        | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+        | FROM asg0 WHERE vec_id < 10 AND a_rk <= 2),
+        |cand AS (
+        | SELECT q.query_id, a.vec_id AS neighbor_id,
+        |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+        |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+        |   AS DECIMAL(20,6)) AS sim_dec
+        | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+        |  AND a.vec_id <> q.query_id
+        | WHERE a.label IN (1, 3, 5)),
+        |r AS (
+        | SELECT query_id, neighbor_id, sim_dec,
+        |  row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
+        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+        |FROM r WHERE rank <= 3""".stripMargin,
     "e17_trained_ivfpq" -> e17OracleSql,
     "e12_quant_recall" -> e12OracleSql,
     "e13_pq_refine" -> e13OracleSql,
@@ -1988,6 +2056,33 @@ object SparkEntry {
        |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
        | max(id) AS max_id
        |FROM cc GROUP BY cluster_rep""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d29ClusterKeepBest]] —
+    * d19's component CTEs plus an arg-max-by-length selection per cluster.
+    */
+  private def d29OracleSql: String =
+    s"""WITH RECURSIVE $lshCandCtes,
+       |$lshPairsCte,
+       |good AS (SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.5),
+       |edges AS (
+       | SELECT id_a AS src, id_b AS dst FROM good
+       | UNION SELECT id_b, id_a FROM good),
+       |verts AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (
+       | SELECT id, id AS label FROM verts
+       | UNION
+       | SELECT e.dst AS id, r.label FROM edges e JOIN reach r ON e.src = r.id),
+       |cc AS (SELECT id, min(label) AS cluster_rep FROM reach GROUP BY id),
+       |m AS (
+       | SELECT cc.cluster_rep, cc.id AS doc_id, d.n_chars,
+       |  row_number() OVER (PARTITION BY cc.cluster_rep
+       |    ORDER BY d.n_chars DESC, cc.id ASC) AS rk
+       | FROM cc JOIN documents d ON d.doc_id = cc.id)
+       |SELECT cluster_rep,
+       | max(CASE WHEN rk = 1 THEN doc_id END) AS kept_id,
+       | max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+       | CAST(count(*) AS BIGINT) AS n_members
+       |FROM m GROUP BY cluster_rep""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d20ClusterClean]] —
     * d15's arms with `losers` replaced by the non-representative members of

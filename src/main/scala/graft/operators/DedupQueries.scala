@@ -261,6 +261,40 @@ object DedupQueries {
         min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
   }
 
+  /** d29: QUALITY-KEEP representative selection — d20 keeps each near-dup
+    * cluster's minimum doc_id, which is arbitrary; production corpus
+    * cleaning keeps the BEST member (the longest / highest-quality copy of
+    * a near-duplicated page, per the dedup literature's "keep the canonical
+    * version" step). Per connected component: arg-max by n_chars with
+    * doc_id as the deterministic tiebreak. Output is one row per cluster —
+    * who represents it, how good the kept copy is, how many members it
+    * shadows — the audit table a cleaning pipeline logs.
+    *
+    * Scale shape: clusters come from [[closureLabels]] (bucketed LSH pair
+    * graph, min-label propagation — only ids shuffle); the quality join
+    * touches ONLY clustered member ids (a tiny fraction of the corpus) and
+    * joins against a column-pruned (doc_id, n_chars) projection, so the
+    * selection adds one bounded join + one per-cluster window to the d19
+    * cost, never a corpus-wide pass.
+    */
+  def d29ClusterKeepBest(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "n_chars")
+    val members = closureLabels(spark, sfDir, threshold)
+      .select(col("label").as("cluster_rep"), col("id").as("doc_id"))
+      .join(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_rep")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    members
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_rep"))
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("kept_id"),
+        max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Min-label propagation to fixpoint over an undirected pair list
     * (id_a, id_b): returns (id, label) where label = the component's
     * minimum vertex id. One equi-join + partial-aggregated min per round;

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core._
-import graft.sources.{HivePartitionedSource, LandingTable}
+import graft.sources.{HivePartitionedSource, LandingTable, MutationOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -508,6 +508,57 @@ object IngestParityQueries {
         .select("user_id", "session_start_us", "session_end_us",
           "n_events", "sum_eid")
     }
+  }
+
+  /** st13: STREAMING CDC APPLY — a change stream incrementally maintaining a
+    * keyed table on disk, the production upsert loop Spark has no built-in
+    * operator for: `foreachBatch` drives [[graft.sources.MutationOps
+    * .upsertLatest]] (conditional last-writer-wins merge into a key-bucket-
+    * partitioned table) once per micro-batch. `maxFilesPerTrigger` forces a
+    * MULTI-batch replay (the hour dirs arrive a few files at a time), so the
+    * gate genuinely exercises incremental maintenance — state accreting
+    * across batches — not a single-shot rewrite.
+    *
+    * Why the oracle is exact under ANY batch split/order: the merge compares
+    * (ts, event_id) and keeps the greater, so the stored row for a key after
+    * all batches is the arg-max over every change row regardless of which
+    * batch delivered it — last-writer-wins is associative and commutative
+    * over batches. The oracle states that directly: each user's latest
+    * day=01 event by (ts, event_id). Per-batch cost is bounded by touched
+    * key-buckets, never table size (the u1/u2 discipline applied to a
+    * continuously-maintained serving table); out-of-order and file-identity
+    * contracts are pinned in `MutationOpsSpec`.
+    */
+  def st13StreamingCdcApply(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val tableDir = parityDir("cdc-table", sfDir, firstHourOnly = false)
+    val ckpt = parityDir("cdc-ckpt", sfDir, firstHourOnly = false)
+    wipe(tableDir); wipe(ckpt)
+    val tablePath = s"file:$tableDir"
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .option("maxFilesPerTrigger", "8")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("user_id"), col("ts"), col("event_type"),
+          col("value"), col("event_id"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          MutationOps.upsertLatest(batch.sparkSession, tablePath, batch.toDF(),
+            keys = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+            nBuckets = 8)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.option("basePath", tablePath).parquet(tablePath)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type"), col("value"), col("event_id"))
   }
 
   /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner

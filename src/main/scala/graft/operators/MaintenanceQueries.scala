@@ -169,6 +169,39 @@ object MaintenanceQueries {
         else col("hour_ts").isin(compactedHours.map(lit(_)): _*))
   }
 
+  /** c4: RETENTION sweep — [[LandingMaintenance.expirePartitions]] drops
+    * every hour partition older than a cutoff (derived from the data: first
+    * day's noon), the TTL/compliance expiry a time-partitioned landing
+    * table runs on a schedule. The readback proves BOTH halves of the
+    * contract: expired hours are gone (only >= cutoff hours appear),
+    * surviving hours are untouched (content aggregates match the source),
+    * and the sweep's own dropped-count is cross-checked against the
+    * oracle's distinct-hour count below the cutoff — an empty hour has no
+    * directory, so both sides count only hours that physically existed.
+    *
+    * Scale shape: expiry is pure partition-directory manipulation — one
+    * hour-level glob (bounded by partition count, never file/row count) and
+    * per-dir recursive deletes; no data file is ever opened. At 10^5
+    * partitions this is a driver-side metadata sweep, the same cost class
+    * as the reference's partition-decorator truncate.
+    */
+  def c4Retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val cfg = cfgFor(s"file:${scratch("c4", sfDir)}")
+    LandingTable.overwritePartitions(
+      base.repartition(date_trunc("hour", col("ts"))), cfg)
+    val d0 = base.agg(min(date_trunc("day", col("ts"))))
+      .collect()(0).getTimestamp(0)
+    val cutoff = PartitionHour.fromInstant(d0.toInstant.plusSeconds(12 * 3600))
+    val dropped = LandingMaintenance.expirePartitions(spark, cfg, cutoff)
+    LandingTable.read(spark, cfg)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .withColumn("n_dropped", lit(dropped.size).cast("long"))
+  }
+
   /** u3: schema drift across partition generations. Generation 1 lands
     * without `props`/`quality`; generation 2 adds both. A `mergeSchema` read
     * presents the union schema with NULLs for pre-drift rows — the

@@ -599,6 +599,63 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** e19: FILTERED ANN — metadata-constrained search over the e18 persisted
+    * index, the missing production dial: "nearest neighbors of q AMONG docs
+    * matching a predicate" (licensed-only corpora, language slices, safety
+    * tiers). The metadata column (`label`) is stored IN the inverted lists,
+    * so the filter is a parquet row-group predicate on the already
+    * bin-pruned read — post-filtering inside probed bins, the standard
+    * filtered-IVF strategy. nprobe=2 compensates the thinner candidate set
+    * (a fixed predicate prunes every bin roughly uniformly, so recall decay
+    * is the e16 curve shifted, and the same dial recovers it).
+    *
+    * Plan shape at 100 TB: probed-bin partition pruning (PartitionFilters)
+    * × pushed label predicate (PushedFilters) means the scan touches only
+    * matching row groups of probed bins — the read does the filtering, not
+    * a downstream operator. Both pins live in `PlanShapeSpec`. Candidates
+    * are disjoint across probed bins by construction (a vector lives in
+    * exactly one bin), so no cross-bin dedup.
+    */
+  def e19FilteredIvf(spark: SparkSession, sfDir: String, k: Int = 3,
+      nprobe: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val cents = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
+    val ranked = emb.crossJoin(broadcast(cents))
+      .withColumn("a_sim", dot(col("embedding"), col("c_emb")).cast("decimal(20,6)"))
+      .withColumn("a_rk", row_number().over(wAssign))
+    val assigned = ranked.filter(col("a_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"), col("centroid_id"))
+
+    val dir = new java.io.File(
+      s"target/parity/ivf-findex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    assigned.write.mode("overwrite")
+      .partitionBy("centroid_id").parquet(s"file:$dir")
+
+    val probes = ranked.filter(col("vec_id") < 10 && col("a_rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val bins = probes.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .filter(col("label").isin(1, 3, 5))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(probes), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
     * against the exact brute-force top-k (e2) — e7's quality-measurement
     * discipline applied to the compression paths: quantization loss is a

@@ -241,6 +241,62 @@ object MutationOps {
     untouched.unionByName(merged)
   }
 
+  /** Conditional last-writer-wins upsert into a key-bucket-partitioned table
+    * (the [[scd2WriteTable]] layout): for every key in `batch`, the stored
+    * row is replaced only if the incoming row orders AFTER it on `orderCols`
+    * (compared lexicographically, descending) — the CDC-apply primitive a
+    * change stream needs. The ordering comparison is what makes the final
+    * table state independent of how the change log is split into batches
+    * and of the order batches arrive: applying {newer} then {older} leaves
+    * the newer row in place, so final state = arg-max over ALL changes seen,
+    * exactly the semantics a replayed/out-of-order CDC feed requires.
+    * `orderCols` must totally order each key's changes (e.g. (ts, change_id))
+    * or the winner would be nondeterministic.
+    *
+    * Scale shape: cost is proportional to the BATCH, never the table. The
+    * touched-bucket list is derived from the batch's own keys (driver list,
+    * ≤ nBuckets ints); the current-state read carries a bucket partition
+    * predicate (directories pruned before any file opens); the merge is one
+    * union + per-key arg-max window over only those buckets' rows; the write
+    * is a dynamic partition overwrite of exactly those bucket directories.
+    * Untouched buckets keep their files physically intact (pinned in
+    * `MutationOpsSpec`). Returns the touched bucket ids.
+    */
+  def upsertLatest(spark: SparkSession, tablePath: String, batch: DataFrame,
+      keys: Seq[String], orderCols: Seq[String], nBuckets: Int): Seq[Int] = {
+    import org.apache.spark.sql.expressions.Window
+    val dataCols = batch.columns.toSeq
+    val touched = batch
+      .select(pmod(hash(keys.map(col): _*), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val hasTable = {
+      val f = new java.io.File(tablePath.stripPrefix("file:"))
+      val cs = f.listFiles()
+      cs != null && cs.exists(_.getName.startsWith("bucket="))
+    }
+    val existing =
+      if (!hasTable) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), batch.schema)
+      else spark.read.option("basePath", tablePath).parquet(tablePath)
+        .filter(col("bucket").cast("int").isin(touched: _*))
+        .select(dataCols.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    val merged = existing.unionByName(batch.select(dataCols.map(col): _*))
+      .withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try merged
+      .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
+    finally spark.conf.set(key, prev)
+    touched
+  }
+
   /** Key-bucket-partitioned physical form of the SCD2 dimension, the layout
     * [[scd2MergeTable]] needs to make merges partition-scoped on disk: a
     * dimension has no time axis to partition by (a key's versions must stay

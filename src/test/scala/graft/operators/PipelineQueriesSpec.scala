@@ -51,6 +51,30 @@ class PipelineQueriesSpec extends SparkSpec {
     assert((1L to 10L).forall(ok(_) == 1L), ok)
   }
 
+  test("d29: kept member maximizes n_chars within its own cluster") {
+    val clusters = DedupQueries.closureLabels(spark, sfDir)
+      .select(col("label").as("cluster_rep"), col("id").as("doc_id"))
+    val chars = RelationalQueries.table(spark, sfDir, "documents")
+      .select("doc_id", "n_chars")
+    val best = DedupQueries.d29ClusterKeepBest(spark, sfDir)
+    // kept_id is a member of its cluster and kept_chars is its true length
+    val keptOk = best
+      .join(clusters, Seq("cluster_rep"))
+      .filter(col("kept_id") === col("doc_id"))
+      .join(chars, col("kept_id") === chars("doc_id"))
+      .filter(col("kept_chars") === col("n_chars"))
+    assert(keptOk.count() == best.count())
+    // no cluster member is strictly longer than its kept representative
+    val longer = best.join(clusters, Seq("cluster_rep"))
+      .join(chars, "doc_id")
+      .filter(col("n_chars") > col("kept_chars"))
+    assert(longer.isEmpty, longer.collect().mkString(","))
+    // membership counts agree with d19's component sizes
+    val sizes = clusters.groupBy("cluster_rep").count()
+    assert(best.join(sizes, "cluster_rep")
+      .filter(col("n_members") =!= col("count")).isEmpty)
+  }
+
   test("q36: engine EWMA equals a driver-side sequential fold") {
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L

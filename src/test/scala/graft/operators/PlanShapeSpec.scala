@@ -115,6 +115,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("e19: filtered serving prunes bins AND pushes the label predicate") {
+    val p = plan("e19_filtered_ivf")
+    // partition pruning to probed bins (e18's contract) ...
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
+    // ... AND the metadata predicate reaches the parquet scan: the filter
+    // runs in the read (row-group stats can skip), not a downstream operator
+    assert("""PushedFilters: \[[^\]]*[Ii]n\(label""".r.findFirstIn(p).isDefined, p)
+  }
+
   test("q39: constant dims broadcast; fact joins shuffle on their keys") {
     val p = plan("q39_tpch_deep")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // nation, region

@@ -183,4 +183,45 @@ class MutationOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getBoolean(2))).toSet
     assert(cu2 == Set((1, "A", false), (2, "B", true)), cu2)
   }
+
+  test("upsertLatest: stale changes never regress state; untouched buckets keep files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdc").toString
+    val path = s"file:$dir"
+    val nBuckets = 4
+    // seed every bucket so the untouched-bucket assertion below is not vacuous
+    MutationOps.upsertLatest(spark, path,
+      (1L to 20L).map(k => (k, 5L, s"v$k")).toDF("k", "ord", "v"),
+      Seq("k"), Seq("ord"), nBuckets)
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName + ":" + f.lastModified()).toSet).toMap
+    val before = files()
+    assert(before.keySet.size == nBuckets, before.keySet)
+
+    // one STALE change (ord below stored), one newer change, one new key —
+    // applying an out-of-order batch must converge to the arg-max state
+    val touched = MutationOps.upsertLatest(spark, path,
+      Seq((1L, 3L, "stale"), (3L, 9L, "fresh"), (21L, 1L, "insert"))
+        .toDF("k", "ord", "v"),
+      Seq("k"), Seq("ord"), nBuckets)
+    assert(touched.nonEmpty && touched.size < nBuckets, touched)
+
+    val touchedNames = touched.map(b => s"bucket=$b").toSet
+    val after = files()
+    before.keys.filterNot(touchedNames).foreach { b =>
+      assert(after(b) == before(b), s"untouched $b was rewritten")
+    }
+    val got = spark.read.parquet(path)
+      .select("k", "ord", "v").as[(Long, Long, String)]
+      .collect().groupBy(_._1).map { case (k, rs) =>
+        assert(rs.length == 1, s"key $k has ${rs.length} rows"); k -> rs.head
+      }
+    assert(got(1L) == ((1L, 5L, "v1")), got(1L))   // stale change rejected
+    assert(got(3L) == ((3L, 9L, "fresh")), got(3L)) // newer change applied
+    assert(got(21L) == ((21L, 1L, "insert")), got(21L)) // new key inserted
+    assert(got(2L) == ((2L, 5L, "v2")), got(2L))   // bystander key untouched
+    assert(got.size == 21, got.size)
+  }
 }
