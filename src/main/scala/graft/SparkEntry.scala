@@ -110,6 +110,7 @@ object SparkEntry {
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
+    "e20_ivf_append" -> ((s, d) => V.e20IvfAppend(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
@@ -494,37 +495,11 @@ object SparkEntry {
         |FROM r WHERE rank <= 3""".stripMargin,
     // e18: e6's restatement VERBATIM — the persisted, partition-pruned
     // index path must return exactly what the in-memory probe search does
-    "e18_persisted_ivf" ->
-      """WITH cents AS (
-        | SELECT vec_id AS centroid_id, embedding AS c_emb
-        | FROM embeddings WHERE vec_id < 4),
-        |asg0 AS (
-        | SELECT e.vec_id, e.embedding, c.centroid_id,
-        |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
-        |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
-        |   AS DECIMAL(20,6)) AS a_sim
-        | FROM embeddings e, cents c),
-        |asg AS (
-        | SELECT vec_id, embedding, centroid_id FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id
-        |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
-        | WHERE a_rk = 1),
-        |q AS (
-        | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
-        | FROM asg WHERE vec_id < 10),
-        |cand AS (
-        | SELECT q.query_id, a.vec_id AS neighbor_id,
-        |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
-        |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
-        |   AS DECIMAL(20,6)) AS sim_dec
-        | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
-        |  AND a.vec_id <> q.query_id),
-        |r AS (
-        | SELECT query_id, neighbor_id, sim_dec,
-        |  row_number() OVER (PARTITION BY query_id
-        |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
-        |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
-        |FROM r WHERE rank <= 3""".stripMargin,
+    "e18_persisted_ivf" -> e18OracleSql,
+    // e20: THE SAME SQL as e18 — coarse assignment is per-vector, so the
+    // base-build ∪ appended-batch index must serve exactly what a full
+    // rebuild serves; reusing the oracle text IS the append≡rebuild claim
+    "e20_ivf_append" -> e18OracleSql,
     "d9_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,
@@ -2056,6 +2031,43 @@ object SparkEntry {
        |SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_members,
        | max(id) AS max_id
        |FROM cc GROUP BY cluster_rep""".stripMargin
+
+  /** duckdb mirror of the persisted-IVF serving path: full-corpus coarse
+    * assignment + nprobe=1 probe search, shared by `e18_persisted_ivf`
+    * (build+serve) and `e20_ivf_append` (base build + batch append must
+    * serve identically to this full rebuild).
+    */
+  private def e18OracleSql: String =
+    """WITH cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb
+      | FROM embeddings WHERE vec_id < 4),
+      |asg0 AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS a_sim
+      | FROM embeddings e, cents c),
+      |asg AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
+      | WHERE a_rk = 1),
+      |q AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      | FROM asg WHERE vec_id < 10),
+      |cand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+      |  AND a.vec_id <> q.query_id),
+      |r AS (
+      | SELECT query_id, neighbor_id, sim_dec,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
+      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+      |FROM r WHERE rank <= 3""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d29ClusterKeepBest]] —
     * d19's component CTEs plus an arg-max-by-length selection per cluster.

@@ -599,6 +599,75 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** Coarse assignment of `rows` (vec_id, embedding) to the demo centroid
+    * set (vec_id < 4, the e4/e6/e18 family): each vector goes to its
+    * max-dot-product centroid with the deterministic centroid-id tiebreak.
+    * Public because the e20 append path and its file-identity spec both
+    * need to assign SUBSETS of the corpus independently — assignment is
+    * per-vector, so assigning a partition of the corpus in pieces yields
+    * exactly the same (vector → bin) map as one full pass.
+    */
+  def assignToCentroids(spark: SparkSession, sfDir: String,
+      rows: DataFrame): DataFrame = {
+    val cents = table(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
+    rows.select("vec_id", "embedding").crossJoin(broadcast(cents))
+      .withColumn("a_sim", dot(col("embedding"), col("c_emb")).cast("decimal(20,6)"))
+      .withColumn("a_rk", row_number().over(wAssign))
+      .filter(col("a_rk") === 1)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** e20: INCREMENTAL INDEX APPEND — the maintenance half of the persisted
+    * IVF story (e18 builds + serves; this absorbs NEW vectors without a
+    * rebuild). 90% of the corpus is indexed as the base; the remaining 10%
+    * arrives later and is assigned ALONE (a batch-sized scan, not a corpus
+    * scan) and appended into its bins as new parquet files — existing index
+    * files are never rewritten (file identity pinned in
+    * `PipelineQueriesSpec`). Because coarse assignment is per-vector, base
+    * ∪ append is bit-identical to a full rebuild — which is exactly what
+    * the oracle states: e18's full-corpus SQL, verbatim. Serving is
+    * unchanged (bin-pruned read over the merged lists).
+    *
+    * Scale shape: absorbing a day's new embeddings into a 10^10-vector
+    * index costs one batch-sized assignment scan + appends touching only
+    * the bins the batch maps to; compaction of accreted small files is c3's
+    * sweep applied to bin directories.
+    */
+  def e20IvfAppend(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val dir = new java.io.File(
+      s"target/parity/ivf-aindex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    val oldCorpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val newBatch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+    assignToCentroids(spark, sfDir, oldCorpus)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"file:$dir")
+    assignToCentroids(spark, sfDir, newBatch)
+      .write.mode("append").partitionBy("centroid_id").parquet(s"file:$dir")
+
+    val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e19: FILTERED ANN — metadata-constrained search over the e18 persisted
     * index, the missing production dial: "nearest neighbors of q AMONG docs
     * matching a predicate" (licensed-only corpora, language slices, safety

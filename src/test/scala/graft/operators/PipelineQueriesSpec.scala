@@ -75,6 +75,47 @@ class PipelineQueriesSpec extends SparkSpec {
       .filter(col("n_members") =!= col("count")).isEmpty)
   }
 
+  test("e20: appending a batch never rewrites existing index files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-aidx").toString
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    VectorQueries.assignToCentroids(spark, sfDir,
+        emb.filter(pmod(col("vec_id"), lit(10)) =!= 7))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"file:$dir")
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map { b =>
+          b.getName -> b.listFiles().filter(f => f.isFile &&
+            f.getName.startsWith("part-"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = files()
+
+    val newAsg = VectorQueries.assignToCentroids(spark, sfDir,
+      emb.filter(pmod(col("vec_id"), lit(10)) === 7))
+    val newBins = newAsg.select("centroid_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    newAsg.write.mode("append").partitionBy("centroid_id").parquet(s"file:$dir")
+    val after = files()
+
+    // every base-build file survives byte-identical (name + mtime)
+    before.foreach { case (bin, fs) =>
+      assert(fs.subsetOf(after.getOrElse(bin, Set.empty)),
+        s"base files of $bin were rewritten")
+    }
+    // growth happens only in bins the new batch maps to
+    after.foreach { case (bin, fs) =>
+      val added = fs -- before.getOrElse(bin, Set.empty)
+      if (added.nonEmpty) {
+        val id = bin.stripPrefix("centroid_id=").toLong
+        assert(newBins.contains(id), s"$bin grew but the batch avoids it")
+      }
+    }
+    // merged lists hold the whole corpus exactly once
+    val merged = spark.read.parquet(s"file:$dir")
+    assert(merged.count() == emb.count())
+    assert(merged.select("vec_id").distinct().count() == emb.count())
+  }
+
   test("q36: engine EWMA equals a driver-side sequential fold") {
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
