@@ -138,6 +138,7 @@ object SparkEntry {
     "u6_scd2_merge" -> (MaintenanceQueries.u6Scd2Merge _),
     "c3_compact_sweep" -> (MaintenanceQueries.c3CompactSweep _),
     "c4_retention" -> (MaintenanceQueries.c4Retention _),
+    "u7_time_travel" -> (MaintenanceQueries.u7TimeTravel _),
     "q40_hof" -> (R.q40Hof _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -1106,6 +1107,23 @@ object SparkEntry {
         | CAST(sum(CASE WHEN props = 'updated' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
         | CAST(sum(CASE WHEN props = 'inserted' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
         |FROM merged GROUP BY date_trunc('hour', ts)""".stripMargin,
+    // u7: v1 read after v2's commit must still be the ORIGINAL day (pinned
+    // snapshot), v2 shows the hour-12 corrections — one oracle states both
+    "u7_time_travel" ->
+      """WITH base AS (
+        | SELECT * FROM events
+        | WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events)),
+        |versions AS (
+        | SELECT 1 AS version, ts, event_id, value FROM base
+        | UNION ALL
+        | SELECT 2 AS version, ts, event_id,
+        |  CASE WHEN hour(ts) = 12 AND event_id % 3 = 0
+        |       THEN value + 1000 ELSE value END AS value
+        | FROM base)
+        |SELECT version, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM versions GROUP BY version, date_trunc('hour', ts)""".stripMargin,
     "u2_delete_keys" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,

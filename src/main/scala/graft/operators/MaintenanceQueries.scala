@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.core.{IngestConfig, PartitionHour}
-import graft.sources.{FileStatsManifest, LandingMaintenance, LandingTable, MutationOps}
+import graft.sources.{FileStatsManifest, LandingMaintenance, LandingTable, MutationOps, SnapshotLog}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -200,6 +200,53 @@ object MaintenanceQueries {
         sum(col("event_id")).as("sum_eid"),
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
       .withColumn("n_dropped", lit(dropped.size).cast("long"))
+  }
+
+  /** u7: TIME TRAVEL — snapshot-versioned reads over the copy-on-write
+    * [[graft.sources.SnapshotLog]]. v1 = the whole first day (clustered one
+    * file per hour); v2 = a COW merge correcting hour-12 values: exactly
+    * the file(s) holding hour 12 are replaced (identified via
+    * `_metadata.file_path`, a column-pruned probe), every other file is
+    * carried into v2's manifest BY REFERENCE. The query then reads BOTH
+    * versions AFTER v2 exists: v1 must still equal the original day (a
+    * later commit cannot disturb a pinned snapshot — the reproducibility
+    * contract), v2 must show the corrections — both stated in one oracle.
+    * File-level immutability and manifest reuse are pinned in
+    * `SnapshotLogSpec`.
+    */
+  def u7TimeTravel(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = firstDayEvents(spark, sfDir)
+    val path = s"file:${scratch("u7", sfDir)}"
+    val v1 = SnapshotLog.commit(spark, path,
+      base.withColumn("hour_part", hour(col("ts")))
+        .repartition(col("hour_part")), carried = Nil)
+
+    def norm(p: String) = p.replaceFirst("^file:/*", "/")
+    val v1df = SnapshotLog.read(spark, path, v1)
+    val replaced = v1df.filter(col("hour_part") === 12)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // COW rewrites whole FILES: every row co-resident in a replaced file is
+    // carried into the rewrite (corrected or not) — file clustering decides
+    // write amplification, never correctness
+    val rewritten = v1df
+      .filter(col("_metadata.file_path").isin(replaced: _*))
+      .withColumn("value", when(col("hour_part") === 12 &&
+        col("event_id") % 3 === 0,
+        col("value") + lit(1000.0)).otherwise(col("value")))
+    val replacedNorm = replaced.map(norm).toSet
+    val carried = SnapshotLog.manifest(path, v1)
+      .filterNot(f => replacedNorm.contains(norm(f)))
+    val v2 = SnapshotLog.commit(spark, path, rewritten, carried)
+
+    def agg(v: Int) = SnapshotLog.read(spark, path, v)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .select(lit(v).as("version"), col("hour_ts"), col("cnt"),
+        col("sum_eid"), col("sum_value"))
+    agg(v1).unionByName(agg(v2))
   }
 
   /** u3: schema drift across partition generations. Generation 1 lands

@@ -1,0 +1,91 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** SnapshotLog: the contracts the u7 gate query can't see from aggregates —
+  * physical immutability of committed files, manifest reuse by reference,
+  * and the torn/concurrent-commit guards.
+  */
+class SnapshotLogSpec extends SparkSpec {
+
+  private def dataFiles(dir: String): Map[String, Long] = {
+    def rec(f: java.io.File): Seq[java.io.File] = {
+      val cs = Option(f.listFiles()).getOrElse(Array.empty)
+      cs.filter(_.isFile).toSeq ++ cs.filter(_.isDirectory).flatMap(rec)
+    }
+    rec(new java.io.File(dir, "data"))
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+  }
+
+  test("a later commit never disturbs a pinned snapshot") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap").toString
+    val path = s"file:$dir"
+    val v1 = SnapshotLog.commit(spark, path,
+      (1L to 100L).map(i => (i, i % 4, s"p$i")).toDF("id", "grp", "payload")
+        .repartitionByRange(4, col("grp")),
+      carried = Nil)
+    assert(v1 == 1)
+    val v1Files = dataFiles(dir)
+    assert(v1Files.nonEmpty)
+
+    // COW update: replace only grp=2's file(s); carry the rest by reference
+    def norm(p: String) = p.replaceFirst("^file:/*", "/")
+    val v1df = SnapshotLog.read(spark, path, v1)
+    val replaced = v1df.filter(col("grp") === 2)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(replaced.nonEmpty && replaced.size < v1Files.size)
+    val replacedNorm = replaced.map(norm).toSet
+    val carried = SnapshotLog.manifest(path, v1)
+      .filterNot(f => replacedNorm.contains(norm(f)))
+    // COW rewrites whole files: co-resident rows ride along unchanged
+    val v2 = SnapshotLog.commit(spark, path,
+      v1df.filter(col("_metadata.file_path").isin(replaced: _*))
+        .withColumn("payload", when(col("grp") === 2,
+          concat(col("payload"), lit("-fixed"))).otherwise(col("payload"))),
+      carried)
+    assert(v2 == 2)
+
+    // every v1 file is still on disk, byte-identical (path + mtime)
+    val nowFiles = dataFiles(dir)
+    v1Files.foreach { case (p, m) =>
+      assert(nowFiles.get(p).contains(m), s"v1 file $p was disturbed")
+    }
+    // v2's manifest reuses exactly the carried files plus new ones
+    val m2 = SnapshotLog.manifest(path, v2).map(norm).toSet
+    assert(carried.map(norm).toSet.subsetOf(m2))
+    assert((m2 -- carried.map(norm)).forall(_.contains("commit-v00002")))
+
+    // v1 read AFTER v2: the original content, untouched
+    val v1Back = SnapshotLog.read(spark, path, v1)
+      .select("id", "payload").as[(Long, String)].collect().toSet
+    assert(v1Back == (1L to 100L).map(i => (i, s"p$i")).toSet)
+    // v2 read: only grp=2 rows changed
+    val v2Back = SnapshotLog.read(spark, path, v2)
+      .select("id", "grp", "payload").as[(Long, Long, String)].collect().toSet
+    assert(v2Back == (1L to 100L).map(i =>
+      (i, i % 4, if (i % 4 == 2) s"p$i-fixed" else s"p$i")).toSet)
+  }
+
+  test("a torn or racing earlier attempt fails the commit loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap2").toString
+    val path = s"file:$dir"
+    SnapshotLog.commit(spark, path, Seq((1, "a")).toDF("id", "v"), Nil)
+    // simulate a torn/racing writer that already created v2's data dir:
+    // mode=errorifexists must refuse to write into it (immutability is
+    // enforced by the write mode, not assumed)
+    new java.io.File(dir, "data/commit-v00002").mkdirs()
+    intercept[Exception] {
+      SnapshotLog.commit(spark, path, Seq((2, "b")).toDF("id", "v"), Nil)
+    }
+    // reading a version that does not exist also fails loudly
+    intercept[IllegalArgumentException] {
+      SnapshotLog.manifest(path, 9)
+    }
+  }
+}
