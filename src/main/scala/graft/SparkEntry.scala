@@ -88,6 +88,7 @@ object SparkEntry {
     "st2_streaming_sessions" -> (IP.st2StreamingSessions _),
     "st12_session_window" -> (IP.st12SessionWindowAgg _),
     "st13_streaming_cdc" -> (IP.st13StreamingCdcApply _),
+    "st14_stream_static" -> (IP.st14StreamStaticJoin _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st9_transform_with_state" -> (IP.st9TransformWithState _),
@@ -140,6 +141,8 @@ object SparkEntry {
     "c4_retention" -> (MaintenanceQueries.c4Retention _),
     "u7_time_travel" -> (MaintenanceQueries.u7TimeTravel _),
     "q40_hof" -> (R.q40Hof _),
+    "q47_map_ops" -> (R.q47MapOps _),
+    "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
     "q43_variant" -> (R.q43Variant _),
@@ -870,6 +873,30 @@ object SparkEntry {
         | FROM scoped)
         |SELECT user_id, ts_us, event_type, value, event_id
         |FROM r WHERE rn = 1""".stripMargin,
+    // q47: the map build/filter/transform/explode round-trip restated
+    // relationally — map content equality IS the row equality after explode
+    "q47_map_ops" ->
+      """WITH c AS (
+        | SELECT user_id, event_type, count(*) AS cnt
+        | FROM events GROUP BY user_id, event_type),
+        |f AS (SELECT * FROM c WHERE cnt >= 3),
+        |n AS (SELECT user_id, CAST(count(*) AS INT) AS n_types
+        |      FROM f GROUP BY user_id)
+        |SELECT f.user_id, n.n_types, f.event_type, f.cnt * 2 AS n2
+        |FROM f JOIN n ON f.user_id = n.user_id""".stripMargin,
+    // d30: canonical form restated with the same regex chain (duckdb RE2 and
+    // Spark's Java regex agree on the [^a-z0-9\s] / \s+ subset)
+    "d30_canonical_dedup" ->
+      """WITH c AS (
+        | SELECT source, md5(text) AS raw_h,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+        | FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        | count(DISTINCT raw_h) AS n_exact_forms,
+        | count(DISTINCT h) AS n_canon_forms,
+        | count(DISTINCT raw_h) - count(DISTINCT h) AS n_caught_by_canon
+        |FROM c GROUP BY source""".stripMargin,
     // c4: hours below the cutoff (first day's noon) are deleted directories;
     // the oracle counts the same hours from the data — an hour with no rows
     // never had a directory, so both sides count physically-existing hours
@@ -886,6 +913,16 @@ object SparkEntry {
         | (SELECT n_dropped FROM drop0) AS n_dropped
         |FROM scoped WHERE hour(ts) >= 12
         |GROUP BY date_trunc('hour', ts)""".stripMargin,
+    // st14: stateless per-row join ⇒ exact under any batch split; the inner
+    // join against the dimension is the user filter, stated directly
+    "st14_stream_static" ->
+      """SELECT user_id % 5 AS segment, count(*) AS n_events,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | count(DISTINCT user_id) AS n_users
+        |FROM events
+        |WHERE day(ts) = 1 AND user_id % 3 <> 1
+        |GROUP BY user_id % 5""".stripMargin,
     "st12_session_window" ->
       """WITH scoped AS (
         | SELECT user_id, event_id, ts FROM events WHERE day(ts) = 1),

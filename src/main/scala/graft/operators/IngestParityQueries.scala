@@ -561,6 +561,54 @@ object IngestParityQueries {
         col("event_type"), col("value"), col("event_id"))
   }
 
+  /** st14: STREAM-STATIC join — the dimension-enrichment shape production
+    * pipelines run constantly (enrich a click stream with a user table)
+    * and the one streaming join variant the suite lacked: the static side
+    * is a plain batch DataFrame re-planned fresh per micro-batch, the join
+    * is STATELESS (no watermark, no join state — rows either match now or
+    * never), and an inner join doubles as the stream-side filter (users
+    * absent from the dimension drop out). The oracle restates the whole
+    * thing as one batch join over the source parquet — exact under any
+    * batch split because each row's join result is independent of batching.
+    *
+    * Scale shape: the dimension here broadcasts (per-batch broadcast of a
+    * bounded user list — the common case for dims under the broadcast
+    * threshold); an over-threshold dimension would instead pre-shuffle via
+    * the b1 bucketed layout so each micro-batch joins co-located. No state
+    * store is involved either way — memory cost is O(dim), constant in
+    * stream length.
+    */
+  def st14StreamStaticJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val ckpt = parityDir("sstatic-ckpt", sfDir, firstHourOnly = false)
+    wipe(ckpt)
+    val qn = "st14_sstatic_" + sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+    withStreamSession(spark, 8) { ss =>
+      val dim = RelationalQueries.eventsTable(ss, sfDir)
+        .select(col("user_id")).distinct()
+        .filter(col("user_id") % 3 =!= 1)
+        .withColumn("segment", pmod(col("user_id"), lit(5)))
+      val q = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("user_id"), col("event_id"), col("value"))
+        .join(broadcast(dim), "user_id")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ss.table(qn)
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_eid"),
+          sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }
+  }
+
   /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner
     * join surface. A view with no purchase within 30 minutes cannot emit
     * eagerly (a matching purchase may still arrive); it emits null-extended

@@ -790,6 +790,36 @@ object RelationalQueries {
     * order-independent or integer-valued, and the two float folds round
     * through DECIMAL(20,6) so the oracle hash-matches bit-for-bit.
     */
+  /** q47: MAP-typed collection surface — per-user event-type histograms
+    * built AS maps (`map_from_entries`), transformed with the map
+    * higher-order functions (`map_filter` keeps types seen ≥ 3 times,
+    * `transform_values` rescales), then exploded back to rows the oracle
+    * can state relationally. Maps are the schema shape config/feature
+    * stores use (ragged per-entity key→value), and this proves the full
+    * round-trip — build, filter, transform, size, explode — preserves
+    * content exactly.
+    *
+    * Scale shape: the histogram comes from a partial-agg'd count (only
+    * (user, type, cnt) rows shuffle), and each map is bounded by event-type
+    * cardinality (6 here) — no per-user data explosion at any corpus size;
+    * the map HOFs are row-local codegen'd expressions.
+    */
+  def q47MapOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val counts = eventsTable(spark, sfDir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("user_id"))
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("cnt"))))).as("hist"))
+      .withColumn("frequent", map_filter(col("hist"), (_, v) => v >= 3))
+      .filter(size(col("frequent")) > 0)
+      .withColumn("n_types", size(col("frequent")))
+      .withColumn("boosted",
+        transform_values(col("frequent"), (_, v) => v * 2))
+      .select(col("user_id"), col("n_types"),
+        explode(col("boosted")).as(Seq("event_type", "n2")))
+  }
+
   def q40Hof(spark: SparkSession, sfDir: String): DataFrame = {
     val e = col("embedding")
     def fold(arr: org.apache.spark.sql.Column) =

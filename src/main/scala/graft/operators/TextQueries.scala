@@ -305,6 +305,31 @@ object TextQueries {
     * the accepted cost of a scrub pass (three anchored-literal families,
     * not catastrophic-backtracking candidates).
     */
+  /** d30: CANONICALIZATION dedup — exact dedup (d1) is defeated by
+    * formatting noise (case, punctuation, whitespace), the most common
+    * near-dup class in scraped corpora; the standard counter is hashing a
+    * canonical form instead: lowercase, strip non-alphanumerics, collapse
+    * whitespace runs, trim. Per source: how many documents, how many
+    * distinct canonical forms, and the gap = duplicates that exact
+    * content-hashing misses but canonical hashing catches.
+    *
+    * Scale shape: canonicalization is a row-local codegen'd expression
+    * chain; only the 128-bit canonical hash shuffles for the distinct
+    * count (d1's discipline — bodies never move).
+    */
+  def d30CanonicalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val canon = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    table(spark, sfDir, "documents")
+      .select(col("source"), md5(canon).as("h"), md5(col("text")).as("raw_h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_h")).as("n_exact_forms"),
+        countDistinct(col("h")).as("n_canon_forms"))
+      .withColumn("n_caught_by_canon",
+        col("n_exact_forms") - col("n_canon_forms"))
+  }
+
   def d24PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+1-555-[0-9]{4}"
