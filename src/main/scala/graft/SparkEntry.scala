@@ -112,6 +112,8 @@ object SparkEntry {
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
     "e20_ivf_append" -> ((s, d) => V.e20IvfAppend(s, d)),
+    "e21_ivf_delete" -> ((s, d) => V.e21IvfDelete(s, d)),
+    "d31_containment" -> ((s, d) => D.d31Containment(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
     "d18_hash_sample" -> (T.d18HashSample _),
@@ -504,6 +506,8 @@ object SparkEntry {
     // base-build ∪ appended-batch index must serve exactly what a full
     // rebuild serves; reusing the oracle text IS the append≡rebuild claim
     "e20_ivf_append" -> e18OracleSql,
+    "e21_ivf_delete" -> e21OracleSql,
+    "d31_containment" -> d31OracleSql,
     "d9_ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id,
@@ -2123,6 +2127,60 @@ object SparkEntry {
       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e21IvfDelete]] — the
+    * e18 serving SQL over the corpus MINUS the doomed set: a deleted vector
+    * surviving anywhere (or an innocent one lost) fails the hash.
+    */
+  private def e21OracleSql: String =
+    """WITH cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb
+      | FROM embeddings WHERE vec_id < 4),
+      |corp AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
+      |asg0 AS (
+      | SELECT e.vec_id, e.embedding, c.centroid_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      |    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS a_sim
+      | FROM corp e, cents c),
+      |asg AS (
+      | SELECT vec_id, embedding, centroid_id FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id
+      |    ORDER BY a_sim DESC, centroid_id ASC) AS a_rk FROM asg0) t
+      | WHERE a_rk = 1),
+      |q AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      | FROM asg WHERE vec_id < 10),
+      |cand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+      |  AND a.vec_id <> q.query_id),
+      |r AS (
+      | SELECT query_id, neighbor_id, sim_dec,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
+      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+      |FROM r WHERE rank <= 3""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d31Containment]] —
+    * d13's candidate CTEs with the two asymmetric ratios in place of
+    * Jaccard.
+    */
+  private def d31OracleSql: String =
+    s"""WITH $lshCandCtes,
+       |cont AS (
+       | SELECT id_a, id_b,
+       |  CAST(CAST(
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+       |    len(a.sh) AS DECIMAL(10,6)) AS DOUBLE) AS cont_a_in_b,
+       |  CAST(CAST(
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+       |    len(b.sh) AS DECIMAL(10,6)) AS DOUBLE) AS cont_b_in_a
+       | FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b)
+       |SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM cont""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d29ClusterKeepBest]] —
     * d19's component CTEs plus an arg-max-by-length selection per cluster.

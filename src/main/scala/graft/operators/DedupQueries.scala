@@ -131,25 +131,57 @@ object DedupQueries {
     * bucket sizes, and only candidates (a vanishing fraction of pairs) pay
     * the exact-Jaccard array intersection.
     */
-  def d13LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
+  /** LSH candidate pairs (id_a < id_b, distinct): any two docs sharing at
+    * least one (band, bucket). Shared by the symmetric (d13 Jaccard) and
+    * asymmetric (d31 containment) verifiers.
+    */
+  private def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sig = d7MinhashSig(spark, sfDir)
     val bands = sig.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "bkey")))
-    val cand = bands
+    bands
       .select(col("band_idx"), col("bkey"), col("doc_id").as("id_a"))
       .join(bands.select(col("band_idx"), col("bkey"), col("doc_id").as("id_b")),
         Seq("band_idx", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
+  }
+
+  def d13LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingledDocs(spark, sfDir)
-    cand
+    lshCandidatePairs(spark, sfDir)
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
           .cast("decimal(10,6)").cast("double").as("jaccard"))
+  }
+
+  /** d31: CONTAINMENT scoring — the ASYMMETRIC near-dup measure Jaccard
+    * misses: |A∩B| / |A| is near 1 when A is (almost) a subset of B even
+    * if B is far larger, which is exactly the quote/excerpt/boilerplate-
+    * wrapper case a training-corpus cleaner must catch (the pair's Jaccard
+    * can be arbitrarily low, so a d13-threshold pass keeps both copies).
+    * Both directions are reported per LSH candidate pair.
+    *
+    * Scale shape: identical to d13 — candidates come from the banded
+    * bucket join (never all pairs), shingle sets are computed once and
+    * shared ([[shingledDocs]]), and the two ratios are row-local array math
+    * on the already-joined pair.
+    */
+  def d31Containment(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingledDocs(spark, sfDir)
+    lshCandidatePairs(spark, sfDir)
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / size(col("sh_a")))
+          .cast("decimal(10,6)").cast("double").as("cont_a_in_b"),
+        (col("inter").cast("double") / size(col("sh_b")))
+          .cast("decimal(10,6)").cast("double").as("cont_b_in_a"))
   }
 
   /** d15: the end-to-end corpus-cleaning pass — exact dedup (keep the

@@ -668,6 +668,100 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:
+    * probe the affected bins with a column-pruned semi-join scan, then one
+    * dynamic partition overwrite rewrites exactly those bins anti-joined
+    * against the tombstones. Bins without a doomed vector keep their files
+    * physically intact (pinned in `PipelineQueriesSpec`). Returns the
+    * rewritten bin ids.
+    */
+  def deleteFromIvfIndex(spark: SparkSession, indexPath: String,
+      doomed: DataFrame): Seq[Int] = {
+    val affected = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+      .select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (affected.nonEmpty) {
+      val kept = spark.read.option("basePath", indexPath).parquet(indexPath)
+        .filter(col("centroid_id").cast("int").isin(affected: _*))
+        .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast("long").as("centroid_id"))
+      // survivor probe BEFORE the overwrite mutates the directories
+      val survivorBins = kept.select(col("centroid_id").cast("int"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(key, "static")
+      spark.conf.set(key, "dynamic")
+      try kept.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(indexPath)
+      finally spark.conf.set(key, prev)
+      // a bin whose vectors were ALL doomed writes zero rows above, which
+      // leaves its old files in place (the u2 emptied-partition lesson) —
+      // drop such bins' directories explicitly
+      affected.filterNot(survivorBins).foreach { b =>
+        val d = new java.io.File(
+          indexPath.stripPrefix("file:"), s"centroid_id=$b")
+        def rec(f: java.io.File): Unit = {
+          val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+        }
+        rec(d)
+      }
+    }
+    affected
+  }
+
+  /** e21: INDEX DELETE — the takedown half of index maintenance (e20 adds,
+    * this removes): a doomed-id list (content takedown / right-to-erasure,
+    * the u2 scenario at index granularity) is removed from the persisted
+    * inverted lists by rewriting ONLY the bins that contain a doomed
+    * vector. The affected-bin probe reads just (vec_id, centroid_id) — a
+    * column-pruned scan with the doomed set broadcast as a semi-join —
+    * then one dynamic partition overwrite rewrites those bins anti-joined
+    * against the tombstones. Untouched bins keep their files. Serving is
+    * e18's path unchanged; the oracle restates the search over the corpus
+    * MINUS the doomed set (queries likewise), so the hash fails if a
+    * deleted vector survives anywhere or an innocent one is lost.
+    *
+    * Scale shape: cost ∝ bins containing doomed ids, never index size —
+    * a thousand-id takedown over a 10^10-vector index touches a handful of
+    * bin directories; centroids are trained PARAMETERS, so deleting corpus
+    * vectors never changes bin geometry.
+    */
+  def e21IvfDelete(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val dir = new java.io.File(
+      s"target/parity/ivf-dindex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    assignToCentroids(spark, sfDir, emb)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"file:$dir")
+
+    val doomed = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select("vec_id")
+    deleteFromIvfIndex(spark, s"file:$dir", doomed)
+
+    val queries = assignToCentroids(spark, sfDir,
+      emb.filter(col("vec_id") < 10 && pmod(col("vec_id"), lit(10)) =!= 3))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e19: FILTERED ANN — metadata-constrained search over the e18 persisted
     * index, the missing production dial: "nearest neighbors of q AMONG docs
     * matching a predicate" (licensed-only corpora, language slices, safety

@@ -116,6 +116,46 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(merged.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("e21: delete rewrites only bins holding a doomed vector; empty bins drop") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-didx").toString
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    val asg = VectorQueries.assignToCentroids(spark, sfDir, emb)
+    asg.write.mode("overwrite").partitionBy("centroid_id").parquet(s"file:$dir")
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map { b =>
+          b.getName -> b.listFiles().filter(f => f.isFile &&
+            f.getName.startsWith("part-"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = files()
+
+    // doom one whole bin plus a couple of ids from another bin
+    val binOf = asg.select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bins = binOf.values.toSet.toSeq.sorted
+    val wholeBin = bins.head
+    val partialBin = bins.last
+    val doomedIds = binOf.filter(_._2 == wholeBin).keys.toSeq ++
+      binOf.filter(_._2 == partialBin).keys.toSeq.sorted.take(2)
+    import spark.implicits._
+    val rewrittenBins = VectorQueries.deleteFromIvfIndex(
+      spark, s"file:$dir", doomedIds.toDF("vec_id"))
+    assert(rewrittenBins.toSet == Set(wholeBin.toInt, partialBin.toInt))
+
+    val after = files()
+    // untouched bins keep their exact files
+    before.keys.filterNot(b => rewrittenBins.map(i => s"centroid_id=$i")
+        .toSet.contains(b))
+      .foreach { b => assert(after(b) == before(b), s"untouched $b changed") }
+    // the fully-doomed bin's directory is gone
+    assert(!after.contains(s"centroid_id=$wholeBin"), after.keySet)
+    // survivors are exactly corpus minus doomed
+    val left = spark.read.parquet(s"file:$dir").select("vec_id")
+      .as[Long].collect().toSet
+    assert(left == binOf.keySet -- doomedIds)
+  }
+
   test("q36: engine EWMA equals a driver-side sequential fold") {
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
