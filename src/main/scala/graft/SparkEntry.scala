@@ -144,6 +144,7 @@ object SparkEntry {
     "u7_time_travel" -> (MaintenanceQueries.u7TimeTravel _),
     "q40_hof" -> (R.q40Hof _),
     "q47_map_ops" -> (R.q47MapOps _),
+    "q48_lateral_topn" -> (R.q48LateralTopn _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -888,6 +889,18 @@ object SparkEntry {
         |      FROM f GROUP BY user_id)
         |SELECT f.user_id, n.n_types, f.event_type, f.cnt * 2 AS n2
         |FROM f JOIN n ON f.user_id = n.user_id""".stripMargin,
+    // q48: duckdb executes the same LATERAL text (both engines cut top-2 by
+    // the same (price DESC, o_orderkey) order, so the result is exact)
+    "q48_lateral_topn" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price DESC, o_orderkey ASC LIMIT 2) t
+        |WHERE c.c_custkey % 10 = 0""".stripMargin,
     // d30: canonical form restated with the same regex chain (duckdb RE2 and
     // Spark's Java regex agree on the [^a-z0-9\s] / \s+ subset)
     "d30_canonical_dedup" ->

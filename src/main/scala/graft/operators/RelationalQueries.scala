@@ -976,6 +976,30 @@ object RelationalQueries {
     * hand-rolled connectedComponents (d19) but fully declaratively. The
     * cast-through-floor keeps integer division identical across engines.
     */
+  /** q48: correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    * "top-N per entity" surface written the way an analyst writes it
+    * (every tenth customer's two priciest orders). Catalyst DECORRELATES
+    * the lateral into a ranked window over the join rather than executing
+    * the inner query once per outer row — the plan that survives scale:
+    * one shuffle on the join key + one window pass, never O(customers)
+    * subquery executions. Both engines order by (price DESC, o_orderkey)
+    * so the top-2 cut is deterministic.
+    */
+  def q48LateralTopn(spark: SparkSession, sfDir: String): DataFrame = {
+    table(spark, sfDir, "customer").createOrReplaceTempView("q48_customer")
+    table(spark, sfDir, "orders").createOrReplaceTempView("q48_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.o_orderkey, t.price
+        |FROM q48_customer c,
+        |LATERAL (
+        |  SELECT o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(20,2)) AS DOUBLE) AS price
+        |  FROM q48_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY price DESC, o_orderkey ASC LIMIT 2) t
+        |WHERE c.c_custkey % 10 = 0""".stripMargin)
+  }
+
   def q44RecursiveCte(spark: SparkSession, sfDir: String): DataFrame = {
     table(spark, sfDir, "customer").createOrReplaceTempView("q44_customer")
     spark.sql(
