@@ -113,6 +113,7 @@ object SparkEntry {
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
     "e20_ivf_append" -> ((s, d) => V.e20IvfAppend(s, d)),
     "e21_ivf_delete" -> ((s, d) => V.e21IvfDelete(s, d)),
+    "e22_filtered_recall" -> ((s, d) => V.e22FilteredRecall(s, d)),
     "d31_containment" -> ((s, d) => D.d31Containment(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
@@ -508,6 +509,7 @@ object SparkEntry {
     // rebuild serves; reusing the oracle text IS the append≡rebuild claim
     "e20_ivf_append" -> e18OracleSql,
     "e21_ivf_delete" -> e21OracleSql,
+    "e22_filtered_recall" -> e22OracleSql,
     "d31_containment" -> d31OracleSql,
     "d9_ngram_jaccard" ->
       """WITH sh AS (
@@ -2177,6 +2179,64 @@ object SparkEntry {
       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e22FilteredRecall]] —
+    * e19's serving CTEs plus the filtered brute-force baseline, joined per
+    * query into a recall fraction.
+    */
+  private def e22OracleSql: String =
+    """WITH cents AS (
+      | SELECT vec_id AS centroid_id, embedding AS c_emb
+      | FROM embeddings WHERE vec_id < 4),
+      |asg0 AS (
+      | SELECT e.vec_id, e.embedding, e.label, c.centroid_id,
+      |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |   CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+      |     i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.c_emb[i] AS DOUBLE)), 'sum')
+      |    AS DECIMAL(20,6)) DESC, c.centroid_id ASC) AS a_rk
+      | FROM embeddings e, cents c),
+      |asg AS (
+      | SELECT vec_id, embedding, label, centroid_id FROM asg0 WHERE a_rk = 1),
+      |q AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      | FROM asg0 WHERE vec_id < 10 AND a_rk <= 2),
+      |icand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM asg a JOIN q ON a.centroid_id = q.centroid_id
+      |  AND a.vec_id <> q.query_id
+      | WHERE a.label IN (1, 3, 5)),
+      |ivf AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM icand) t
+      | WHERE rank <= 3),
+      |bq AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb
+      | FROM embeddings WHERE vec_id < 10),
+      |bc AS (
+      | SELECT vec_id AS neighbor_id, embedding
+      | FROM embeddings WHERE label IN (1, 3, 5)),
+      |bd AS (
+      | SELECT bq.query_id, bc.neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(bq.q_emb)+1),
+      |    i -> CAST(bq.q_emb[i] AS DOUBLE) * CAST(bc.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim
+      | FROM bq, bc WHERE bc.neighbor_id <> bq.query_id),
+      |brute AS (
+      | SELECT query_id, neighbor_id FROM (
+      |  SELECT query_id, neighbor_id,
+      |   row_number() OVER (PARTITION BY query_id
+      |     ORDER BY sim DESC, neighbor_id ASC) AS rk FROM bd) t
+      | WHERE rk <= 3)
+      |SELECT b.query_id, CAST(count(i.neighbor_id) AS BIGINT) AS hits,
+      | CAST(count(i.neighbor_id) AS DOUBLE) / 3 AS recall
+      |FROM brute b LEFT JOIN ivf i
+      | ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      |GROUP BY b.query_id""".stripMargin
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d31Containment]] —
     * d13's candidate CTEs with the two asymmetric ratios in place of

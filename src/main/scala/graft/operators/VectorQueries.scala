@@ -819,6 +819,39 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** e22: recall of the FILTERED search (e19) against the filtered
+    * brute-force top-k — the e7/e12/e16 quality-measurement discipline
+    * applied to predicate-constrained serving. The baseline ranks ALL
+    * label-matching vectors by the same dot-product metric; e19's probed
+    * bins (nprobe=2) recover a measured fraction of them. The number the
+    * oracle pins is the one a production deployment watches when it dials
+    * nprobe against predicate selectivity.
+    */
+  def e22FilteredRecall(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val ivf = e19FilteredIvf(spark, sfDir, k)
+      .select("query_id", "neighbor_id")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cand = emb.filter(col("label").isin(1, 3, 5))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id").asc)
+    val brute = cand.crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    val ivfR = ivf.select(col("query_id").as("iq"), col("neighbor_id").as("hit"))
+    brute.join(ivfR, brute("query_id") === col("iq") &&
+        brute("neighbor_id") === col("hit"), "left")
+      .groupBy(brute("query_id"))
+      .agg(count(col("hit")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / k).as("recall"))
+  }
+
   /** e12: recall@k of BOTH quantized search paths (SQ8 e10, PQ-ADC e11)
     * against the exact brute-force top-k (e2) — e7's quality-measurement
     * discipline applied to the compression paths: quantization loss is a
