@@ -89,6 +89,7 @@ object SparkEntry {
     "st12_session_window" -> (IP.st12SessionWindowAgg _),
     "st13_streaming_cdc" -> (IP.st13StreamingCdcApply _),
     "st14_stream_static" -> (IP.st14StreamStaticJoin _),
+    "st15_streaming_snapshots" -> (IP.st15StreamingSnapshots _),
     "st3_stream_join" -> (IP.st3StreamJoin _),
     "st4_stream_dedup" -> (IP.st4StreamDedup _),
     "st9_transform_with_state" -> (IP.st9TransformWithState _),
@@ -931,6 +932,15 @@ object SparkEntry {
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
         | (SELECT n_dropped FROM drop0) AS n_dropped
         |FROM scoped WHERE hour(ts) >= 12
+        |GROUP BY date_trunc('hour', ts)""".stripMargin,
+    // st15: the head version must hold exactly the replayed day under ANY
+    // batch split (commits only append files; the final manifest is the
+    // union of all batches) — stated as the whole-day per-hour aggregate
+    "st15_streaming_snapshots" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events WHERE day(ts) = 1
         |GROUP BY date_trunc('hour', ts)""".stripMargin,
     // st14: stateless per-row join ⇒ exact under any batch split; the inner
     // join against the dimension is the user filter, stated directly

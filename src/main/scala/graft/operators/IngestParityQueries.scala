@@ -609,6 +609,61 @@ object IngestParityQueries {
     }
   }
 
+  /** st15: STREAMING COMMIT LOG — each micro-batch lands as one atomic
+    * [[graft.sources.SnapshotLog]] commit (new immutable files + a manifest
+    * carrying every prior file by reference), so the landing table gains a
+    * VERSION HISTORY as it ingests: a reader pinned to version N sees a
+    * consistent prefix of the stream forever, while the head advances —
+    * the streaming-ingest × time-travel composition (Delta's transaction
+    * log shape) built from the u7 primitive. The oracle checks the head:
+    * the latest version must hold exactly the whole replayed day
+    * regardless of how files were batched; the per-commit prefix property
+    * (each version ⊇ its parent, by reference not copy) is pinned in
+    * `SnapshotLogSpec`.
+    *
+    * Scale shape: per batch, commit cost = the batch's files + one
+    * manifest write; nothing is rewritten, so ingest throughput is
+    * independent of table size, and old versions are reclaimed by manifest
+    * retention (the c4 sweep at file granularity, per the SnapshotLog
+    * scaladoc).
+    */
+  def st15StreamingSnapshots(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir)
+    val tableDir = parityDir("snapstream-table", sfDir, firstHourOnly = false)
+    val ckpt = parityDir("snapstream-ckpt", sfDir, firstHourOnly = false)
+    wipe(tableDir); wipe(ckpt)
+    val path = s"file:$tableDir"
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
+        .schema(eventsSchema)
+        .options(CsvOptions.toReaderOptions(CsvOptions()))
+        .option("maxFilesPerTrigger", "8")
+        .csv(s"${rawBase.stripSuffix("/")}/year=*/month=*/day=01/hour=*")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          val carried = graft.sources.SnapshotLog.latestVersion(path)
+            .map(v => graft.sources.SnapshotLog.manifest(path, v))
+            .getOrElse(Nil)
+          graft.sources.SnapshotLog.commit(
+            batch.sparkSession, path, batch.toDF(), carried)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val head = graft.sources.SnapshotLog.latestVersion(path)
+      .getOrElse(sys.error("streaming snapshots: no version committed"))
+    graft.sources.SnapshotLog.read(spark, path, head)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+  }
+
   /** st6: STREAM-STREAM LEFT OUTER join — the missing half of st3's inner
     * join surface. A view with no purchase within 30 minutes cannot emit
     * eagerly (a matching purchase may still arrive); it emits null-extended

@@ -71,6 +71,32 @@ class SnapshotLogSpec extends SparkSpec {
       (i, i % 4, if (i % 4 == 2) s"p$i-fixed" else s"p$i")).toSet)
   }
 
+  test("append-only commits form a version history: each version extends its parent by reference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap3").toString
+    val path = s"file:$dir"
+    // the st15 streaming-commit shape: every commit carries the FULL parent
+    // manifest and adds only its own batch's files
+    val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L))
+    batches.foreach { ids =>
+      val carried = SnapshotLog.latestVersion(path)
+        .map(v => SnapshotLog.manifest(path, v)).getOrElse(Nil)
+      SnapshotLog.commit(spark, path, ids.toDF("id"), carried)
+    }
+    assert(SnapshotLog.latestVersion(path).contains(3))
+    // prefix property: version N holds exactly batches 1..N
+    (1 to 3).foreach { v =>
+      val got = SnapshotLog.read(spark, path, v)
+        .select("id").as[Long].collect().toSet
+      assert(got == batches.take(v).flatten.toSet, s"v$v: $got")
+    }
+    // by REFERENCE: parent files appear verbatim in the child manifest
+    (2 to 3).foreach { v =>
+      val parent = SnapshotLog.manifest(path, v - 1).toSet
+      assert(parent.subsetOf(SnapshotLog.manifest(path, v).toSet), s"v$v")
+    }
+  }
+
   test("a torn or racing earlier attempt fails the commit loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap2").toString
