@@ -144,6 +144,7 @@ object SparkEntry {
     "c3_compact_sweep" -> (MaintenanceQueries.c3CompactSweep _),
     "c4_retention" -> (MaintenanceQueries.c4Retention _),
     "u7_time_travel" -> (MaintenanceQueries.u7TimeTravel _),
+    "u8_cascading_takedown" -> (MaintenanceQueries.u8CascadingTakedown _),
     "q40_hof" -> (R.q40Hof _),
     "q47_map_ops" -> (R.q47MapOps _),
     "q48_lateral_topn" -> (R.q48LateralTopn _),
@@ -1190,6 +1191,23 @@ object SparkEntry {
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
         |FROM versions GROUP BY version, date_trunc('hour', ts)""".stripMargin,
+    // u8: every store's before/after restated from the id arithmetic — a
+    // doomed row surviving anywhere (or an innocent one lost) fails the hash
+    "u8_cascading_takedown" ->
+      """WITH base AS (
+        | SELECT * FROM events
+        | WHERE date_trunc('day', ts) = (SELECT min(date_trunc('day', ts)) FROM events))
+        |SELECT 'landing' AS store,
+        | (SELECT count(*) FROM base) AS n_before,
+        | (SELECT count(*) FROM base WHERE user_id % 7 <> 0) AS n_after
+        |UNION ALL
+        |SELECT 'serving',
+        | (SELECT count(DISTINCT user_id) FROM base),
+        | (SELECT count(DISTINCT user_id) FROM base WHERE user_id % 7 <> 0)
+        |UNION ALL
+        |SELECT 'index',
+        | (SELECT count(*) FROM embeddings),
+        | (SELECT count(*) FROM embeddings WHERE vec_id % 7 <> 0)""".stripMargin,
     "u2_delete_keys" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, count(*) AS cnt,
         | CAST(sum(user_id) AS BIGINT) AS sum_uid,

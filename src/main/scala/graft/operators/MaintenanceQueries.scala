@@ -249,6 +249,64 @@ object MaintenanceQueries {
     agg(v1).unionByName(agg(v2))
   }
 
+  /** u8: CASCADING TAKEDOWN — right-to-erasure applied to EVERY derived
+    * store in one sweep, the compliance operation an LLM-data platform
+    * actually runs (removing an entity from the raw table alone is not
+    * erasure; it lives on in serving tables and vector indexes). One
+    * doomed-id list drives three physically different deletion paths:
+    * the hour-partitioned landing ([[MutationOps.deleteByKey]] — probe
+    * pass then partition-pruned rewrite), the key-bucket serving table
+    * ([[MutationOps.deleteFromBucketTable]] — bucket-pruned rewrite), and
+    * the persisted IVF index ([[graft.operators.VectorQueries
+    * .deleteFromIvfIndex]] — bin-pruned rewrite). Output: per-store
+    * before/after row counts; the oracle restates all three from the id
+    * arithmetic, so the hash fails if a doomed row survives in ANY store
+    * or an innocent row is lost in any.
+    *
+    * Scale shape: every path is scoped by construction — partitions,
+    * buckets, or bins containing a doomed key — so the sweep's cost is
+    * proportional to the takedown's footprint in each store, never to any
+    * store's size.
+    */
+  def u8CascadingTakedown(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val base = firstDayEvents(spark, sfDir)
+    // store 1: hour-partitioned landing
+    val cfg = cfgFor(s"file:${scratch("u8", sfDir)}")
+    LandingTable.overwritePartitions(base, cfg)
+    // store 2: key-bucket serving table (latest row per user, the st13 shape)
+    val servingDir = s"file:${scratch("u8srv", sfDir)}"
+    MutationOps.upsertLatest(spark, servingDir,
+      base.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"), nBuckets = 8)
+    // store 3: persisted IVF index over the embeddings
+    val idxDir = s"file:${scratch("u8idx", sfDir)}"
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    VectorQueries.assignToCentroids(spark, sfDir, emb)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+
+    def countOf(df: DataFrame): Long = df.count()
+    val before = Seq(
+      "landing" -> countOf(LandingTable.read(spark, cfg)),
+      "serving" -> countOf(spark.read.parquet(servingDir)),
+      "index" -> countOf(spark.read.parquet(idxDir)))
+
+    val doomedUsers = base.select(col("user_id")).distinct()
+      .filter(col("user_id") % 7 === 0)
+    MutationOps.deleteByKey(spark, cfg, doomedUsers.toDF("k"), "user_id")
+    MutationOps.deleteFromBucketTable(
+      spark, servingDir, doomedUsers, "user_id", nBuckets = 8)
+    VectorQueries.deleteFromIvfIndex(spark, idxDir,
+      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+
+    val after = Map(
+      "landing" -> countOf(LandingTable.read(spark, cfg)),
+      "serving" -> countOf(spark.read.parquet(servingDir)),
+      "index" -> countOf(spark.read.parquet(idxDir)))
+    before.map { case (store, nb) => (store, nb, after(store)) }
+      .toDF("store", "n_before", "n_after")
+  }
+
   /** u3: schema drift across partition generations. Generation 1 lands
     * without `props`/`quality`; generation 2 adds both. A `mergeSchema` read
     * presents the union schema with NULLs for pre-drift rows — the

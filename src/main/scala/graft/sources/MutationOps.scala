@@ -297,6 +297,47 @@ object MutationOps {
     touched
   }
 
+  /** Key takedown against a key-bucket-partitioned table (the
+    * [[scd2WriteTable]]/[[upsertLatest]] layout): rows whose key is in
+    * `doomed` are removed by rewriting ONLY the buckets those keys hash
+    * into; a bucket left empty has its directory dropped explicitly (the
+    * [[deleteByKey]] emptied-partition rule). Returns (touched, emptied)
+    * bucket ids. Cost ∝ buckets touched, never table size.
+    */
+  def deleteFromBucketTable(spark: SparkSession, tablePath: String,
+      doomed: DataFrame, keyCol: String, nBuckets: Int): (Seq[Int], Seq[Int]) = {
+    val keys = doomed.select(col(doomed.columns.head).as(keyCol)).distinct()
+    val touched = keys
+      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return (Nil, Nil)
+    val scoped = spark.read.option("basePath", tablePath).parquet(tablePath)
+      .filter(col("bucket").cast("int").isin(touched: _*))
+    val dataCols = scoped.columns.filterNot(_ == "bucket").toSeq
+    val kept = scoped.join(broadcast(keys), Seq(keyCol), "left_anti")
+      .select(dataCols.map(col): _*)
+    val survivorBuckets = kept
+      .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try kept
+      .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+      .repartition(col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
+    finally spark.conf.set(conf, prev)
+    val emptied = touched.filterNot(survivorBuckets)
+    emptied.foreach { b =>
+      val d = new java.io.File(tablePath.stripPrefix("file:"), s"bucket=$b")
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(d)
+    }
+    (touched, emptied)
+  }
+
   /** Key-bucket-partitioned physical form of the SCD2 dimension, the layout
     * [[scd2MergeTable]] needs to make merges partition-scoped on disk: a
     * dimension has no time axis to partition by (a key's versions must stay

@@ -184,6 +184,45 @@ class MutationOpsSpec extends SparkSpec {
     assert(cu2 == Set((1, "A", false), (2, "B", true)), cu2)
   }
 
+  test("deleteFromBucketTable prunes, keeps untouched bucket files, drops emptied dirs") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bdel").toString
+    val path = s"file:$dir"
+    val nBuckets = 4
+    MutationOps.upsertLatest(spark, path,
+      (1L to 20L).map(k => (k, 1L, s"v$k")).toDF("k", "ord", "v"),
+      Seq("k"), Seq("ord"), nBuckets)
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(b => b.getName -> b.listFiles().filter(_.isFile)
+          .map(f => f.getName + ":" + f.lastModified()).toSet).toMap
+    val before = files()
+    assert(before.keySet.size == nBuckets)
+
+    // doom EVERY key of one bucket plus one key of another
+    val byBucket = spark.read.parquet(path)
+      .select(org.apache.spark.sql.functions.col("k"),
+        org.apache.spark.sql.functions.col("bucket").cast("int").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val buckets = byBucket.values.toSet.toSeq.sorted
+    val whole = buckets.head
+    val partial = buckets.last
+    val doomed = byBucket.filter(_._2 == whole).keys.toSeq ++
+      byBucket.filter(_._2 == partial).keys.toSeq.sorted.take(1)
+
+    val (touched, emptied) = MutationOps.deleteFromBucketTable(
+      spark, path, doomed.toDF("k"), "k", nBuckets)
+    assert(touched.toSet == Set(whole, partial), touched)
+    assert(emptied == Seq(whole), emptied)
+
+    val after = files()
+    assert(!after.contains(s"bucket=$whole"), after.keySet)
+    before.keys.filterNot(Set(s"bucket=$whole", s"bucket=$partial"))
+      .foreach { b => assert(after(b) == before(b), s"untouched $b changed") }
+    val left = spark.read.parquet(path).select("k").as[Long].collect().toSet
+    assert(left == byBucket.keySet -- doomed)
+  }
+
   test("upsertLatest: stale changes never regress state; untouched buckets keep files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-cdc").toString
