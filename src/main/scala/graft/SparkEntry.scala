@@ -148,6 +148,7 @@ object SparkEntry {
     "q40_hof" -> (R.q40Hof _),
     "q47_map_ops" -> (R.q47MapOps _),
     "q48_lateral_topn" -> (R.q48LateralTopn _),
+    "q49_null_safe_join" -> (R.q49NullSafeJoin _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
@@ -905,6 +906,19 @@ object SparkEntry {
         |  WHERE o.o_custkey = c.c_custkey
         |  ORDER BY price DESC, o_orderkey ASC LIMIT 2) t
         |WHERE c.c_custkey % 10 = 0""".stripMargin,
+    // q49: IS NOT DISTINCT FROM is duckdb's null-safe equality — the NULL
+    // group must appear in the result exactly once
+    "q49_null_safe_join" ->
+      """WITH keyed AS (
+        | SELECT CASE WHEN event_type = 'view' THEN NULL
+        |             ELSE event_type END AS k, event_id
+        | FROM events),
+        |a AS (SELECT k, count(*) AS n_even FROM keyed
+        |      WHERE event_id % 2 = 0 GROUP BY k),
+        |b AS (SELECT k, count(*) AS n_odd FROM keyed
+        |      WHERE event_id % 2 <> 0 GROUP BY k)
+        |SELECT a.k, a.n_even, b.n_odd
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin,
     // d30: canonical form restated with the same regex chain (duckdb RE2 and
     // Spark's Java regex agree on the [^a-z0-9\s] / \s+ subset)
     "d30_canonical_dedup" ->

@@ -976,6 +976,27 @@ object RelationalQueries {
     * hand-rolled connectedComponents (d19) but fully declaratively. The
     * cast-through-floor keeps integer division identical across engines.
     */
+  /** q49: NULL-SAFE equality join (`<=>` / SQL `IS NOT DISTINCT FROM`) —
+    * the join a reconciliation query needs when the key is nullable: a
+    * plain equi-join silently DROPS the null group (NULL = NULL is not
+    * true), while `<=>` matches it, and the difference is exactly one row
+    * here (the nulled-out 'view' key). Catalyst plans EqualNullSafe as a
+    * hash join on the null-coalesced key — still a key-equality shuffle
+    * join, never a nested loop, so the null-safe form costs the same as
+    * the plain one at any scale.
+    */
+  def q49NullSafeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val keyed = eventsTable(spark, sfDir)
+      .withColumn("k", when(col("event_type") === "view", lit(null))
+        .otherwise(col("event_type")))
+    val evens = keyed.filter(col("event_id") % 2 === 0)
+      .groupBy("k").agg(count(lit(1)).as("n_even"))
+    val odds = keyed.filter(col("event_id") % 2 =!= 0)
+      .groupBy("k").agg(count(lit(1)).as("n_odd"))
+    evens.join(odds, evens("k") <=> odds("k"))
+      .select(evens("k").as("k"), col("n_even"), col("n_odd"))
+  }
+
   /** q48: correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
     * "top-N per entity" surface written the way an analyst writes it
     * (every tenth customer's two priciest orders). Catalyst DECORRELATES
