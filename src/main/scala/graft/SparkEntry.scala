@@ -150,6 +150,7 @@ object SparkEntry {
     "q48_lateral_topn" -> (R.q48LateralTopn _),
     "q49_null_safe_join" -> (R.q49NullSafeJoin _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
+    "d32_source_overlap" -> (T.d32SourceOverlap _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
     "q43_variant" -> (R.q43Variant _),
@@ -1471,6 +1472,22 @@ object SparkEntry {
         |     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |   '10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS redacted
         |FROM salted""".stripMargin,
+    // d32: d25's shingle-hash CTE aggregated source-pairwise
+    "d32_source_overlap" ->
+      """WITH toks AS (
+        | SELECT source, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |sx AS (
+        | SELECT DISTINCT source,
+        |  CAST('0x' || substr(md5(
+        |    array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15)
+        |   AS BIGINT) AS h
+        | FROM (SELECT source, t, unnest(range(1, len(t) - 3)) AS i
+        |       FROM toks WHERE len(t) >= 5) u)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        | count(*) AS shared_shingles
+        |FROM sx a JOIN sx b ON a.h = b.h AND a.source < b.source
+        |GROUP BY a.source, b.source""".stripMargin,
     "d25_decontaminate" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

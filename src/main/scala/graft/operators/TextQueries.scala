@@ -305,6 +305,39 @@ object TextQueries {
     * the accepted cost of a scrub pass (three anchored-literal families,
     * not catastrophic-backtracking candidates).
     */
+  /** d32: CROSS-SOURCE overlap matrix — for every source pair, how many
+    * distinct 5-gram shingles they share: the corpus-provenance analytic
+    * that tells a curation pipeline WHERE its duplication lives (mirror
+    * sites, syndication, scraped re-posts) and therefore which cross-source
+    * dedup passes are worth their cost. Same shingle→60-bit-hash reduction
+    * as decontamination (d25), aggregated source-pairwise instead of
+    * train-vs-eval.
+    *
+    * Scale shape: the distinct (source, hash) projection is one
+    * partial-agg'd scan (only 60-bit hashes shuffle); the pair join is a
+    * hash-equality join on the shingle hash whose output is bounded by
+    * shared hashes × co-occurring source pairs — never documents², and no
+    * text moves after the first scan.
+    */
+  def d32SourceOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.GraftFunctions.h60
+    val t = col("t")
+    val grams = when(size(t) >= 5,
+      transform(sequence(lit(1), size(t) - 4),
+        i => concat_ws(" ", slice(t, i, lit(5)))))
+      .otherwise(array().cast("array<string>"))
+    val srcHash = table(spark, sfDir, "documents")
+      .select(col("source"), tokens(col("text")).as("t"))
+      .select(col("source"), explode(grams).as("g"))
+      .select(col("source"), h60(col("g")).as("h"))
+      .distinct()
+    srcHash.as("a")
+      .join(srcHash.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+  }
+
   /** d30: CANONICALIZATION dedup — exact dedup (d1) is defeated by
     * formatting noise (case, punctuation, whitespace), the most common
     * near-dup class in scraped corpora; the standard counter is hashing a
