@@ -124,6 +124,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("""PushedFilters: \[[^\]]*[Ii]n\(label""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("q49: null-safe equality plans as a hash join, never a nested loop") {
+    val p = plan("q49_null_safe_join")
+    assert(p.contains("HashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), p)
+  }
+
   test("q39: constant dims broadcast; fact joins shuffle on their keys") {
     val p = plan("q39_tpch_deep")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p) // nation, region
