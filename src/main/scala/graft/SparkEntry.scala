@@ -115,6 +115,7 @@ object SparkEntry {
     "e20_ivf_append" -> ((s, d) => V.e20IvfAppend(s, d)),
     "e21_ivf_delete" -> ((s, d) => V.e21IvfDelete(s, d)),
     "e22_filtered_recall" -> ((s, d) => V.e22FilteredRecall(s, d)),
+    "e23_ivf_compact" -> ((s, d) => V.e23IvfCompact(s, d)),
     "d31_containment" -> ((s, d) => D.d31Containment(s, d)),
     "e12_quant_recall" -> ((s, d) => V.e12QuantRecall(s, d)),
     "e13_pq_refine" -> ((s, d) => V.e13PqRefine(s, d)),
@@ -512,6 +513,8 @@ object SparkEntry {
     // base-build ∪ appended-batch index must serve exactly what a full
     // rebuild serves; reusing the oracle text IS the append≡rebuild claim
     "e20_ivf_append" -> e18OracleSql,
+    // e23: e18's SQL a third time — compaction must be invisible to results
+    "e23_ivf_compact" -> e18OracleSql,
     "e21_ivf_delete" -> e21OracleSql,
     "e22_filtered_recall" -> e22OracleSql,
     "d31_containment" -> d31OracleSql,

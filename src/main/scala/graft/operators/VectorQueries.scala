@@ -712,6 +712,81 @@ object VectorQueries {
     affected
   }
 
+  /** Compact every inverted-list bin holding more than `maxFiles` data
+    * files down to one file per bin — the c3 sweep at index granularity,
+    * the maintenance pass that keeps e20's append-accreted small files
+    * from degrading scan efficiency. The planner is a driver-side dir
+    * listing (bounded by bin count); the rewrite reads ONLY the fragmented
+    * bins (partition-pruned) and lands one file per bin (`repartition` on
+    * the partition column ⇒ one writer task's output per bin, the
+    * scd2WriteTable layout rule). Bins at or under the threshold keep
+    * their files (pinned in `PipelineQueriesSpec`). Returns compacted bins.
+    */
+  def compactIvfIndex(spark: SparkSession, indexPath: String,
+      maxFiles: Int = 1): Seq[Int] = {
+    val root = new java.io.File(indexPath.stripPrefix("file:"))
+    val frag = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
+      .filter(_.listFiles().count(f => f.isFile &&
+        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getName.stripPrefix("centroid_id=").toInt)
+      .toSeq.sorted
+    if (frag.isEmpty) return Nil
+    val kept = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .filter(col("centroid_id").cast("int").isin(frag: _*))
+      .select(col("vec_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val conf = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.get(conf, "static")
+    spark.conf.set(conf, "dynamic")
+    try kept.repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
+    finally spark.conf.set(conf, prev)
+    frag
+  }
+
+  /** e23: INDEX COMPACTION in the gate — e20's append pattern run three
+    * ways (the corpus lands in three chunks, so every bin accretes ~3
+    * small files), then [[compactIvfIndex]] collapses each fragmented bin
+    * to one file, then e18's serving runs over the compacted lists. The
+    * oracle is e18's full-corpus SQL for the THIRD time — persist (e18),
+    * append (e20), and now compact must each be invisible to query
+    * results; hash equality is the compaction-lost-nothing proof, and the
+    * one-file-per-bin physical outcome is spec-pinned.
+    */
+  def e23IvfCompact(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val dir = new java.io.File(
+      s"target/parity/ivf-cindex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    (0 to 2).foreach { r =>
+      assignToCentroids(spark, sfDir,
+          emb.filter(pmod(col("vec_id"), lit(3)) === r))
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .partitionBy("centroid_id").parquet(s"file:$dir")
+    }
+    compactIvfIndex(spark, s"file:$dir", maxFiles = 1)
+
+    val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** e21: INDEX DELETE — the takedown half of index maintenance (e20 adds,
     * this removes): a doomed-id list (content takedown / right-to-erasure,
     * the u2 scenario at index granularity) is removed from the persisted

@@ -156,6 +156,50 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(left == binOf.keySet -- doomedIds)
   }
 
+  test("e23: compaction collapses fragmented bins to one file, keeps content and calm bins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cidx").toString
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    // fragment every bin with a 3-chunk append build
+    (0 to 2).foreach { r =>
+      VectorQueries.assignToCentroids(spark, sfDir,
+          emb.filter(pmod(col("vec_id"), lit(3)) === r))
+        .write.mode(if (r == 0) "overwrite" else "append")
+        .partitionBy("centroid_id").parquet(s"file:$dir")
+    }
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map { b =>
+          b.getName -> b.listFiles().filter(f => f.isFile &&
+            f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = files()
+    assert(before.values.exists(_.size > 1), before.view.mapValues(_.size).toMap)
+    val beforeContent = spark.read.parquet(s"file:$dir")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // threshold = the smallest bin's file count: bins above it compact,
+    // the smallest stays calm (if all bins tie, lower it so compaction
+    // still actually runs — the calm-bin pin is then vacuous, not wrong)
+    val counts = before.values.map(_.size)
+    val threshold =
+      if (counts.toSet.size == 1) counts.min - 1 else counts.min
+    val compacted = VectorQueries.compactIvfIndex(
+      spark, s"file:$dir", maxFiles = threshold)
+    assert(compacted.nonEmpty, before.view.mapValues(_.size).toMap)
+    val after = files()
+    // compacted bins collapse to one file; calm bins keep their exact files
+    compacted.foreach { b => assert(after(s"centroid_id=$b").size == 1, b) }
+    before.keys.filterNot(b =>
+        compacted.map(i => s"centroid_id=$i").toSet.contains(b))
+      .foreach { b => assert(after(b) == before(b), s"calm $b changed") }
+    // content survives byte-for-byte (same vec_id set, same count)
+    val afterContent = spark.read.parquet(s"file:$dir")
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(afterContent.toSet == beforeContent &&
+      afterContent.length == beforeContent.size)
+  }
+
   test("q36: engine EWMA equals a driver-side sequential fold") {
     def micros(t: java.sql.Timestamp): Long =
       Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
