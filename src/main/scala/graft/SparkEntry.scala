@@ -152,6 +152,7 @@ object SparkEntry {
     "q49_null_safe_join" -> (R.q49NullSafeJoin _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "d32_source_overlap" -> (T.d32SourceOverlap _),
+    "d33_split_assign" -> (T.d33SplitAssign _),
     "q41_datetime" -> (R.q41Datetime _),
     "q42_percentile" -> (R.q42Percentile _),
     "q43_variant" -> (R.q43Variant _),
@@ -1105,6 +1106,19 @@ object SparkEntry {
         |  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |        ROWS UNBOUNDED PRECEDING) AS last_seen_price
         |FROM base""".stripMargin,
+    // d33: the h60 bucket partitioned into 80/10/10 ranges — the split
+    // must be a function of the document's own bytes alone
+    "d33_split_assign" ->
+      """WITH s AS (
+        | SELECT source, doc_id,
+        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
+        |       THEN 'train'
+        |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90
+        |       THEN 'valid' ELSE 'test' END AS split
+        | FROM documents)
+        |SELECT source, split, count(*) AS n_docs,
+        | CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM s GROUP BY source, split""".stripMargin,
     "d18_hash_sample" ->
       """SELECT source, count(*) AS total,
         | CAST(sum(CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 5

@@ -165,6 +165,30 @@ object TextQueries {
         sum(when(col("b") < 20, 1L).otherwise(0L)).as("sampled_20pct"))
   }
 
+  /** d33: DETERMINISTIC three-way corpus split — every document lands in
+    * exactly one of train/valid/test (80/10/10) by the range its 60-bit
+    * content hash falls in: the split a training run must be able to
+    * reproduce byte-identically across reruns, engines, partitionings, and
+    * corpus growth (a new document never moves an old one between splits —
+    * assignment depends only on the document's own bytes, d18's systematic-
+    * sampling property extended to a partition of the corpus). Per
+    * source × split: count plus an id checksum, so the oracle fails if even
+    * one document lands differently.
+    *
+    * Scale shape: one row-local codegen'd hash per document, then a
+    * partial-agg'd count — no shuffle carries anything but
+    * (source, split, partial aggregates).
+    */
+  def d33SplitAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = pmod(graft.functions.GraftFunctions.h60(col("text")), lit(100L))
+    table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_ids"))
+  }
+
   /** d6: token-frequency corpus profile — the word-count of training-data
     * engineering: explode to tokens, count, keep the head. Shuffle carries
     * (token, partial count) pairs thanks to map-side partial aggregation.
