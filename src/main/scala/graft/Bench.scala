@@ -9,8 +9,42 @@ import org.apache.spark.sql.SparkSession
   * Materialization is via the `noop` sink, not `count()` — count lets column
   * pruning drop most of the work for projection-style queries; noop computes
   * every output column like a real consumer.
+  *
+  * FLAP DETECTION: this host's throughput transiently collapses 10-30x with
+  * CPU idle (documented in round 8 — the recorded r8 total was 5.8x the
+  * steady-state re-runs of the same binary). A wall-clock bench on such a
+  * host must prove its own numbers. Mechanism: a fixed CANARY job (task
+  * dispatch + small-file create/list/read/delete — the syscall-shaped work
+  * the flap hits hardest) runs 3x up front; the minimum is the host's
+  * steady-state norm. Queries then run in small segments, each followed by
+  * a canary probe. A probe exceeding FlapFactor x norm means the segment's
+  * wall times are untrustworthy: the whole segment re-runs (up to
+  * MaxAttempts), keeping each query's MINIMUM across attempts — a flap only
+  * ever inflates wall time, so min-of-reps converges on the steady number.
+  * The emitted JSON carries the canary norm, the worst probe, and the retry
+  * count, so a reader can audit whether the run was clean.
   */
 object Bench {
+
+  private val SegmentSize = 8
+  private val FlapFactor = 3.0
+  private val MaxAttempts = 3
+
+  /** Syscall-heavy fixed workload: 48 tasks each writing one small parquet
+    * file, then list + read-back + delete. ~0.3s steady; an order of
+    * magnitude slower under the flap (which hits file ops and task dispatch,
+    * not arithmetic).
+    */
+  private def canary(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val dir = "target/bench-canary"
+    spark.range(0, 48, 1, 48).write.mode("overwrite").parquet(dir)
+    require(spark.read.parquet(dir).count() == 48, "canary lost rows")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -27,22 +61,61 @@ object Bench {
       org.apache.spark.sql.Encoders.scalaLong)
     spark.range(1000).groupBy(col("id") % 10).agg(warmAgg(col("id")))
       .write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+
+    val norm = (1 to 3).map(_ => canary(spark)).min
+    System.err.println(f"[bench] canary norm ${norm}%.3fs")
+    var worstProbe = norm
+    var flapRetries = 0
+    var residualFlap = false
+
+    def runOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         e.printStackTrace()
       }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name ${sec}%.2fs")
-      name -> sec
+      (System.nanoTime() - t0) / 1e9
     }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .grouped(SegmentSize).flatMap { segment =>
+        var best = Map.empty[String, Double]
+        var attempt = 0
+        var clean = false
+        while (!clean && attempt < MaxAttempts) {
+          attempt += 1
+          segment.foreach { case (name, fn) =>
+            val sec = runOnce(name, fn)
+            best = best.updated(name,
+              math.min(sec, best.getOrElse(name, Double.MaxValue)))
+          }
+          val probe = canary(spark)
+          worstProbe = math.max(worstProbe, probe)
+          clean = probe <= FlapFactor * norm
+          if (!clean) {
+            flapRetries += 1
+            System.err.println(f"[bench] canary probe ${probe}%.3fs > " +
+              f"${FlapFactor}x norm after ${segment.head._1}..${segment.last._1}" +
+              f" — host flapping, re-running segment (attempt $attempt)")
+            if (attempt == MaxAttempts) residualFlap = true
+          }
+        }
+        segment.map { case (name, _) =>
+          val sec = best(name)
+          System.err.println(f"[bench] $name ${sec}%.2fs")
+          name -> sec
+        }
+      }.toSeq
+
     val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val flap = f""""canary_norm":$norm%.3f,"canary_worst":$worstProbe%.3f,""" +
+      s""""flap_retries":$flapRetries,"flap_residual":$residualFlap"""
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$flap}"""
     // Single output path (run/outputStrategy := StdoutOutput keeps println
     // un-prefixed under sbt): the full contract line first, a durable copy
     // at target/bench.json, and a SHORT parseable line LAST so tail-capture
@@ -51,7 +124,7 @@ object Bench {
     val benchFile = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(benchFile.getParent)
     java.nio.file.Files.writeString(benchFile, json + "\n")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},"detail":"target/bench.json"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir","nqueries":${results.size},$flap,"detail":"target/bench.json"}""")
     spark.stop()
   }
 }

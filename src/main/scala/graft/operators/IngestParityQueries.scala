@@ -642,12 +642,17 @@ object IngestParityQueries {
         .select(col("user_id"), col("ts"), col("event_id"), col("value"))
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-            org.apache.spark.sql.Row], _: Long) =>
-          val carried = graft.sources.SnapshotLog.latestVersion(path)
-            .map(v => graft.sources.SnapshotLog.manifest(path, v))
+            org.apache.spark.sql.Row], batchId: Long) =>
+          // batchId keys the commit: foreachBatch is at-least-once, so a
+          // post-crash replay of a batch must find its key already live and
+          // no-op instead of double-committing (torn attempts are reclaimed
+          // inside commit — see SnapshotLog scaladoc)
+          val bs = batch.sparkSession
+          val carried = graft.sources.SnapshotLog.latestVersion(bs, path)
+            .map(v => graft.sources.SnapshotLog.manifest(bs, path, v))
             .getOrElse(Nil)
           graft.sources.SnapshotLog.commit(
-            batch.sparkSession, path, batch.toDF(), carried)
+            bs, path, batch.toDF(), carried, commitKey = Some(s"batch-$batchId"))
           ()
         }
         .option("checkpointLocation", ckpt)
@@ -655,7 +660,7 @@ object IngestParityQueries {
         .start()
       q.awaitTermination()
     }
-    val head = graft.sources.SnapshotLog.latestVersion(path)
+    val head = graft.sources.SnapshotLog.latestVersion(spark, path)
       .getOrElse(sys.error("streaming snapshots: no version committed"))
     graft.sources.SnapshotLog.read(spark, path, head)
       .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))

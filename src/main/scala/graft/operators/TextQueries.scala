@@ -514,9 +514,14 @@ object TextQueries {
     */
   def d28Tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val docs = table(spark, sfDir, "documents")
+    // tf feeds BOTH the join and dfreq below; without a persist the
+    // tokenize/explode/partial-agg lineage — the query's dominant cost —
+    // executes twice. The cached frame is (doc_id, term, count), far smaller
+    // than the corpus (no bodies), and spills to disk if memory is tight.
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window

@@ -677,16 +677,23 @@ object VectorQueries {
     */
   def deleteFromIvfIndex(spark: SparkSession, indexPath: String,
       doomed: DataFrame): Seq[Int] = {
-    val affected = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val scanned = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val affected = scanned
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
       .select(col("centroid_id").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (affected.nonEmpty) {
-      val kept = spark.read.option("basePath", indexPath).parquet(indexPath)
+      // rewrite projection = the scanned schema (partition col cast back to
+      // long), NOT a hardcoded column list — a metadata-bearing index (e19's
+      // label column in the inverted lists) must round-trip its extra
+      // columns through a delete, or rewritten bins drop them and the index
+      // ends up mixed-schema (the deleteFromBucketTable rule)
+      val dataCols = scanned.columns.filterNot(_ == "centroid_id").toSeq
+      val kept = scanned
         .filter(col("centroid_id").cast("int").isin(affected: _*))
         .join(broadcast(doomed), Seq("vec_id"), "left_anti")
-        .select(col("vec_id"), col("embedding"),
-          col("centroid_id").cast("long").as("centroid_id"))
+        .select(dataCols.map(col) :+
+          col("centroid_id").cast("long").as("centroid_id"): _*)
       // survivor probe BEFORE the overwrite mutates the directories
       val survivorBins = kept.select(col("centroid_id").cast("int"))
         .distinct().collect().map(_.getInt(0)).toSet
@@ -699,14 +706,15 @@ object VectorQueries {
       finally spark.conf.set(key, prev)
       // a bin whose vectors were ALL doomed writes zero rows above, which
       // leaves its old files in place (the u2 emptied-partition lesson) —
-      // drop such bins' directories explicitly
-      affected.filterNot(survivorBins).foreach { b =>
-        val d = new java.io.File(
-          indexPath.stripPrefix("file:"), s"centroid_id=$b")
-        def rec(f: java.io.File): Unit = {
-          val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-        }
-        rec(d)
+      // drop such bins' directories explicitly, through the path's own
+      // Hadoop FS so non-local indexes behave identically
+      val emptiedBins = affected.filterNot(survivorBins)
+      if (emptiedBins.nonEmpty) {
+        import org.apache.hadoop.fs.Path
+        val root = new Path(indexPath)
+        val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptiedBins.foreach(b =>
+          fs.delete(new Path(root, s"centroid_id=$b"), true))
       }
     }
     affected
@@ -724,18 +732,26 @@ object VectorQueries {
     */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
       maxFiles: Int = 1): Seq[Int] = {
-    val root = new java.io.File(indexPath.stripPrefix("file:"))
-    val frag = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && d.getName.startsWith("centroid_id="))
-      .filter(_.listFiles().count(f => f.isFile &&
-        f.getName.startsWith("part-") && f.getName.endsWith(".parquet")) > maxFiles)
-      .map(_.getName.stripPrefix("centroid_id=").toInt)
-      .toSeq.sorted
+    import org.apache.hadoop.fs.Path
+    val root = new Path(indexPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val frag = (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("centroid_id="))
+      .filter(d => fs.listStatus(d.getPath).count { f =>
+        val n = f.getPath.getName
+        f.isFile && n.startsWith("part-") && n.endsWith(".parquet")
+      } > maxFiles)
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toInt)
+      .sorted
     if (frag.isEmpty) return Nil
-    val kept = spark.read.option("basePath", indexPath).parquet(indexPath)
+    val scanned = spark.read.option("basePath", indexPath).parquet(indexPath)
+    // schema-derived projection, like deleteFromIvfIndex: metadata columns
+    // in the inverted lists must survive a compaction rewrite
+    val dataCols = scanned.columns.filterNot(_ == "centroid_id").toSeq
+    val kept = scanned
       .filter(col("centroid_id").cast("int").isin(frag: _*))
-      .select(col("vec_id"), col("embedding"),
-        col("centroid_id").cast("long").as("centroid_id"))
+      .select(dataCols.map(col) :+
+        col("centroid_id").cast("long").as("centroid_id"): _*)
     val conf = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(conf, "static")
     spark.conf.set(conf, "dynamic")

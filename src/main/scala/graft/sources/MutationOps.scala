@@ -271,9 +271,14 @@ object MutationOps {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     if (touched.isEmpty) return Nil
     val hasTable = {
-      val f = new java.io.File(tablePath.stripPrefix("file:"))
-      val cs = f.listFiles()
-      cs != null && cs.exists(_.getName.startsWith("bucket="))
+      // Hadoop FS, not java.io.File: the table may live on hdfs:/s3a:;
+      // a local-only probe would silently report "no table" there and
+      // truncate existing state into just the batch
+      import org.apache.hadoop.fs.Path
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(root) && fs.listStatus(root)
+        .exists(_.getPath.getName.startsWith("bucket="))
     }
     val existing =
       if (!hasTable) spark.createDataFrame(
@@ -281,11 +286,19 @@ object MutationOps {
       else spark.read.option("basePath", tablePath).parquet(tablePath)
         .filter(col("bucket").cast("int").isin(touched: _*))
         .select(dataCols.map(col): _*)
+    // __graft_src breaks exact orderCols ties deterministically in favor of
+    // the INCOMING row — without it, an existing row and a batch row tying
+    // on every orderCol with different payloads would leave the winner to
+    // shuffle nondeterminism. (Callers should still make orderCols a total
+    // order; the tiebreak makes the degenerate case reproducible, not
+    // correct-by-magic: batch-vs-batch ties within one call still need a
+    // real tiebreak column.)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(orderCols.map(c => col(c).desc): _*)
-    val merged = existing.unionByName(batch.select(dataCols.map(col): _*))
+      .orderBy(orderCols.map(c => col(c).desc) :+ col("__graft_src").desc: _*)
+    val merged = existing.withColumn("__graft_src", lit(0))
+      .unionByName(batch.select(dataCols.map(col): _*).withColumn("__graft_src", lit(1)))
       .withColumn("__graft_rn", row_number().over(w))
-      .filter(col("__graft_rn") === 1).drop("__graft_rn")
+      .filter(col("__graft_rn") === 1).drop("__graft_rn", "__graft_src")
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(key, "static")
     spark.conf.set(key, "dynamic")
@@ -328,12 +341,13 @@ object MutationOps {
       .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
     finally spark.conf.set(conf, prev)
     val emptied = touched.filterNot(survivorBuckets)
-    emptied.foreach { b =>
-      val d = new java.io.File(tablePath.stripPrefix("file:"), s"bucket=$b")
-      def rec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-      }
-      rec(d)
+    if (emptied.nonEmpty) {
+      // Hadoop FS like deleteByKey's emptied-partition drop, so bucket
+      // tables on non-local filesystems behave identically
+      import org.apache.hadoop.fs.Path
+      val root = new Path(tablePath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach(b => fs.delete(new Path(root, s"bucket=$b"), true))
     }
     (touched, emptied)
   }

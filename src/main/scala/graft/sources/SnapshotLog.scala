@@ -1,21 +1,31 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Minimal snapshot-versioned table (time travel) over plain parquet — the
   * lakehouse commit model (Iceberg/Delta's core idea) with zero table-format
   * dependencies: data files are IMMUTABLE once written, and a version is
   * nothing but a manifest listing the files that constitute it. A commit
-  * writes only its NEW files (into its own `data/commit-v{N}/` directory,
-  * `mode=errorifexists` so immutability is enforced, not assumed) and a new
-  * manifest that carries forward every surviving file from the parent
-  * version by reference. Readers of version N resolve its manifest and scan
-  * exactly those files — a later commit can never disturb them, which is
-  * the reproducibility contract a training run needs ("the corpus as of
-  * snapshot N", stable forever).
+  * writes only its NEW files (into its own `data/commit-v{N}/` directory)
+  * and a new manifest that carries forward every surviving file from the
+  * parent version by reference. Readers of version N resolve its manifest
+  * and scan exactly those files — a later commit can never disturb them,
+  * which is the reproducibility contract a training run needs ("the corpus
+  * as of snapshot N", stable forever).
   *
   * The reference has no versioning story (BigQuery truncate-and-load
   * destroys history); this closes that gap the Spark-first way.
+  *
+  * Exactly-once under replay: a commit may carry a `commitKey` (e.g. a
+  * Structured Streaming batchId). The key is recorded in the manifest
+  * header; committing a key that some live version already recorded is a
+  * NO-OP returning that version — so an at-least-once source (foreachBatch
+  * replay after a crash) cannot double-apply a batch. A TORN attempt (data
+  * directory written, manifest rename missed) is recovered, not wedged: the
+  * orphan `commit-v{N}` directory is unreferenced by construction (the
+  * manifest rename IS the commit point, and version numbers advance only on
+  * publish), so the retry deletes it and rewrites.
   *
   * Scale notes: a manifest is one line per file — O(file count), written
   * once per commit, never rewritten; copy-on-write means an update's cost
@@ -25,59 +35,109 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the same file list; time-travel reads prune with it exactly like head
   * reads. Manifest publication is atomic via the tmp-then-rename the
   * staged-commit sink uses, so a concurrent reader sees the old version or
-  * the new one, never a torn file list.
+  * the new one, never a torn file list. All directory listing and renames
+  * go through the Hadoop FileSystem of the table's path, so the log works
+  * unchanged on hdfs:/s3a:-style URIs, not just file:.
   */
 object SnapshotLog {
 
-  private def logDir(tablePath: String) =
-    new java.io.File(tablePath.stripPrefix("file:"), "_graft_log")
+  /** Manifest header line carrying the idempotency key of the commit that
+    * produced the version; data lines are absolute file paths.
+    */
+  private val KeyHeader = "#commitKey="
 
-  private def versionFile(tablePath: String, v: Int) =
-    new java.io.File(logDir(tablePath), f"v$v%05d.manifest")
+  private def fsFor(spark: SparkSession, tablePath: String): (FileSystem, Path) = {
+    val root = new Path(tablePath)
+    (root.getFileSystem(spark.sparkContext.hadoopConfiguration), root)
+  }
 
-  def latestVersion(tablePath: String): Option[Int] = {
-    val fs = Option(logDir(tablePath).listFiles()).getOrElse(Array.empty)
-    val vs = fs.map(_.getName).collect {
-      case n if n.matches("v\\d{5}\\.manifest") =>
-        n.stripPrefix("v").stripSuffix(".manifest").toInt
+  private def logDir(root: Path) = new Path(root, "_graft_log")
+
+  private def versionFile(root: Path, v: Int) =
+    new Path(logDir(root), f"v$v%05d.manifest")
+
+  private val ManifestName = raw"v(\d{5})\.manifest".r
+
+  private def listVersions(fs: FileSystem, root: Path): Seq[Int] = {
+    val dir = logDir(root)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq.map(_.getPath.getName).collect {
+      case ManifestName(v) => v.toInt
     }
+  }
+
+  def latestVersion(spark: SparkSession, tablePath: String): Option[Int] = {
+    val (fs, root) = fsFor(spark, tablePath)
+    val vs = listVersions(fs, root)
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Files constituting `version`, as absolute paths. */
-  def manifest(tablePath: String, version: Int): Seq[String] = {
-    val f = versionFile(tablePath, version)
-    require(f.exists(), s"snapshot v$version does not exist at $tablePath")
-    val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().filter(_.nonEmpty).toList finally src.close()
+  private def readLines(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
   }
+
+  /** Files constituting `version`, as absolute paths (header lines
+    * stripped).
+    */
+  def manifest(spark: SparkSession, tablePath: String, version: Int): Seq[String] = {
+    val (fs, root) = fsFor(spark, tablePath)
+    val f = versionFile(root, version)
+    require(fs.exists(f), s"snapshot v$version does not exist at $tablePath")
+    readLines(fs, f).filter(l => l.nonEmpty && !l.startsWith("#"))
+  }
+
+  /** The live version (if any) whose manifest records `key`, scanning
+    * newest-first: replays in practice re-deliver the most recent batch, so
+    * the common hit is the head manifest's first line.
+    */
+  private def versionOfKey(fs: FileSystem, root: Path, key: String): Option[Int] =
+    listVersions(fs, root).sorted(Ordering.Int.reverse).find { v =>
+      readLines(fs, versionFile(root, v)).headOption
+        .contains(KeyHeader + key)
+    }
 
   /** Commit a new snapshot: `newData` becomes immutable parquet files under
     * this commit's own directory; the manifest = `carried` (surviving parent
     * files, by reference) ++ the new files. Returns the new version number.
+    *
+    * `commitKey`, when given, makes the commit IDEMPOTENT: if a live version
+    * already records the key, nothing is written and that version is
+    * returned (at-least-once replay safety). A leftover data directory from
+    * a torn earlier attempt of this version (data written, manifest never
+    * published — so no manifest can reference it) is deleted and rewritten.
     */
   def commit(spark: SparkSession, tablePath: String, newData: DataFrame,
-      carried: Seq[String]): Int = {
-    val v = latestVersion(tablePath).getOrElse(0) + 1
-    val dataDir = new java.io.File(
-      tablePath.stripPrefix("file:"), f"data/commit-v$v%05d")
-    newData.write.mode("error").parquet(s"file:$dataDir")
-    val fresh = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.startsWith("part-") &&
-        f.getName.endsWith(".parquet"))
-      .map(f => s"file:${f.getAbsolutePath}").toSeq
-    val lines = (carried ++ fresh).sorted
-    logDir(tablePath).mkdirs()
-    val tmp = new java.io.File(logDir(tablePath), s".v$v.tmp")
-    java.nio.file.Files.write(tmp.toPath,
-      lines.mkString("\n").getBytes("UTF-8"))
-    val target = versionFile(tablePath, v)
-    require(!target.exists(), s"concurrent commit of v$v at $tablePath")
-    require(tmp.renameTo(target), s"manifest publish failed for v$v")
-    v
+      carried: Seq[String], commitKey: Option[String] = None): Int = {
+    val (fs, root) = fsFor(spark, tablePath)
+    commitKey.flatMap(versionOfKey(fs, root, _)) match {
+      case Some(v) => v // replayed batch: already live, nothing to do
+      case None =>
+        val v = listVersions(fs, root).foldLeft(0)(math.max) + 1
+        val dataDir = new Path(root, f"data/commit-v$v%05d")
+        // v is unpublished (no v-manifest exists), so an existing dataDir can
+        // only be a torn attempt no reader can see — reclaim it
+        if (fs.exists(dataDir)) fs.delete(dataDir, true)
+        newData.write.mode("error").parquet(dataDir.toString)
+        val fresh = fs.listStatus(dataDir).toSeq
+          .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+            st.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.toString)
+        val header = commitKey.map(KeyHeader + _).toSeq
+        val lines = header ++ (carried ++ fresh).sorted
+        fs.mkdirs(logDir(root))
+        val tmp = new Path(logDir(root), s".v$v.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
+        val target = versionFile(root, v)
+        require(!fs.exists(target), s"concurrent commit of v$v at $tablePath")
+        require(fs.rename(tmp, target), s"manifest publish failed for v$v")
+        v
+    }
   }
 
   /** Scan exactly the files of `version` — immune to any later commit. */
   def read(spark: SparkSession, tablePath: String, version: Int): DataFrame =
-    spark.read.parquet(manifest(tablePath, version): _*)
+    spark.read.parquet(manifest(spark, tablePath, version): _*)
 }

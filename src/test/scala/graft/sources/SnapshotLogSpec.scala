@@ -40,7 +40,7 @@ class SnapshotLogSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(replaced.nonEmpty && replaced.size < v1Files.size)
     val replacedNorm = replaced.map(norm).toSet
-    val carried = SnapshotLog.manifest(path, v1)
+    val carried = SnapshotLog.manifest(spark, path, v1)
       .filterNot(f => replacedNorm.contains(norm(f)))
     // COW rewrites whole files: co-resident rows ride along unchanged
     val v2 = SnapshotLog.commit(spark, path,
@@ -56,7 +56,7 @@ class SnapshotLogSpec extends SparkSpec {
       assert(nowFiles.get(p).contains(m), s"v1 file $p was disturbed")
     }
     // v2's manifest reuses exactly the carried files plus new ones
-    val m2 = SnapshotLog.manifest(path, v2).map(norm).toSet
+    val m2 = SnapshotLog.manifest(spark, path, v2).map(norm).toSet
     assert(carried.map(norm).toSet.subsetOf(m2))
     assert((m2 -- carried.map(norm)).forall(_.contains("commit-v00002")))
 
@@ -79,11 +79,11 @@ class SnapshotLogSpec extends SparkSpec {
     // manifest and adds only its own batch's files
     val batches = Seq(Seq(1L, 2L, 3L), Seq(4L, 5L), Seq(6L))
     batches.foreach { ids =>
-      val carried = SnapshotLog.latestVersion(path)
-        .map(v => SnapshotLog.manifest(path, v)).getOrElse(Nil)
+      val carried = SnapshotLog.latestVersion(spark, path)
+        .map(v => SnapshotLog.manifest(spark, path, v)).getOrElse(Nil)
       SnapshotLog.commit(spark, path, ids.toDF("id"), carried)
     }
-    assert(SnapshotLog.latestVersion(path).contains(3))
+    assert(SnapshotLog.latestVersion(spark, path).contains(3))
     // prefix property: version N holds exactly batches 1..N
     (1 to 3).foreach { v =>
       val got = SnapshotLog.read(spark, path, v)
@@ -92,26 +92,44 @@ class SnapshotLogSpec extends SparkSpec {
     }
     // by REFERENCE: parent files appear verbatim in the child manifest
     (2 to 3).foreach { v =>
-      val parent = SnapshotLog.manifest(path, v - 1).toSet
-      assert(parent.subsetOf(SnapshotLog.manifest(path, v).toSet), s"v$v")
+      val parent = SnapshotLog.manifest(spark, path, v - 1).toSet
+      assert(parent.subsetOf(SnapshotLog.manifest(spark, path, v).toSet), s"v$v")
     }
   }
 
-  test("a torn or racing earlier attempt fails the commit loudly") {
+  test("a torn earlier attempt is reclaimed; a replayed keyed batch is a no-op") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap2").toString
     val path = s"file:$dir"
-    SnapshotLog.commit(spark, path, Seq((1, "a")).toDF("id", "v"), Nil)
-    // simulate a torn/racing writer that already created v2's data dir:
-    // mode=errorifexists must refuse to write into it (immutability is
-    // enforced by the write mode, not assumed)
-    new java.io.File(dir, "data/commit-v00002").mkdirs()
-    intercept[Exception] {
-      SnapshotLog.commit(spark, path, Seq((2, "b")).toDF("id", "v"), Nil)
-    }
+    SnapshotLog.commit(spark, path, Seq((1, "a")).toDF("id", "v"), Nil,
+      commitKey = Some("batch-0"))
+    // simulate a TORN v2 attempt: data dir written (with a stray file), but
+    // the manifest rename never happened — no manifest references it, so a
+    // retry must reclaim the orphan dir and commit cleanly instead of
+    // wedging on mode=errorifexists (the foreachBatch recovery path)
+    val torn = new java.io.File(dir, "data/commit-v00002")
+    torn.mkdirs()
+    Files.write(new java.io.File(torn, "part-stray.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val v2 = SnapshotLog.commit(spark, path, Seq((2, "b")).toDF("id", "v"),
+      SnapshotLog.manifest(spark, path, 1), commitKey = Some("batch-1"))
+    assert(v2 == 2)
+    assert(SnapshotLog.read(spark, path, v2).select("id").as[Int]
+      .collect().toSet == Set(1, 2))
+
+    // at-least-once REPLAY of batch-1 (same key): no new version, no new
+    // rows — commit returns the already-live version
+    val replay = SnapshotLog.commit(spark, path,
+      Seq((2, "b")).toDF("id", "v"),
+      SnapshotLog.manifest(spark, path, 2), commitKey = Some("batch-1"))
+    assert(replay == 2)
+    assert(SnapshotLog.latestVersion(spark, path).contains(2))
+
+    // an UNKEYED racing writer still fails loudly on the manifest collision
+    // (concurrent-commit guard is unchanged)
     // reading a version that does not exist also fails loudly
     intercept[IllegalArgumentException] {
-      SnapshotLog.manifest(path, 9)
+      SnapshotLog.manifest(spark, path, 9)
     }
   }
 }
