@@ -15,6 +15,33 @@ object GraftSession {
     graft.plans.AsOfJoin.install(ext)
   }
 
+  /** Log levels `SparkContext.setLogLevel` accepts. */
+  private val ValidLogLevels =
+    Set("ALL", "TRACE", "DEBUG", "INFO", "WARN", "ERROR", "FATAL", "OFF")
+
+  /** Normalize a `GRAFT_LOG_LEVEL` value; a typo fails loudly instead of
+    * silently leaving the default level (the reference's env-driven log
+    * config, `/root/reference/ingestion/config.py:8-18`, which feeds
+    * `LOG_LEVEL` straight to the logging module the same way).
+    */
+  private[graft] def parseLogLevel(raw: String): String = {
+    val lv = raw.trim.toUpperCase(java.util.Locale.ROOT)
+    require(ValidLogLevels(lv),
+      s"GRAFT_LOG_LEVEL '$raw' is not one of ${ValidLogLevels.toSeq.sorted.mkString(", ")}")
+    lv
+  }
+
+  /** Apply `GRAFT_LOG_LEVEL` (if set) to a RUNNING context — the builder
+    * path below covers fresh contexts via the `spark.log.level` conf, but a
+    * session obtained from an already-initialized JVM needs the setter.
+    * Returns the applied level.
+    */
+  def applyEnvLogLevel(sc: org.apache.spark.SparkContext,
+      env: Map[String, String] = sys.env): Option[String] =
+    env.get("GRAFT_LOG_LEVEL").map(parseLogLevel).map { lv =>
+      sc.setLogLevel(lv); lv
+    }
+
   /** Local session builder with the engine's defaults (UTC, AQE on by Spark
     * default, shuffle partitions sized to cores — not the 200 default, which
     * at local scale just makes 168 empty tasks per exchange).
@@ -35,6 +62,10 @@ object GraftSession {
     // master, not unconditional.
     if (master.startsWith("local"))
       b.config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+    // env-driven log level (reference config.py:8-18): applied by the
+    // context at startup, equivalent to sc.setLogLevel
+    sys.env.get("GRAFT_LOG_LEVEL").foreach(lv =>
+      b.config("spark.log.level", parseLogLevel(lv)))
     b
       // AQE on explicitly (runtime re-plan: shuffle coalescing, skew-join
       // splitting, dynamic broadcast demotion) — the cluster-side answer to

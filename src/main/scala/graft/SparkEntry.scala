@@ -102,6 +102,7 @@ object SparkEntry {
     "q31_salted_join" -> (R.q31SaltedJoin _),
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
+    "m4_container_decode" -> (M.m4ContainerDecode _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
@@ -780,6 +781,19 @@ object SparkEntry {
         |   j -> CAST('0x' || substr(frame_hex, CAST(2*j+1 AS BIGINT), 2) AS BIGINT)
         |        * (j + 1)), 'sum') AS BIGINT) AS checksum
         |FROM cut""".stripMargin,
+    "m4_container_decode" ->
+      """SELECT doc_id,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 58
+        |  ELSE 44 + (doc_id % 4) +
+        |   CASE WHEN (doc_id // 4) % 2 = 1 THEN 14 ELSE 0 END END AS INT) AS n_bytes,
+        | CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS format,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 97
+        |  ELSE 8000 + (doc_id % 8) * 1000 END AS INT) AS width,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id * 7) % 61
+        |  ELSE 8 * (1 + (doc_id // 3) % 3) END AS INT) AS height,
+        | CAST(CASE WHEN doc_id % 2 = 0 THEN 3
+        |  ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels
+        |FROM documents""".stripMargin,
     "st1_streaming_hourly" ->
       """WITH scoped AS (
         | SELECT ts FROM events WHERE day(ts) < 10)

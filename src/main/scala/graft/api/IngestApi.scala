@@ -56,8 +56,14 @@ final class IngestApi(spark: SparkSession, runner: JobRunner, cfg: IngestConfig,
           respond(ex, 200, if (exists) "1" else "0")
         case ("PUT", Ingest(p)) =>
           val hour = resolve(p)
-          val meta = runner.assemble(cfg, hour)
-          val state = runner.start(cfg, meta)
+          // per-request job_configuration passthrough (reference
+          // app.py:29-33): the PUT body may swap the load config for this
+          // one job; absent/empty body = the endpoint's base config
+          val body = new String(ex.getRequestBody.readAllBytes(),
+            StandardCharsets.UTF_8)
+          val reqCfg = JobConfiguration.applyOverrides(cfg, body)
+          val meta = runner.assemble(reqCfg, hour)
+          val state = runner.start(reqCfg, meta)
           respond(ex, 201, loadJobJson(meta.jobId, state, None))
         case ("GET", Status(jobId)) =>
           runner.poll(jobId) match {

@@ -31,4 +31,62 @@ class MultimodalOpsSpec extends SparkSpec {
       .map(f => f.doc_id -> f).toMap
     assert(byId == again)
   }
+
+  test("HeaderDecoder parses hand-laid BMP and WAV bytes (not fixture echo)") {
+    // BMP: 14-byte file header, BITMAPINFOHEADER with width=640 (0x280),
+    // height=-480 (top-down; int32 LE f.. ), 32bpp — every byte written by
+    // hand here, independent of the syntheticBmp builder
+    val bmp = Array[Int](
+      'B', 'M', 0, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0, // file header
+      40, 0, 0, 0,                                   // DIB header size
+      0x80, 0x02, 0, 0,                              // width 640
+      0x20, 0xfe, 0xff, 0xff,                        // height -480 (top-down)
+      1, 0, 32, 0,                                   // planes, 32 bpp
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte)
+    val fb = HeaderDecoder.decode(7L, bmp)
+    assert(fb == MediaFeatures(7L, bmp.length, "image/bmp", 640, 480, 4))
+
+    // WAV: RIFF/WAVE with a LIST chunk (odd size => padded) BEFORE fmt —
+    // 44100 Hz (0xAC44), stereo, 16-bit
+    val wav = (Array[Int]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0, // 3-byte chunk + pad byte
+      'f', 'm', 't', ' ', 16, 0, 0, 0,
+      1, 0,                                        // PCM
+      2, 0,                                        // stereo
+      0x44, 0xAC, 0, 0,                            // 44100
+      0x10, 0xB1, 2, 0,                            // byte rate 176400
+      4, 0,                                        // block align
+      16, 0,                                       // bits
+      'd', 'a', 't', 'a', 0, 0, 0, 0)).map(_.toByte)
+    val fw = HeaderDecoder.decode(8L, wav)
+    assert(fw == MediaFeatures(8L, wav.length, "audio/wav", 44100, 16, 2))
+
+    // corrupt payloads fail loudly, never flow downstream as zeros
+    intercept[IllegalArgumentException] {
+      HeaderDecoder.decode(9L, Array.fill[Byte](60)(0x41))
+    }
+    intercept[IllegalArgumentException] { // RIFF but no fmt chunk
+      HeaderDecoder.decode(10L, "RIFFxxxxWAVE".getBytes("US-ASCII"))
+    }
+  }
+
+  test("m4: synthetic containers decode to their construction parameters") {
+    val feats = m4ContainerDecode(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, r) =>
+      if (id % 2 == 0) {
+        assert(r.getString(2) == "image/bmp")
+        assert(r.getInt(3) == (1 + id % 97).toInt, s"doc $id width")
+        assert(r.getInt(4) == (1 + (id * 7) % 61).toInt, s"doc $id height")
+        assert(r.getInt(5) == 3)
+      } else {
+        assert(r.getString(2) == "audio/wav")
+        assert(r.getInt(3) == (8000 + (id % 8) * 1000).toInt, s"doc $id rate")
+        assert(r.getInt(4) == (8 * (1 + (id / 3) % 3)).toInt, s"doc $id bits")
+        assert(r.getInt(5) == (1 + (id / 2) % 2).toInt, s"doc $id channels")
+      }
+    }
+  }
 }
