@@ -103,6 +103,7 @@ object SparkEntry {
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
     "m4_container_decode" -> (M.m4ContainerDecode _),
+    "d34_bigram_lm" -> (T.d34BigramLm _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
@@ -794,6 +795,33 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 3
         |  ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels
         |FROM documents""".stripMargin,
+    "d34_bigram_lm" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |uni AS (
+        | SELECT token AS w, count(*) AS uc FROM (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents) x GROUP BY 1),
+        |vocab AS (SELECT count(*) AS v FROM uni),
+        |pairs0 AS (
+        | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        | FROM toks WHERE len(t) >= 2),
+        |pairs AS (
+        | SELECT doc_id, t[CAST(i AS INT)] AS prev, t[CAST(i + 1 AS INT)] AS w
+        | FROM pairs0),
+        |big AS (SELECT prev, w, count(*) AS bc FROM pairs GROUP BY 1, 2),
+        |scored AS (
+        | SELECT p.doc_id,
+        |  CAST(CAST(b.bc + 1 AS DOUBLE) / CAST(u.uc + v.v AS DOUBLE)
+        |   AS DECIMAL(20,10)) AS pr
+        | FROM pairs p
+        | JOIN big b ON b.prev = p.prev AND b.w = p.w
+        | JOIN uni u ON u.w = p.prev
+        | CROSS JOIN vocab v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        | CAST(sum(pr) AS DOUBLE) / count(*) AS avg_p
+        |FROM scored GROUP BY doc_id""".stripMargin,
     "st1_streaming_hourly" ->
       """WITH scoped AS (
         | SELECT ts FROM events WHERE day(ts) < 10)

@@ -14,7 +14,9 @@ import java.nio.charset.StandardCharsets
   *  - `GET /partition/last_hour/exists/in-bucket` → `1` / `0`
   *  - `GET /partition/{YYYYMMDDHH}/exists/in-bucket` → `1` / `0`
   *  - `PUT /partition/last_hour/ingest` → 201 `{"job_id":…,"status":{…}}`
-  *  - `PUT /partition/{YYYYMMDDHH}/ingest` → 201 (same shape)
+  *  - `PUT /partition/{YYYYMMDDHH}/ingest` → 201 (same shape); the body's
+  *    `job_configuration` dict swaps the load config for that one job
+  *    ([[JobConfiguration]]; unknown keys → 422)
   *  - `GET /load_job/{job_id}/status` → 200 LoadJob | 404 `{"detail":…}`
   *
   * Status objects carry `{name, code, error_msg}` with the reference's enum

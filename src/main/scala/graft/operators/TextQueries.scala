@@ -512,6 +512,60 @@ object TextQueries {
     * before ranking so sub-ulp `ln` differences between engines cannot
     * reorder; ties break on the term itself.
     */
+  /** d34: BIGRAM-LM FLUENCY SCORING — the language-model quality filter of
+    * a pretraining pipeline (the CCNet/Gopher recipe: score each document
+    * by how predictable its text is under a corpus-trained n-gram model;
+    * gibberish, boilerplate and wrong-language text score low). Model:
+    * add-one-smoothed bigram conditional P(w|prev) = (B(prev,w)+1) /
+    * (U(prev)+V) with B/U/V trained on the corpus itself; a document's
+    * score is the arithmetic mean of its bigram probabilities.
+    *
+    * Determinism discipline (the d27/d28 rule): every probability is one
+    * IEEE division of two exact integers — correctly rounded, hence
+    * bit-identical across engines — then rounded through DECIMAL(20,10);
+    * the per-doc sum of decimals is exact, and the final mean is again one
+    * exact-over-exact double division. No `ln`/`exp` anywhere (the
+    * arithmetic-mean score ranks fluency the same direction as perplexity
+    * without transcendental functions the oracle cannot reproduce
+    * bit-exactly).
+    *
+    * Scale shape: training is two partial-agg'd explode scans (unigram and
+    * bigram counts — the shuffle carries tokens+counts, never text);
+    * scoring joins the per-doc bigram stream with the count tables on
+    * their natural keys (equi-joins, AQE-splittable if a stop-bigram
+    * skews), and the vocabulary size rides in as a broadcast 1-row
+    * aggregate. The bigram stream persists so training and scoring share
+    * one tokenize/explode pass (the d28 lesson). Nothing is ever
+    * collected; the model IS a DataFrame.
+    */
+  def d34BigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val toksDf = docs.select(col("doc_id"), tokens(col("text")).as("t"))
+    // (prev, w) pairs per doc: zip t[0..n-2] with t[1..n-1]; docs with <2
+    // tokens have no bigrams and drop out (mirrored in the oracle)
+    val pairs = toksDf
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("prev"), col("bg.1").as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = pairs.groupBy("prev", "w").agg(count(lit(1)).as("bc"))
+    pairs
+      .join(big, Seq("prev", "w"))
+      .join(uni.withColumnRenamed("w", "prev").withColumnRenamed("uc", "pc"),
+        Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("pr",
+        ((col("bc") + 1).cast("double") / (col("pc") + col("v")).cast("double"))
+          .cast("decimal(20,10)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("pr")).cast("double") / count(lit(1))).as("avg_p"))
+  }
+
   def d28Tfidf(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     // tf feeds BOTH the join and dfreq below; without a persist the

@@ -1,0 +1,120 @@
+package graft.tools
+
+import graft.GraftSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-slope experiment for the dedup/ANN families (SURVEY §9 dossier
+  * evidence): measures d13/d15/e6/e18 wall time at sf0.01, sf0.1, and
+  * REPLICA-SCALED corpora at 10x and 100x sf0.1 built under target/scale/.
+  * A ~linear time-vs-rows slope validates the cost models with data, not
+  * prose; superlinear growth would expose a hidden all-pairs/skew term.
+  *
+  * Replication design (matters for dedup): each replica's tokens are
+  * REMAPPED by a replica-salted hash, so replicas are not near-duplicates
+  * of each other — the duplicate/similarity structure of the original
+  * corpus is reproduced INSIDE each replica and scales exactly linearly.
+  * Naive copying would instead make every document a 10-way cross-replica
+  * duplicate: LSH pair output would grow quadratically in the factor and
+  * the experiment would measure join-output explosion, not engine scaling.
+  * Embedding replicas keep their vectors (timing is dot-product-count
+  * driven); vec_ids shift so ids stay unique, and the centroid/query subset
+  * (vec_id < 10, replica 0 only) stays constant so e6/e18 measure corpus
+  * growth at FIXED query load — the serving-scale question.
+  *
+  * Not part of any gate: oracles at replica scale would only restate the
+  * replication arithmetic. Run: `sbt "runMain graft.tools.ScaleSlope"`.
+  */
+object ScaleSlope {
+
+  private def replicateDocs(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val span = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
+    docs.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("doc_id", col("doc_id") + col("rep") * lit(span))
+      .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          t => substring(md5(concat(t, col("rep").cast("string"))), 1, 6)), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def replicateEmb(spark: SparkSession, src: String, out: String,
+      factor: Int): Unit = {
+    val emb = spark.read.parquet(s"$src/embeddings.parquet")
+    val span = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
+    emb.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn("vec_id", col("vec_id") + col("rep") * lit(span))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
+    val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
+    val marker = new java.io.File(out, "._scale_ok")
+    val stamp = s"$src|$factor"
+    val ok = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      out.mkdirs()
+      replicateDocs(spark, src, out.toString, factor)
+      replicateEmb(spark, src, out.toString, factor)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    out.toString
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.builder("local[32]", 32).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val base = "/root/testdata/sf0.1"
+    val scales: Seq[(String, String)] = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> base,
+      "x10" -> ensureScaled(spark, base, 10),
+      "x100" -> ensureScaled(spark, base, 100))
+    val queries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "d13_lsh_pairs" -> graft.SparkEntry.queries("d13_lsh_pairs"),
+      "d15_corpus_dedup" -> graft.SparkEntry.queries("d15_corpus_dedup"),
+      "e6_ivf_search" -> graft.SparkEntry.queries("e6_ivf_search"),
+      "e18_persisted_ivf" -> graft.SparkEntry.queries("e18_persisted_ivf"))
+
+    // same syscall-shaped canary as Bench: stamps each scale's rows with the
+    // host's health so a flapped sample is visibly flapped
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 48, 1, 48).write.mode("overwrite")
+        .parquet("target/scale/canary")
+      spark.read.parquet("target/scale/canary").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canary() // warm
+
+    println(f"${"scale"}%-8s ${"rows(doc/emb)"}%-16s ${"canary"}%-7s " +
+      queries.map(_._1).map(n => f"$n%-18s").mkString)
+    scales.foreach { case (label, dir) =>
+      // isolate scales: the dedup queries persist per-corpus shingle caches;
+      // carrying four scales' caches at once evicts/thashes the largest
+      // scale (measured: d13 x100 192s with all caches resident vs ~30s
+      // isolated) and would measure memory pressure, not the operator
+      spark.catalog.clearCache()
+      val nd = spark.read.parquet(s"$dir/documents.parquet").count()
+      val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      val c = canary()
+      val times = queries.map { case (_, fn) =>
+        // two reps, min: first rep absorbs fixture builds; flap only ever
+        // inflates, so min-of-reps is the steady estimate
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, dir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }
+      println(f"$label%-8s ${s"$nd/$ne"}%-16s $c%-7.2f " +
+        times.map(t => f"$t%-18.2f").mkString)
+    }
+    spark.stop()
+  }
+}

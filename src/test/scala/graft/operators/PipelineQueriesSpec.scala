@@ -317,4 +317,22 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.filter(col("q25_qty") > col("q50_qty") ||
       col("q50_qty") > col("q90_qty")).isEmpty)
   }
+
+  test("d34: bigram-LM scores are proper probabilities over every bigram position") {
+    val docs = RelationalQueries.table(spark, sfDir, "documents")
+    val r = TextQueries.d34BigramLm(spark, sfDir)
+    // a smoothed conditional probability mean lives strictly in (0, 1)
+    assert(r.filter(col("avg_p") <= 0.0 || col("avg_p") >= 1.0).isEmpty)
+    // every doc with >= 2 tokens scores exactly token_count - 1 bigrams
+    val expected = docs.select(col("doc_id"),
+      (size(split(trim(col("text")), "\\s+")) - 1).cast("long").as("want"))
+      .filter(col("want") >= 1)
+    assert(r.count() == expected.count())
+    assert(r.join(expected, "doc_id")
+      .filter(col("n_bigrams") =!= col("want")).isEmpty)
+    // deterministic: two runs produce identical score sets (the decimal
+    // rounding discipline removes any summation-order sensitivity)
+    val again = TextQueries.d34BigramLm(spark, sfDir)
+    assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
+  }
 }
