@@ -104,6 +104,7 @@ object SparkEntry {
     "m3_frame_sample" -> (M.m3FrameSample _),
     "m4_container_decode" -> (M.m4ContainerDecode _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
+    "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
@@ -822,6 +823,30 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_bigrams,
         | CAST(sum(pr) AS DOUBLE) / count(*) AS avg_p
         |FROM scored GROUP BY doc_id""".stripMargin,
+    "d35_segment_rewrite" ->
+      """WITH toks AS (
+        | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        | FROM documents),
+        |segs0 AS (
+        | SELECT doc_id, t, unnest(range(0, (len(t) + 9) // 10)) AS g
+        | FROM toks),
+        |segs AS (
+        | SELECT doc_id, CAST(g AS INT) AS g,
+        |  array_to_string(t[CAST(g * 10 + 1 AS INT) : CAST(g * 10 + 10 AS INT)], ' ') AS seg
+        | FROM segs0),
+        |ranked AS (
+        | SELECT doc_id, g, seg,
+        |  row_number() OVER (PARTITION BY seg ORDER BY doc_id, g) AS rn
+        | FROM segs),
+        |rebuilt AS (
+        | SELECT doc_id, count(*) AS n_kept,
+        |  string_agg(seg, ' ' ORDER BY g) AS txt
+        | FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_segments,
+        | COALESCE(r.n_kept, 0) AS n_kept,
+        | md5(COALESCE(r.txt, '')) AS text_md5
+        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "st1_streaming_hourly" ->
       """WITH scoped AS (
         | SELECT ts FROM events WHERE day(ts) < 10)

@@ -65,6 +65,7 @@ object JobConfiguration {
           case "CSV"                     => cfg.copy(sourceFormat = "csv")
           case "PARQUET"                 => cfg.copy(sourceFormat = "parquet")
           case "NEWLINE_DELIMITED_JSON"  => cfg.copy(sourceFormat = "json")
+          case "ORC"                     => cfg.copy(sourceFormat = "orc")
           case other => throw new IllegalArgumentException(
             s"unsupported source_format '$other'")
         }

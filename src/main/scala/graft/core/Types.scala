@@ -91,8 +91,9 @@ final case class IngestConfig(
     csv: CsvOptions = CsvOptions(),
     strictPartition: Boolean = false,
     // raw-file format under the hive tree: "csv" (the reference's TSV
-    // contract), "parquet", or "json" — the schema contract is identical
-    // (explicit, never inferred) for all three
+    // contract; compressed .gz/.bz2 files decode transparently by
+    // extension), "parquet", "json", or "orc" — the schema contract is
+    // identical (explicit, never inferred) for all four
     sourceFormat: String = "csv",
     // stage-and-swap partition commit (two metadata renames, no torn reads —
     // see LandingTable.overwritePartitionsStaged); false = Spark's built-in

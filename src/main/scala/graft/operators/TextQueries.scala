@@ -512,6 +512,49 @@ object TextQueries {
     * before ranking so sub-ulp `ln` differences between engines cannot
     * reorder; ties break on the term itself.
     */
+  /** d35: CROSS-DOCUMENT SEGMENT DEDUP REWRITE — the C4 recipe's removal
+    * half (d22 measures corpus-wide segment duplication; this REMOVES it):
+    * every 10-token segment that occurs anywhere else in the corpus is
+    * dropped from all but its first occurrence — first = smallest
+    * (doc_id, position), a total order, so the rewrite is deterministic —
+    * and each document's text is rebuilt from its surviving segments in
+    * position order. Returned per doc: total/kept segment counts and the
+    * md5 of the rebuilt text, which pins the reconstruction (segment
+    * selection AND ordering) through the oracle hash, not just the counts.
+    *
+    * Scale shape: one explode scan (the shuffle carries segments+positions,
+    * bodies never move as wholes), winner selection is a partial-agg'd
+    * `min(struct(doc_id, pos))` per segment — no window over the corpus —
+    * and the rebuild groups by doc_id (high cardinality). Boilerplate-heavy
+    * segments (the skew risk: a footer shared by 10^6 docs) cost one
+    * min-struct aggregation row each, not a join explosion, because the
+    * winner join carries only (segment, winner) back to instances.
+    */
+  def d35SegmentRewrite(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("t")
+    val segs = transform(
+      sequence(lit(0), ceil(size(t).cast("double") / 10.0).cast("int") - 1),
+      g => concat_ws(" ", slice(t, g * 10 + 1, lit(10))))
+    val inst = table(spark, sfDir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"), posexplode(segs).as(Seq("g", "seg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val winners = inst.groupBy("seg")
+      .agg(min(struct(col("doc_id"), col("g"))).as("w"))
+    val kept = inst.join(winners, "seg")
+      .filter(col("doc_id") === col("w.doc_id") && col("g") === col("w.g"))
+    val totals = inst.groupBy("doc_id").agg(count(lit(1)).as("n_segments"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("g"), col("seg")))).as("ks"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"),
+        coalesce(size(col("ks")), lit(0)).cast("long").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(coalesce(col("ks"),
+            array().cast("array<struct<g:int,seg:string>>")),
+            x => x.getField("seg")))).as("text_md5"))
+  }
+
   /** d34: BIGRAM-LM FLUENCY SCORING — the language-model quality filter of
     * a pretraining pipeline (the CCNet/Gopher recipe: score each document
     * by how predictable its text is under a corpus-trained n-gram model;

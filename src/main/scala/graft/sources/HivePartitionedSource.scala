@@ -41,6 +41,8 @@ object HivePartitionedSource {
     case "json" =>
       spark.read.schema(schema)
         .option("timestampFormat", csv.timestampFormat).json(glob)
+    case "orc" =>
+      spark.read.schema(schema).orc(glob)
     case other =>
       throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
   }
@@ -59,6 +61,7 @@ object HivePartitionedSource {
       case "csv"     => r.csv(pattern)
       case "parquet" => r.parquet(pattern)
       case "json"    => r.json(pattern)
+      case "orc"     => r.orc(pattern)
       case other =>
         throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
     }

@@ -335,4 +335,30 @@ class PipelineQueriesSpec extends SparkSpec {
     val again = TextQueries.d34BigramLm(spark, sfDir)
     assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
   }
+
+  test("d35: rewrite keeps each distinct segment exactly once, corpus-wide") {
+    val docs = RelationalQueries.table(spark, sfDir, "documents")
+    val r = TextQueries.d35SegmentRewrite(spark, sfDir)
+    // every doc appears, kept <= total
+    assert(r.count() == docs.count())
+    assert(r.filter(col("n_kept") > col("n_segments")).isEmpty)
+    // conservation: total kept across the corpus = number of DISTINCT
+    // segments (first occurrences survive, every other copy is dropped)
+    val t = split(trim(col("text")), "\\s+")
+    val segs = docs.select(col("doc_id"), explode(transform(
+      sequence(lit(0), ceil(size(t).cast("double") / 10.0).cast("int") - 1),
+      g => concat_ws(" ", slice(t, g * lit(10) + 1, lit(10))))).as("seg"))
+    val distinctSegs = segs.select("seg").distinct().count()
+    val keptTotal = r.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    assert(keptTotal == distinctSegs,
+      s"kept $keptTotal != distinct $distinctSegs")
+    // a doc whose segments are all first occurrences is untouched: its
+    // rebuilt text md5 equals the md5 of its whitespace-normalized text
+    val untouched = r.filter(col("n_kept") === col("n_segments"))
+      .join(docs.select(col("doc_id"),
+        md5(concat_ws(" ", split(trim(col("text")), "\\s+"))).as("orig_md5")),
+        "doc_id")
+    assert(untouched.filter(col("text_md5") =!= col("orig_md5")).isEmpty)
+    assert(untouched.count() > 0) // fixture has such docs; vacuous otherwise
+  }
 }

@@ -130,4 +130,39 @@ class LandingMaintenanceSpec extends SparkSpec {
     LandingTable.overwritePartitions(df, cfg)
     assert(LandingTable.readPartition(spark, cfg, h).count() == 1)
   }
+
+  test("orc raw format: hive tree of ORC files ingests identically") {
+    import spark.implicits._
+    val rawBase = Files.createTempDirectory("graft-oraw").toString
+    val h = PartitionHour(2023, 6, 27, 12)
+    val dir = PartitionCodec.toDir(s"file:$rawBase", h)
+    Seq(("2023-06-27 12:45:00", "o1", 11L)).toDF("s", "device_id", "bytes")
+      .selectExpr("CAST(s AS TIMESTAMP) AS event_ts", "device_id", "bytes")
+      .write.mode("overwrite").orc(dir)
+
+    val cfg = freshCfg().copy(sourceBase = s"file:$rawBase", sourceFormat = "orc")
+    assert(PartitionProbe.exists(spark, cfg, h))
+    val df = HivePartitionedSource.read(spark, cfg, h)
+    assert(df.count() == 1 && df.collect()(0).getAs[Long]("bytes") == 11L)
+    LandingTable.overwritePartitions(df, cfg)
+    assert(LandingTable.readPartition(spark, cfg, h).count() == 1)
+  }
+
+  test("gzip-compressed TSV ingests transparently (codec by extension)") {
+    val rawBase = Files.createTempDirectory("graft-gzraw").toString
+    val h = PartitionHour(2023, 6, 27, 12)
+    val dir = PartitionCodec.toDir(rawBase, h) // local path, no file: prefix
+    new java.io.File(dir).mkdirs()
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$dir/part-000.tsv.gz"))
+    gz.write("2023-06-27 12:10:00\tgz-1\t42\n".getBytes("UTF-8"))
+    gz.close()
+
+    val cfg = freshCfg().copy(sourceBase = s"file:$rawBase")
+    assert(PartitionProbe.exists(spark, cfg, h))
+    val df = HivePartitionedSource.read(spark, cfg, h)
+    val row = df.collect()
+    assert(row.length == 1 && row(0).getAs[Long]("bytes") == 42L &&
+      row(0).getAs[String]("device_id") == "gz-1")
+  }
 }
