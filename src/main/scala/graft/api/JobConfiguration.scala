@@ -30,7 +30,7 @@ object JobConfiguration {
 
   private val AllowedKeys = Set("create_disposition", "write_disposition",
     "source_format", "field_delimiter", "skip_leading_rows",
-    "quote_character", "encoding")
+    "quote_character", "encoding", "max_bad_records")
 
   /** Apply a PUT body's `job_configuration` (if any) onto `base`. An empty
     * or bodyless request returns `base` unchanged — the reference's default
@@ -82,6 +82,13 @@ object JobConfiguration {
           case other => throw new IllegalArgumentException(
             s"unsupported skip_leading_rows '$other' (0 or 1)")
         }
+        case "max_bad_records" =>
+          val n = try v.toInt catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"max_bad_records must be a non-negative integer, got '$v'")
+          }
+          require(n >= 0, s"max_bad_records must be >= 0, got $n")
+          cfg.copy(maxBadRecords = n)
         case "write_disposition" =>
           require(v == "WRITE_TRUNCATE",
             s"unsupported write_disposition '$v' (partition loads are WRITE_TRUNCATE)")

@@ -98,7 +98,13 @@ final case class IngestConfig(
     // stage-and-swap partition commit (two metadata renames, no torn reads —
     // see LandingTable.overwritePartitionsStaged); false = Spark's built-in
     // dynamic partition overwrite (for object stores where rename copies)
-    atomicCommit: Boolean = true)
+    atomicCommit: Boolean = true,
+    // BigQuery load-config `max_bad_records` parity: when > 0, a load job
+    // parses PERMISSIVE-with-capture (HivePartitionedSource.withQuarantine),
+    // EXCLUDES malformed rows from the landed data, and FAILS if their
+    // count exceeds this budget. 0 (default) keeps the parseMode policy:
+    // PERMISSIVE nulls bad cells, FAILFAST fails the job on the first.
+    maxBadRecords: Int = 0)
 
 /** Immutable job descriptor — the reference's `LoadJobMetadata` NamedTuple
   * (`/root/reference/ingestion/types.py:19-27`); Scala `copy` replaces

@@ -159,6 +159,77 @@ object IngestParityQueries {
         sum(length(col("props"))).as("props_len"))
   }
 
+  /** s4: QUARANTINE INGEST — BigQuery's `max_bad_records` load semantics
+    * ([[graft.sources.HivePartitionedSource.withQuarantine]]): the
+    * first-hour TSV export plus an injected file of 3 malformed lines
+    * (wrong arity, unparseable types) is read PERMISSIVE-with-capture;
+    * malformed rows are EXCLUDED from the good frame and counted, not
+    * silently nulled (PERMISSIVE default) and not a whole-job failure
+    * (FAILFAST). The result is the good rows' aggregate + the quarantine
+    * count; the oracle restates the aggregate from the original parquet
+    * (proving zero good rows were lost or nulled by the bad neighbors in
+    * the same file set) and the injected constant 3. The job-machine
+    * enforcement of the budget (FAILURE past `maxBadRecords`) is pinned in
+    * `IngestPipelineSpec`.
+    */
+  def s4QuarantineIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (rawBase, _) = exportEventsTsv(spark, sfDir, firstHourOnly = true)
+    val srcRoot = new java.io.File(rawBase.stripPrefix("file:"))
+    val dirty = new java.io.File(parityDir("quarantine-raw", sfDir,
+      firstHourOnly = true))
+    // fixture memo: copy the (single-hour) export tree and add one file of
+    // malformed lines; stamp = source data-file names+sizes so a re-export
+    // invalidates the copy
+    val srcFiles = {
+      def rec(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).getOrElse(Array.empty)
+        cs.filter(_.isFile).toSeq ++ cs.filter(_.isDirectory).flatMap(rec)
+      }
+      rec(srcRoot).filter(f => f.getName.startsWith("part-"))
+        .sortBy(_.getAbsolutePath)
+    }
+    require(srcFiles.nonEmpty, s"no exported files under $srcRoot")
+    val stamp = srcFiles.map(f => s"${f.getName}:${f.length}").mkString("|")
+    val marker = new java.io.File(dirty, "._dirty_ok")
+    val markerValid = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!markerValid) {
+      wipe(dirty.toString)
+      srcFiles.foreach { f =>
+        val rel = f.getAbsolutePath.stripPrefix(srcRoot.getAbsolutePath)
+          .stripPrefix("/")
+        val dst = new java.io.File(dirty, rel)
+        dst.getParentFile.mkdirs()
+        java.nio.file.Files.copy(f.toPath, dst.toPath)
+      }
+      val badDir = new java.io.File(dirty,
+        srcFiles.head.getParentFile.getAbsolutePath
+          .stripPrefix(srcRoot.getAbsolutePath).stripPrefix("/"))
+      java.nio.file.Files.write(
+        new java.io.File(badDir, "part-bad.tsv").toPath,
+        ("corrupt\tline\n" +
+          "x\tnot-a-timestamp\ty\tz\tnot-a-double\tp\n" +
+          "9\t9\t9\t9\t9\t9\textra\tcolumns\there\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    HivePartitionedSource.withQuarantine(spark, eventsSchema, CsvOptions(),
+      s"file:$dirty/year=*/month=*/day=*/hour=*") { (good, bad) =>
+      // materialize INSIDE the quarantine scope (the withQuarantine
+      // contract): the split classification is only stable while the
+      // parsed frame is cached — a lazy aggregate escaping this block
+      // would re-read the files under column pruning and reclassify
+      val nBad = bad.count()
+      val row = good.agg(
+        count(lit(1)).as("cnt_landed"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+        .collect()(0)
+      import spark.implicits._
+      Seq((row.getLong(0), row.getLong(1), row.getDouble(2), nBad))
+        .toDF("cnt_landed", "sum_eid", "sum_value", "n_quarantined")
+    }
+  }
+
   /** J1-J3: assemble -> start -> poll one load job for the earliest event
     * hour; returns the terminal job state and the landed row count for that
     * partition. Oracle reproduces the count from the original parquet and the

@@ -73,24 +73,24 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
           spark.sparkContext.setJobGroup(meta.jobId,
             s"graft load ${meta.sourceGlob} -> ${meta.targetTable}")
           try {
-            val df = HivePartitionedSource.readGlob(
-              spark, cfg.schema, cfg.csv, meta.sourceGlob)
-            if (cfg.strictPartition) {
-              // BQ decorator-load parity: any record outside the target hour
-              // rejects the whole job (bigquery_interaction WRITE_TRUNCATE to
-              // table$YYYYMMDDHH). limit(1) short-circuits the probe.
-              import org.apache.spark.sql.functions.{col, date_trunc, lit}
-              val target = java.sql.Timestamp.from(meta.partition.toInstant)
-              val offenders = df.filter(
-                date_trunc("hour", col(cfg.partitionField)) =!= lit(target) ||
-                  col(cfg.partitionField).isNull)
-              if (!offenders.limit(1).isEmpty)
-                throw new IllegalStateException(
-                  s"strictPartition: records outside target partition " +
-                    s"${PartitionCodec.toBqId(meta.partition)} (or with null " +
-                    s"${cfg.partitionField}) present in ${meta.sourceGlob}")
-            }
-            LandingTable.overwritePartitions(df, cfg)
+            // max_bad_records budget (BQ load-config parity): malformed rows
+            // are skipped, counted, and fail the job past the budget — the
+            // production middle ground between PERMISSIVE's silent nulls
+            // and FAILFAST's all-or-nothing
+            if (cfg.maxBadRecords > 0)
+              HivePartitionedSource.withQuarantine(
+                spark, cfg.schema, cfg.csv, meta.sourceGlob, cfg.sourceFormat) {
+                (good, bad) =>
+                  val nBad = bad.count()
+                  if (nBad > cfg.maxBadRecords)
+                    throw new IllegalStateException(
+                      s"max_bad_records exceeded: $nBad malformed rows > " +
+                        s"budget ${cfg.maxBadRecords} in ${meta.sourceGlob}")
+                  landParsed(cfg, meta, good)
+              }
+            else landParsed(cfg, meta,
+              HivePartitionedSource.readGlob(
+                spark, cfg.schema, cfg.csv, meta.sourceGlob))
           } finally spark.sparkContext.clearJobGroup()
         }
         registry.putIfAbsent(meta.jobId, JobHandle(meta, fut)) match {
@@ -108,6 +108,30 @@ final class JobRunner(spark: SparkSession, poolSize: Int = 4) {
             JobState.Running
         }
     }
+  }
+
+  /** Land a parsed frame: the strict-decorator probe (when configured) then
+    * the truncate-and-replace partition overwrite — the tail every load job
+    * shares regardless of how its rows were parsed.
+    */
+  private def landParsed(cfg: IngestConfig, meta: LoadJobMetadata,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    if (cfg.strictPartition) {
+      // BQ decorator-load parity: any record outside the target hour
+      // rejects the whole job (bigquery_interaction WRITE_TRUNCATE to
+      // table$YYYYMMDDHH). limit(1) short-circuits the probe.
+      import org.apache.spark.sql.functions.{col, date_trunc, lit}
+      val target = java.sql.Timestamp.from(meta.partition.toInstant)
+      val offenders = df.filter(
+        date_trunc("hour", col(cfg.partitionField)) =!= lit(target) ||
+          col(cfg.partitionField).isNull)
+      if (!offenders.limit(1).isEmpty)
+        throw new IllegalStateException(
+          s"strictPartition: records outside target partition " +
+            s"${PartitionCodec.toBqId(meta.partition)} (or with null " +
+            s"${cfg.partitionField}) present in ${meta.sourceGlob}")
+    }
+    LandingTable.overwritePartitions(df, cfg)
   }
 
   /** Failure text for status payloads: the whole cause chain, deepest last —

@@ -47,6 +47,59 @@ object HivePartitionedSource {
       throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
   }
 
+  /** PERMISSIVE-with-capture read — the engine side of BigQuery's
+    * `max_bad_records` contract: rows that fail to parse are EXCLUDED from
+    * the good frame (not silently nulled, the PERMISSIVE default; not a
+    * whole-job failure, the FAILFAST mode) and surfaced as raw text for
+    * quarantine/audit. Callers enforce their bad-record budget on the bad
+    * frame ([[graft.operators.JobRunner]] fails the load when the count
+    * exceeds `IngestConfig.maxBadRecords`, exactly BQ's semantics).
+    *
+    * The parsed frame is persisted for the scope of `f` and unpersisted
+    * after — `f` MUST materialize everything it needs (count, land, write)
+    * before returning; frames that escape `f` are invalid. This is not
+    * just a performance contract: recomputing the split from the raw files
+    * under CSV column pruning CHANGES the classification — a row whose
+    * only malformed cell sits in a column the downstream plan never reads
+    * is no longer flagged corrupt (the parser only attempts required
+    * columns), so a lazily-escaped `good` frame can silently grow rows.
+    * One materialization inside the persisted scope pins one consistent
+    * classification for both splits. Row-level capture exists for
+    * row-structured formats (csv/json); parquet/orc corruption is
+    * file-level and fails the scan.
+    */
+  def withQuarantine[T](spark: SparkSession, schema: StructType,
+      csv: CsvOptions, glob: String, format: String = "csv")(
+      f: (DataFrame, DataFrame) => T): T = {
+    import org.apache.spark.sql.functions.col
+    val corruptCol = "_graft_corrupt"
+    require(!schema.fieldNames.contains(corruptCol),
+      s"schema already contains reserved column $corruptCol")
+    val readSchema = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val parsed = (format match {
+      case "csv" =>
+        spark.read.schema(readSchema)
+          .options(CsvOptions.toReaderOptions(csv) ++ Map(
+            "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+          .csv(glob)
+      case "json" =>
+        spark.read.schema(readSchema)
+          .option("timestampFormat", csv.timestampFormat)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", corruptCol)
+          .json(glob)
+      case other => throw new IllegalArgumentException(
+        s"quarantine read is row-level; unsupported for format '$other'")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val good = parsed.filter(col(corruptCol).isNull)
+        .select(schema.fieldNames.map(col).toSeq: _*)
+      val bad = parsed.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("raw_record"))
+      f(good, bad)
+    } finally { parsed.unpersist(); () }
+  }
+
   /** Read a whole hive-partitioned tree (partition columns year/month/day/hour
     * surface as columns via Spark partition discovery). Used for multi-hour
     * reads / backfill verification; per-hour ingest prefers [[read]].

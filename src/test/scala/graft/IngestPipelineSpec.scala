@@ -196,6 +196,38 @@ class IngestPipelineSpec extends SparkSpec {
     assert(h12df.count() == 2)
   }
 
+  test("max_bad_records: malformed rows are skipped within budget, fail past it") {
+    // a fresh hour with 2 good rows and 2 malformed lines (wrong arity,
+    // unparseable type) — isolated from the other tests' hours
+    val h15 = PartitionHour(2023, 6, 27, 15)
+    writeTsv(h15, "part-000.tsv", Seq(
+      "2023-06-27 15:01:00\tdev-1\tview\ta\t10",
+      "broken line",
+      "2023-06-27 15:02:00\tdev-2\tclick\tb\t20",
+      "not-a-ts\tdev-3\tview\tc\tnot-a-long"))
+    val r = new JobRunner(spark)
+
+    // budget 1 < 2 bad rows => the job FAILS with the budget in the message
+    val tight = cfg.copy(maxBadRecords = 1)
+    val m1 = r.assemble(tight, h15)
+    r.start(tight, m1)
+    val (st1, msg1) = r.await(m1.jobId)
+    assert(st1 == JobState.Failure, msg1)
+    assert(msg1.exists(_.contains("max_bad_records")))
+
+    // budget 5 >= 2 => SUCCESS, and exactly the good rows land — skipped,
+    // not nulled (PERMISSIVE alone would land 4 rows with null holes)
+    val loose = cfg.copy(maxBadRecords = 5)
+    val m2 = r.assemble(loose, h15)
+    r.start(loose, m2)
+    val (st2, msg2) = r.await(m2.jobId)
+    assert(st2 == JobState.Success, msg2)
+    import org.apache.spark.sql.functions.col
+    val landed = LandingTable.readPartition(spark, loose, h15)
+    assert(landed.count() == 2)
+    assert(landed.filter(col("bytes").isNull || col("device_id").isNull).isEmpty)
+  }
+
   test("O2: backfill over a range ingests present hours, skips absent ones") {
     val r = new JobRunner(spark)
     val results = Workflow.backfill(spark, r, cfg,

@@ -110,6 +110,7 @@ class IngestApiSpec extends SparkSpec {
           | "job_configuration":{"source_format":"CSV",
           |   "field_delimiter":",","skip_leading_rows":"1",
           |   "quote_character":"","encoding":"UTF-8",
+          |   "max_bad_records":"5",
           |   "write_disposition":"WRITE_TRUNCATE",
           |   "create_disposition":"CREATE_NEVER"}}""".stripMargin
       val (ic, ib) = send(port, "PUT", "/partition/2023062712/ingest", override_)
@@ -138,6 +139,9 @@ class IngestApiSpec extends SparkSpec {
       // unsupported disposition rejected loudly, not ignored
       assert(send(port, "PUT", "/partition/2023062712/ingest",
         """{"job_configuration":{"write_disposition":"WRITE_APPEND"}}""")._1 == 422)
+      // non-numeric bad-record budget rejected
+      assert(send(port, "PUT", "/partition/2023062712/ingest",
+        """{"job_configuration":{"max_bad_records":"lots"}}""")._1 == 422)
       // wire shape unchanged: a bodyless/default PUT still works
       assert(send(port, "PUT", "/partition/2023062712/ingest", "")._1 == 201)
     } finally api.stop()
