@@ -113,6 +113,7 @@ object SparkEntry {
     "e11_pq_adc" -> ((s, d) => V.e11PqAdc(s, d)),
     "e14_ivf_pq" -> ((s, d) => V.e14IvfPq(s, d)),
     "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
+    "e24_trained_pq" -> ((s, d) => V.e24TrainedPq(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1089,6 +1090,7 @@ object SparkEntry {
     "e11_pq_adc" -> e11OracleSql,
     "e14_ivf_pq" -> e14OracleSql,
     "e15_kmeans" -> e15OracleSql,
+    "e24_trained_pq" -> e24OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1807,6 +1809,56 @@ object SparkEntry {
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        | FROM embeddings WHERE vec_id < 4),
        |$rounds""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e24TrainedPq]] — the
+    * e15 Lloyd chain with a subspace dimension: every CTE groups by
+    * (m, centroid_id) and vectors are the m-th 8-dim slice.
+    */
+  private def e24OracleSql: String = {
+    val iters = 2
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         | SELECT vec_id, m, v, centroid_id FROM (
+         |  SELECT s.vec_id, s.m, s.v, c.centroid_id,
+         |   row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+         |     CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+         |       i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) DESC,
+         |     c.centroid_id ASC) AS rk
+         |  FROM sub s JOIN $cents c ON c.m = s.m) t WHERE rk = 1)""".stripMargin
+    def updateCte(name: String, asg: String): String =
+      s"""$name AS (
+         | SELECT m, centroid_id,
+         |  list(CAST(sum_v AS DOUBLE) / cnt ORDER BY pos) AS c
+         | FROM (
+         |  SELECT m, centroid_id, pos,
+         |   sum(CAST(x AS DECIMAL(30,12))) AS sum_v, count(*) AS cnt
+         |  FROM (SELECT m, centroid_id, unnest(range(0, len(v))) AS pos,
+         |         unnest(v) AS x FROM $asg) q
+         |  GROUP BY m, centroid_id, pos) z
+         | GROUP BY m, centroid_id)""".stripMargin
+    val rounds = (0 until iters).flatMap { t =>
+      Seq(assignCte(s"pa$t", s"pc$t"), updateCte(s"pc${t + 1}", s"pa$t"))
+    }.mkString(",\n")
+    s"""WITH sub AS (
+       | SELECT e.vec_id, CAST(t.m AS INT) AS m,
+       |  list_transform(e.embedding[CAST(t.m*8+1 AS INT) : CAST(t.m*8+8 AS INT)],
+       |    x -> CAST(x AS DOUBLE)) AS v
+       | FROM embeddings e, (SELECT unnest(range(0, 8)) AS m) t),
+       |pc0 AS (
+       | SELECT m, CAST(vec_id AS INT) AS centroid_id, v AS c
+       | FROM sub WHERE vec_id < 4),
+       |$rounds,
+       |${assignCte("pafin", s"pc$iters")},
+       |norms AS (
+       | SELECT m, centroid_id,
+       |  CAST(CAST(sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum'))
+       |   AS DECIMAL(20,6)) AS DOUBLE) AS centroid_norm
+       | FROM pc$iters)
+       |SELECT a.m, a.centroid_id, count(*) AS n_assigned,
+       | CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids, n.centroid_norm
+       |FROM pafin a JOIN norms n USING (m, centroid_id)
+       |GROUP BY a.m, a.centroid_id, n.centroid_norm""".stripMargin
   }
 
   private def e15OracleSql: String = {

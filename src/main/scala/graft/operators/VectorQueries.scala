@@ -512,6 +512,90 @@ object VectorQueries {
         col("centroid_norm"))
   }
 
+  /** Per-subspace Lloyd training — the PQ analogue of [[kmeansCentroids]]:
+    * each vector splits into M=8 8-dim subvectors, and each subspace m
+    * trains its OWN K=4 codebook (init = the demo seed vectors' m-th
+    * slices, `iters` assign/update rounds, max-dot assignment with the
+    * lowest-centroid tiebreak, decimal-rounded like every trainer here).
+    * Returns (m, centroid_id, c: array<double>).
+    *
+    * Scale shape: the subspace explode multiplies rows by M but DIVIDES
+    * width by M — bytes scanned per round are unchanged; each round is one
+    * broadcast (M·K codebook rows) + a partial-agg'd (m, centroid, pos)
+    * mean, and `localCheckpoint` truncates the iterative lineage per the
+    * d19 rule.
+    */
+  private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id", "m").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    val dot = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    sub.join(broadcast(cents), "m")
+      .withColumn("sim_dec", dot)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("m"), col("v"), col("centroid_id"))
+  }
+
+  private[operators] def pqTrainedCodebooks(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = emb.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        struct(m.cast("int").as("m"),
+          transform(slice(col("embedding"), m * PqSub + 1, lit(PqSub)),
+            x => x.cast("double")).as("v")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+    var cents = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("centroid_id"),
+        col("v").as("c"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      cents = assignSub(sub, cents)
+        .select(col("m"), col("centroid_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("m", "centroid_id", "pos")
+        .agg((sum(col("x").cast("decimal(30,12)")).cast("double") /
+          count(lit(1))).as("mean"))
+        .groupBy("m", "centroid_id")
+        .agg(map_from_entries(collect_list(
+          struct(col("pos"), col("mean")))).as("mm"))
+        .select(col("m"), col("centroid_id"),
+          transform(sequence(lit(0), size(col("mm")) - 1),
+            i => element_at(col("mm"), i)).as("c"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
+  /** e24: TRAINED PQ CODEBOOKS — closes the last open training loop in the
+    * ANN family (e15/e17 train the coarse IVF centroids; e11/e14's sub-
+    * codebooks were demo seeds with "production trains k-means per
+    * subspace" as prose — this is that training, oracled). Output = e15's
+    * diagnostics per (subspace, centroid): assignment census + codebook
+    * norms, which pins every trained value and every final assignment
+    * through the hash.
+    */
+  def e24TrainedPq(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = emb.select(col("vec_id"),
+      explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
+        struct(m.cast("int").as("m"),
+          transform(slice(col("embedding"), m * PqSub + 1, lit(PqSub)),
+            x => x.cast("double")).as("v")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+    val cents = pqTrainedCodebooks(spark, sfDir, iters)
+    val norm = sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
+    assignSub(sub, cents)
+      .groupBy("m", "centroid_id")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum(col("vec_id")).as("sum_vec_ids"))
+      .join(cents.select(col("m"), col("centroid_id"),
+        norm.cast("decimal(20,6)").cast("double").as("centroid_norm")),
+        Seq("m", "centroid_id"))
+      .select(col("m"), col("centroid_id"), col("n_assigned"),
+        col("sum_vec_ids"), col("centroid_norm"))
+  }
+
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
     * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
     * the demo seeds; production indexes search the codebook k-means actually

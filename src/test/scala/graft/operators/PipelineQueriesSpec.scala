@@ -336,6 +336,25 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(r.exceptAll(again).isEmpty && again.exceptAll(r).isEmpty)
   }
 
+  test("e24: every (vector, subspace) is assigned exactly once to a trained centroid") {
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    val r = VectorQueries.e24TrainedPq(spark, sfDir).collect()
+    val n = emb.count()
+    // partition property: assignment census covers all 8 subspaces x N
+    // vectors exactly once
+    assert(r.map(_.getAs[Long]("n_assigned")).sum == 8 * n)
+    assert(r.map(_.getAs[Int]("m")).toSet == (0 until 8).toSet)
+    // sum of assigned vec_ids per subspace = sum of ALL vec_ids (each id
+    // appears in exactly one centroid's census per subspace)
+    val idSum = emb.agg(sum(col("vec_id"))).collect()(0).getLong(0)
+    r.groupBy(_.getAs[Int]("m")).foreach { case (m, rows) =>
+      assert(rows.map(_.getAs[Long]("sum_vec_ids")).sum == idSum, s"subspace $m")
+    }
+    // trained codebooks are finite and non-degenerate
+    assert(r.forall(row => !row.getAs[Double]("centroid_norm").isNaN &&
+      row.getAs[Double]("centroid_norm") > 0.0))
+  }
+
   test("d35: rewrite keeps each distinct segment exactly once, corpus-wide") {
     val docs = RelationalQueries.table(spark, sfDir, "documents")
     val r = TextQueries.d35SegmentRewrite(spark, sfDir)
