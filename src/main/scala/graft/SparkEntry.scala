@@ -106,6 +106,7 @@ object SparkEntry {
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
+    "st16_streaming_quarantine" -> (IP.st16StreamingQuarantine _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
     "d17_shingle_udtf" -> (T.d17ShingleUdtf _),
     "e8_lsh_projections" -> ((s, d) => V.e8LshProjections(s, d)),
@@ -850,6 +851,13 @@ object SparkEntry {
         | md5(COALESCE(r.txt, '')) AS text_md5
         |FROM totals t LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
     "s4_quarantine" ->
+      """WITH h AS (SELECT min(date_trunc('hour', ts)) AS h0 FROM events)
+        |SELECT count(*) AS cnt_landed,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+        | CAST(3 AS BIGINT) AS n_quarantined
+        |FROM events, h WHERE date_trunc('hour', ts) = h0""".stripMargin,
+    "st16_streaming_quarantine" ->
       """WITH h AS (SELECT min(date_trunc('hour', ts)) AS h0 FROM events)
         |SELECT count(*) AS cnt_landed,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,

@@ -172,7 +172,11 @@ object IngestParityQueries {
     * enforcement of the budget (FAILURE past `maxBadRecords`) is pinned in
     * `IngestPipelineSpec`.
     */
-  def s4QuarantineIngest(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The shared corrupt fixture for s4/st16: the first-hour TSV export
+    * copied next to one injected file of 3 malformed lines. Memoized on the
+    * source files' names+sizes; returns the dirty tree root (local path).
+    */
+  private def dirtyFirstHourTree(spark: SparkSession, sfDir: String): java.io.File = {
     val (rawBase, _) = exportEventsTsv(spark, sfDir, firstHourOnly = true)
     val srcRoot = new java.io.File(rawBase.stripPrefix("file:"))
     val dirty = new java.io.File(parityDir("quarantine-raw", sfDir,
@@ -212,6 +216,11 @@ object IngestParityQueries {
           "9\t9\t9\t9\t9\t9\textra\tcolumns\there\n").getBytes("UTF-8"))
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
+    dirty
+  }
+
+  def s4QuarantineIngest(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = dirtyFirstHourTree(spark, sfDir)
     HivePartitionedSource.withQuarantine(spark, eventsSchema, CsvOptions(),
       s"file:$dirty/year=*/month=*/day=*/hour=*") { (good, bad) =>
       // materialize INSIDE the quarantine scope (the withQuarantine
@@ -228,6 +237,63 @@ object IngestParityQueries {
       Seq((row.getLong(0), row.getLong(1), row.getDouble(2), nBad))
         .toDF("cnt_landed", "sum_eid", "sum_value", "n_quarantined")
     }
+  }
+
+  /** st16: STREAMING QUARANTINE — s4's bad-record capture running inside
+    * the streaming ingest loop: the dirty first-hour tree is file-streamed
+    * with PERMISSIVE-with-capture parsing, and every micro-batch splits
+    * into good rows (appended to the landing parquet) and quarantined raw
+    * lines (appended to a side table) — the bad-records side-channel a
+    * production streaming ingest runs, where one corrupt file must neither
+    * poison the landed data (silent nulls) nor wedge the stream (FAILFAST).
+    * `maxFilesPerTrigger=1` forces multi-batch execution, so the split
+    * provably composes across batches. Each batch persists before
+    * splitting — the withQuarantine materialization contract applied
+    * per-batch (corrupt classification is only stable on a materialized
+    * frame). Oracle = s4's restatement: good aggregate from the original
+    * parquet + the 3 injected lines.
+    */
+  def st16StreamingQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
+    val dirty = dirtyFirstHourTree(spark, sfDir)
+    val goodDir = parityDir("squar-good", sfDir, firstHourOnly = true)
+    val badDir = parityDir("squar-bad", sfDir, firstHourOnly = true)
+    val ckpt = parityDir("squar-ckpt", sfDir, firstHourOnly = true)
+    wipe(goodDir); wipe(badDir); wipe(ckpt)
+    val corruptCol = "_graft_corrupt"
+    withStreamSession(spark, 8) { ss =>
+      val q = ss.readStream
+        .schema(eventsSchema.add(corruptCol, org.apache.spark.sql.types.StringType))
+        .options(CsvOptions.toReaderOptions(CsvOptions()) ++ Map(
+          "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+        .option("maxFilesPerTrigger", "1")
+        .csv(s"file:$dirty/year=*/month=*/day=*/hour=*")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+            org.apache.spark.sql.Row], _: Long) =>
+          batch.persist()
+          try {
+            batch.filter(col(corruptCol).isNull)
+              .select(eventsSchema.fieldNames.map(col): _*)
+              .write.mode("append").parquet(s"file:$goodDir")
+            batch.filter(col(corruptCol).isNotNull)
+              .select(col(corruptCol).as("raw_record"))
+              .write.mode("append").parquet(s"file:$badDir")
+          } finally { batch.unpersist(); () }
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val nBad = spark.read.parquet(s"file:$badDir").count()
+    val row = spark.read.parquet(s"file:$goodDir").agg(
+      count(lit(1)).as("cnt_landed"),
+      sum(col("event_id")).as("sum_eid"),
+      sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+      .collect()(0)
+    import spark.implicits._
+    Seq((row.getLong(0), row.getLong(1), row.getDouble(2), nBad))
+      .toDF("cnt_landed", "sum_eid", "sum_value", "n_quarantined")
   }
 
   /** J1-J3: assemble -> start -> poll one load job for the earliest event
