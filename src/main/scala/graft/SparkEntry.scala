@@ -115,6 +115,7 @@ object SparkEntry {
     "e14_ivf_pq" -> ((s, d) => V.e14IvfPq(s, d)),
     "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
     "e24_trained_pq" -> ((s, d) => V.e24TrainedPq(s, d)),
+    "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1099,6 +1100,7 @@ object SparkEntry {
     "e14_ivf_pq" -> e14OracleSql,
     "e15_kmeans" -> e15OracleSql,
     "e24_trained_pq" -> e24OracleSql,
+    "e25_trained_pq_search" -> e25OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1819,21 +1821,25 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  /** duckdb mirror of [[graft.operators.VectorQueries.e24TrainedPq]] — the
-    * e15 Lloyd chain with a subspace dimension: every CTE groups by
-    * (m, centroid_id) and vectors are the m-th 8-dim slice.
+  /** Per-subspace assign CTE (max decimal sub-dot, lowest-centroid
+    * tiebreak) — shared by the trained-PQ oracles.
     */
-  private def e24OracleSql: String = {
-    val iters = 2
-    def assignCte(name: String, cents: String): String =
-      s"""$name AS (
-         | SELECT vec_id, m, v, centroid_id FROM (
-         |  SELECT s.vec_id, s.m, s.v, c.centroid_id,
-         |   row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
-         |     CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
-         |       i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) DESC,
-         |     c.centroid_id ASC) AS rk
-         |  FROM sub s JOIN $cents c ON c.m = s.m) t WHERE rk = 1)""".stripMargin
+  private def pqAssignCte(name: String, cents: String): String =
+    s"""$name AS (
+       | SELECT vec_id, m, v, centroid_id FROM (
+       |  SELECT s.vec_id, s.m, s.v, c.centroid_id,
+       |   row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+       |     CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |       i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) DESC,
+       |     c.centroid_id ASC) AS rk
+       |  FROM sub s JOIN $cents c ON c.m = s.m) t WHERE rk = 1)""".stripMargin
+
+  /** The trained-PQ CTE chain (subspace slices → per-subspace demo seeds →
+    * `iters` Lloyd rounds → codebooks in CTE `pc<iters>`) — duckdb mirror
+    * of [[graft.operators.VectorQueries.pqTrainedCodebooks]]; the e15
+    * k-means chain with an `m` dimension. No leading WITH.
+    */
+  private def pqChainSql(iters: Int): String = {
     def updateCte(name: String, asg: String): String =
       s"""$name AS (
          | SELECT m, centroid_id,
@@ -1846,9 +1852,9 @@ object SparkEntry {
          |  GROUP BY m, centroid_id, pos) z
          | GROUP BY m, centroid_id)""".stripMargin
     val rounds = (0 until iters).flatMap { t =>
-      Seq(assignCte(s"pa$t", s"pc$t"), updateCte(s"pc${t + 1}", s"pa$t"))
+      Seq(pqAssignCte(s"pa$t", s"pc$t"), updateCte(s"pc${t + 1}", s"pa$t"))
     }.mkString(",\n")
-    s"""WITH sub AS (
+    s"""sub AS (
        | SELECT e.vec_id, CAST(t.m AS INT) AS m,
        |  list_transform(e.embedding[CAST(t.m*8+1 AS INT) : CAST(t.m*8+8 AS INT)],
        |    x -> CAST(x AS DOUBLE)) AS v
@@ -1856,8 +1862,14 @@ object SparkEntry {
        |pc0 AS (
        | SELECT m, CAST(vec_id AS INT) AS centroid_id, v AS c
        | FROM sub WHERE vec_id < 4),
-       |$rounds,
-       |${assignCte("pafin", s"pc$iters")},
+       |$rounds""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e24TrainedPq]]. */
+  private def e24OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${pqAssignCte("pafin", s"pc$iters")},
        |norms AS (
        | SELECT m, centroid_id,
        |  CAST(CAST(sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum'))
@@ -1867,6 +1879,36 @@ object SparkEntry {
        | CAST(sum(a.vec_id) AS BIGINT) AS sum_vec_ids, n.centroid_norm
        |FROM pafin a JOIN norms n USING (m, centroid_id)
        |GROUP BY a.m, a.centroid_id, n.centroid_norm""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e25TrainedPqSearch]]
+    * — the relational ADC: codes join the query sub-dot table on
+    * (m, code), scores sum exactly in decimal.
+    */
+  private def e25OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT vec_id AS neighbor_id, m, centroid_id FROM pafin),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s JOIN pc$iters c ON c.m = s.m WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT q.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN qd q ON q.m = c.m AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> q.query_id
+       | GROUP BY q.query_id, c.neighbor_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_sum,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS tpq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
   }
 
   private def e15OracleSql: String = {

@@ -537,15 +537,22 @@ object VectorQueries {
       .select(col("vec_id"), col("m"), col("v"), col("centroid_id"))
   }
 
-  private[operators] def pqTrainedCodebooks(spark: SparkSession, sfDir: String,
-      iters: Int = 2): DataFrame = {
-    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = emb.select(col("vec_id"),
+  /** (vec_id, m, v): every vector exploded into its M double-cast 8-dim
+    * subspace slices — the relational form the whole trained-PQ family
+    * works in.
+    */
+  private def subspaces(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
         struct(m.cast("int").as("m"),
           transform(slice(col("embedding"), m * PqSub + 1, lit(PqSub)),
             x => x.cast("double")).as("v")))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+
+  private[operators] def pqTrainedCodebooks(spark: SparkSession, sfDir: String,
+      iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
     var cents = sub.filter(col("vec_id") < PqK)
       .select(col("m"), col("vec_id").cast("int").as("centroid_id"),
         col("v").as("c"))
@@ -577,12 +584,7 @@ object VectorQueries {
     */
   def e24TrainedPq(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = emb.select(col("vec_id"),
-      explode(transform(sequence(lit(0), lit(PqM - 1)), m =>
-        struct(m.cast("int").as("m"),
-          transform(slice(col("embedding"), m * PqSub + 1, lit(PqSub)),
-            x => x.cast("double")).as("v")))).as("s"))
-      .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
+    val sub = subspaces(emb)
     val cents = pqTrainedCodebooks(spark, sfDir, iters)
     val norm = sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
     assignSub(sub, cents)
@@ -594,6 +596,43 @@ object VectorQueries {
         Seq("m", "centroid_id"))
       .select(col("m"), col("centroid_id"), col("n_assigned"),
         col("sum_vec_ids"), col("centroid_norm"))
+  }
+
+  /** e25: ADC SEARCH OVER TRAINED CODEBOOKS — e24's per-subspace k-means
+    * codebooks driving the full PQ search, in the RELATIONAL ADC
+    * formulation: codes are (neighbor, m, code) rows, the query side is its
+    * M×K sub-dot table as (query, m, code, qd) rows, and scoring is one
+    * equi-join on (m, code) + a partial-aggregated sum per (query,
+    * neighbor). Versus e11's staged-column unrolling this is the shape that
+    * scales past demo K: the codebook never appears in expression trees
+    * (codegen size is O(1) in K), the join build side is Q·M·K rows
+    * (broadcastable for any real query batch), and the shuffle carries
+    * partial score sums, never vectors. Exact decimal sub-dots make the
+    * summed score bit-identical across engines and aggregation orders.
+    */
+  def e25TrainedPqSearch(spark: SparkSession, sfDir: String,
+      k: Int = 3, iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val cents = pqTrainedCodebooks(spark, sfDir, iters)
+    val codes = assignSub(sub, cents)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = sub.filter(col("vec_id") < 10)
+      .join(broadcast(cents), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
+        dotc.as("qd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    codes.join(broadcast(qdots), Seq("m", "centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("tpq_sim"))
   }
 
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
