@@ -116,6 +116,7 @@ object SparkEntry {
     "e15_kmeans" -> ((s, d) => V.e15Kmeans(s, d)),
     "e24_trained_pq" -> ((s, d) => V.e24TrainedPq(s, d)),
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
+    "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1101,6 +1102,7 @@ object SparkEntry {
     "e15_kmeans" -> e15OracleSql,
     "e24_trained_pq" -> e24OracleSql,
     "e25_trained_pq_search" -> e25OracleSql,
+    "e26_trained_ivfpq_full" -> e26OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1908,6 +1910,46 @@ object SparkEntry {
        |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS tpq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.e26TrainedIvfPqFull]] — both training
+    * chains composed (coarse c0..c2, fine sub/pc0..pc2 — disjoint CTE
+    * names), candidates restricted to the query's coarse bin, relational
+    * ADC scoring.
+    */
+  private def e26OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg0", s"c$iters")},
+       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
+       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id, b.bin,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s
+       | JOIN pc$iters c ON c.m = s.m
+       | JOIN bins b ON b.vec_id = s.vec_id
+       | WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT q.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN qd q ON q.bin = c.bin AND q.m = c.m
+       |  AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> q.query_id
+       | GROUP BY q.query_id, c.neighbor_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_sum,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS fivfpq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 

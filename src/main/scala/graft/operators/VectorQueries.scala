@@ -635,6 +635,49 @@ object VectorQueries {
         col("sim_sum").cast("double").as("tpq_sim"))
   }
 
+  /** e26: FULLY-TRAINED IVF-PQ — the production composition with every
+    * quantizer trained: e15's Lloyd rounds train the coarse centroids
+    * (candidate pruning), e24's per-subspace Lloyd trains the fine
+    * sub-codebooks (compressed scoring), and serving is e25's relational
+    * ADC restricted to candidates sharing the query's coarse bin
+    * (nprobe=1). e17 proved trained-coarse + demo-fine; this removes the
+    * last demo seed from the serving path.
+    *
+    * Scale shape: both trainings are the bounded per-round scans their own
+    * queries pin; serving joins codes → coarse bin (bin column rides the
+    * code rows), then the broadcast query table join on (bin, m, code) +
+    * partial-agg'd score sum — candidate volume ∝ nprobe/C of the corpus,
+    * score shuffle carries partial sums only.
+    */
+  def e26TrainedIvfPqFull(spark: SparkSession, sfDir: String,
+      k: Int = 3, iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarse = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+    val codes = assignSub(sub, fine)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
+      .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = sub.filter(col("vec_id") < 10)
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
+        dotc.as("qd"))
+      .join(coarse.withColumnRenamed("vec_id", "query_id"), "query_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    codes.join(broadcast(qdots), Seq("bin", "m", "centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("fivfpq_sim"))
+  }
+
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
     * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
     * the demo seeds; production indexes search the codebook k-means actually
