@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * lakehouse commit model (Iceberg/Delta's core idea) with zero table-format
   * dependencies: data files are IMMUTABLE once written, and a version is
   * nothing but a manifest listing the files that constitute it. A commit
-  * writes only its NEW files (into its own `data/commit-v{N}/` directory)
+  * writes only its NEW files (into its own `data/commit-v{N}-{attempt}/`
+  * directory)
   * and a new manifest that carries forward every surviving file from the
   * parent version by reference. Readers of version N resolve its manifest
   * and scan exactly those files — a later commit can never disturb them,
@@ -21,11 +22,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Structured Streaming batchId). The key is recorded in the manifest
   * header; committing a key that some live version already recorded is a
   * NO-OP returning that version — so an at-least-once source (foreachBatch
-  * replay after a crash) cannot double-apply a batch. A TORN attempt (data
-  * directory written, manifest rename missed) is recovered, not wedged: the
-  * orphan `commit-v{N}` directory is unreferenced by construction (the
-  * manifest rename IS the commit point, and version numbers advance only on
-  * publish), so the retry deletes it and rewrites.
+  * replay after a crash) cannot double-apply a batch. Every attempt stages
+  * its data under a UNIQUE `commit-v{N}-{attempt}` directory that the
+  * manifest references directly, so no two writers ever touch the same data
+  * dir and the commit path never deletes anything — a concurrent writer
+  * that loses the manifest race (rename to an existing `v{N}.manifest`
+  * fails loudly) or a TORN attempt (data written, manifest rename missed)
+  * leaves only an orphan directory no manifest references. Orphans are
+  * reclaimed by [[vacuumOrphans]], which re-lists every published manifest
+  * and only deletes unreferenced dirs older than a caller-given age (so an
+  * in-flight attempt of a live concurrent writer is never swept).
   *
   * Scale notes: a manifest is one line per file — O(file count), written
   * once per commit, never rewritten; copy-on-write means an update's cost
@@ -99,14 +105,18 @@ object SnapshotLog {
     }
 
   /** Commit a new snapshot: `newData` becomes immutable parquet files under
-    * this commit's own directory; the manifest = `carried` (surviving parent
-    * files, by reference) ++ the new files. Returns the new version number.
+    * this attempt's own unique directory; the manifest = `carried`
+    * (surviving parent files, by reference) ++ the new files. Returns the
+    * new version number.
     *
     * `commitKey`, when given, makes the commit IDEMPOTENT: if a live version
     * already records the key, nothing is written and that version is
-    * returned (at-least-once replay safety). A leftover data directory from
-    * a torn earlier attempt of this version (data written, manifest never
-    * published — so no manifest can reference it) is deleted and rewritten.
+    * returned (at-least-once replay safety). The data dir name embeds a
+    * per-attempt token, so a torn earlier attempt (or a concurrent writer
+    * racing for the same version) can never collide with this one — the
+    * commit path creates, never deletes. The manifest rename is the single
+    * commit point; a loser of the rename race fails loudly with its orphan
+    * dir left for [[vacuumOrphans]].
     */
   def commit(spark: SparkSession, tablePath: String, newData: DataFrame,
       carried: Seq[String], commitKey: Option[String] = None): Int = {
@@ -115,10 +125,8 @@ object SnapshotLog {
       case Some(v) => v // replayed batch: already live, nothing to do
       case None =>
         val v = listVersions(fs, root).foldLeft(0)(math.max) + 1
-        val dataDir = new Path(root, f"data/commit-v$v%05d")
-        // v is unpublished (no v-manifest exists), so an existing dataDir can
-        // only be a torn attempt no reader can see — reclaim it
-        if (fs.exists(dataDir)) fs.delete(dataDir, true)
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        val dataDir = new Path(root, f"data/commit-v$v%05d-$attempt")
         newData.write.mode("error").parquet(dataDir.toString)
         val fresh = fs.listStatus(dataDir).toSeq
           .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
@@ -127,7 +135,7 @@ object SnapshotLog {
         val header = commitKey.map(KeyHeader + _).toSeq
         val lines = header ++ (carried ++ fresh).sorted
         fs.mkdirs(logDir(root))
-        val tmp = new Path(logDir(root), s".v$v.tmp")
+        val tmp = new Path(logDir(root), s".v$v-$attempt.tmp")
         val out = fs.create(tmp, true)
         try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
         val target = versionFile(root, v)
@@ -135,6 +143,33 @@ object SnapshotLog {
         require(fs.rename(tmp, target), s"manifest publish failed for v$v")
         v
     }
+  }
+
+  /** Delete data directories no published manifest references — the torn
+    * attempts and rename-race losers the commit path deliberately leaves
+    * behind. Only dirs whose modification time is older than
+    * `olderThanMillis` are swept, so the staged dir of a concurrent writer
+    * that has not yet published is never deleted (pick an age comfortably
+    * above the longest plausible write-to-publish window, e.g. hours).
+    * Returns the deleted directory paths.
+    */
+  def vacuumOrphans(spark: SparkSession, tablePath: String,
+      olderThanMillis: Long): Seq[String] = {
+    val (fs, root) = fsFor(spark, tablePath)
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) return Seq.empty
+    // every file any live version references, keyed by its commit dir
+    val referencedDirs = listVersions(fs, root)
+      .flatMap(v => readLines(fs, versionFile(root, v)))
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map(f => new Path(f).getParent.getName)
+      .toSet
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    fs.listStatus(dataRoot).toSeq
+      .filter(st => st.isDirectory &&
+        !referencedDirs.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
   /** Scan exactly the files of `version` — immune to any later commit. */

@@ -97,17 +97,18 @@ class SnapshotLogSpec extends SparkSpec {
     }
   }
 
-  test("a torn earlier attempt is reclaimed; a replayed keyed batch is a no-op") {
+  test("a torn earlier attempt never collides with a retry; a replayed keyed batch is a no-op") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-snap2").toString
     val path = s"file:$dir"
     SnapshotLog.commit(spark, path, Seq((1, "a")).toDF("id", "v"), Nil,
       commitKey = Some("batch-0"))
     // simulate a TORN v2 attempt: data dir written (with a stray file), but
-    // the manifest rename never happened — no manifest references it, so a
-    // retry must reclaim the orphan dir and commit cleanly instead of
-    // wedging on mode=errorifexists (the foreachBatch recovery path)
-    val torn = new java.io.File(dir, "data/commit-v00002")
+    // the manifest rename never happened. Attempt dirs are unique, so the
+    // retry just stages its OWN dir and commits — it must neither wedge on
+    // mode=errorifexists nor delete the orphan (which could belong to a
+    // live concurrent writer; only vacuumOrphans may sweep it, by age)
+    val torn = new java.io.File(dir, "data/commit-v00002-deadbeef")
     torn.mkdirs()
     Files.write(new java.io.File(torn, "part-stray.parquet").toPath,
       Array[Byte](1, 2, 3))
@@ -115,6 +116,18 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.manifest(spark, path, 1), commitKey = Some("batch-1"))
     assert(v2 == 2)
     assert(SnapshotLog.read(spark, path, v2).select("id").as[Int]
+      .collect().toSet == Set(1, 2))
+    // the commit path left the orphan alone
+    assert(torn.exists())
+    // vacuum with a huge age threshold sweeps nothing (in-flight protection)
+    assert(SnapshotLog.vacuumOrphans(spark, path, 24L * 3600 * 1000).isEmpty)
+    assert(torn.exists())
+    // vacuum with age 0 sweeps exactly the unreferenced dir; live versions
+    // still read back intact afterwards
+    val swept = SnapshotLog.vacuumOrphans(spark, path, 0L)
+    assert(swept.size == 1 && swept.head.contains("commit-v00002-deadbeef"))
+    assert(!torn.exists())
+    assert(SnapshotLog.read(spark, path, 2).select("id").as[Int]
       .collect().toSet == Set(1, 2))
 
     // at-least-once REPLAY of batch-1 (same key): no new version, no new
