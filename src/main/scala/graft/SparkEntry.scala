@@ -857,14 +857,14 @@ object SparkEntry {
         |SELECT count(*) AS cnt_landed,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
-        | CAST(3 AS BIGINT) AS n_quarantined
+        | CAST(5 AS BIGINT) AS n_quarantined
         |FROM events, h WHERE date_trunc('hour', ts) = h0""".stripMargin,
     "st16_streaming_quarantine" ->
       """WITH h AS (SELECT min(date_trunc('hour', ts)) AS h0 FROM events)
         |SELECT count(*) AS cnt_landed,
         | CAST(sum(event_id) AS BIGINT) AS sum_eid,
         | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
-        | CAST(3 AS BIGINT) AS n_quarantined
+        | CAST(5 AS BIGINT) AS n_quarantined
         |FROM events, h WHERE date_trunc('hour', ts) = h0""".stripMargin,
     "st1_streaming_hourly" ->
       """WITH scoped AS (

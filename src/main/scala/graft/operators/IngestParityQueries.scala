@@ -161,19 +161,19 @@ object IngestParityQueries {
 
   /** s4: QUARANTINE INGEST — BigQuery's `max_bad_records` load semantics
     * ([[graft.sources.HivePartitionedSource.withQuarantine]]): the
-    * first-hour TSV export plus an injected file of 3 malformed lines
-    * (wrong arity, unparseable types) is read PERMISSIVE-with-capture;
+    * first-hour TSV export plus an injected file of 5 malformed lines
+    * (unparseable types, and wrong-arity rows whose present cells parse) is read PERMISSIVE-with-capture;
     * malformed rows are EXCLUDED from the good frame and counted, not
     * silently nulled (PERMISSIVE default) and not a whole-job failure
     * (FAILFAST). The result is the good rows' aggregate + the quarantine
     * count; the oracle restates the aggregate from the original parquet
     * (proving zero good rows were lost or nulled by the bad neighbors in
-    * the same file set) and the injected constant 3. The job-machine
+    * the same file set) and the injected constant 5. The job-machine
     * enforcement of the budget (FAILURE past `maxBadRecords`) is pinned in
     * `IngestPipelineSpec`.
     */
   /** The shared corrupt fixture for s4/st16: the first-hour TSV export
-    * copied next to one injected file of 3 malformed lines. Memoized on the
+    * copied next to one injected file of 5 malformed lines. Memoized on the
     * source files' names+sizes; returns the dirty tree root (local path).
     */
   private def dirtyFirstHourTree(spark: SparkSession, sfDir: String): java.io.File = {
@@ -193,7 +193,9 @@ object IngestParityQueries {
         .sortBy(_.getAbsolutePath)
     }
     require(srcFiles.nonEmpty, s"no exported files under $srcRoot")
-    val stamp = srcFiles.map(f => s"${f.getName}:${f.length}").mkString("|")
+    // "v2" = the injected-lines version: bump when part-bad.tsv content
+    // changes so memoized trees regenerate
+    val stamp = "v2|" + srcFiles.map(f => s"${f.getName}:${f.length}").mkString("|")
     val marker = new java.io.File(dirty, "._dirty_ok")
     val markerValid = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
@@ -209,11 +211,20 @@ object IngestParityQueries {
       val badDir = new java.io.File(dirty,
         srcFiles.head.getParentFile.getAbsolutePath
           .stripPrefix(srcRoot.getAbsolutePath).stripPrefix("/"))
+      // Five bad lines covering both failure classes: cell-level parse
+      // failures AND wrong-arity rows whose present typed cells all parse
+      // cleanly — the latter are invisible to Spark's CSV PERMISSIVE
+      // (missing fields null-filled, extras dropped) but count as bad
+      // records to BigQuery; parseLinesWithCapture's arity check catches
+      // them.
       java.nio.file.Files.write(
         new java.io.File(badDir, "part-bad.tsv").toPath,
         ("corrupt\tline\n" +
           "x\tnot-a-timestamp\ty\tz\tnot-a-double\tp\n" +
-          "9\t9\t9\t9\t9\t9\textra\tcolumns\there\n").getBytes("UTF-8"))
+          "9\t9\t9\t9\t9\t9\textra\tcolumns\there\n" +
+          "5\t2023-06-27 00:00:01\t5\tunder_arity\t1.5\n" +
+          "6\t2023-06-27 00:00:02\t6\tover_arity\t2.5\tp\textra\n"
+          ).getBytes("UTF-8"))
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
     dirty
@@ -251,7 +262,7 @@ object IngestParityQueries {
     * splitting — the withQuarantine materialization contract applied
     * per-batch (corrupt classification is only stable on a materialized
     * frame). Oracle = s4's restatement: good aggregate from the original
-    * parquet + the 3 injected lines.
+    * parquet + the 5 injected lines.
     */
   def st16StreamingQuarantine(spark: SparkSession, sfDir: String): DataFrame = {
     val dirty = dirtyFirstHourTree(spark, sfDir)
@@ -261,12 +272,14 @@ object IngestParityQueries {
     wipe(goodDir); wipe(badDir); wipe(ckpt)
     val corruptCol = "_graft_corrupt"
     withStreamSession(spark, 8) { ss =>
-      val q = ss.readStream
-        .schema(eventsSchema.add(corruptCol, org.apache.spark.sql.types.StringType))
-        .options(CsvOptions.toReaderOptions(CsvOptions()) ++ Map(
-          "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))
+      // text-source + shared quarantine parser (not the csv source): the
+      // same classification as batch s4, including the arity check Spark's
+      // CSV PERMISSIVE cannot express
+      val lines = ss.readStream
         .option("maxFilesPerTrigger", "1")
-        .csv(s"file:$dirty/year=*/month=*/day=*/hour=*")
+        .text(s"file:$dirty/year=*/month=*/day=*/hour=*")
+      val q = HivePartitionedSource.parseLinesWithCapture(
+          lines, eventsSchema, CsvOptions(), corruptCol)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[
             org.apache.spark.sql.Row], _: Long) =>

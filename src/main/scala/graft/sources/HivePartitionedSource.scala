@@ -47,6 +47,42 @@ object HivePartitionedSource {
       throw new IllegalArgumentException(s"unsupported sourceFormat '$other'")
   }
 
+  /** Parse a frame of raw delimiter-separated lines (`value: string`, the
+    * `text` source shape — batch or streaming) under the quarantine
+    * contract: schema fields plus `corruptCol` carrying the ORIGINAL line
+    * for every bad row, null for good rows. A row is bad when either
+    *  - any typed cell fails to parse (Univocity PERMISSIVE capture), or
+    *  - its token count differs from the schema width. Spark's CSV
+    *    PERMISSIVE deliberately does NOT treat wrong-arity rows as corrupt
+    *    (missing trailing fields become nulls, extras are dropped), but
+    *    BigQuery's `max_bad_records` counts them as bad — so arity is
+    *    checked explicitly here. Exact tokenization by `split` is sound
+    *    ONLY because the contract disables quoting (BQ
+    *    `quote_character=''`): the delimiter can never be escaped inside a
+    *    field. Callers with quoting enabled cannot use this path (require
+    *    below).
+    */
+  def parseLinesWithCapture(lines: DataFrame, schema: StructType,
+      csv: CsvOptions, corruptCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_csv, size, split, when}
+    require(csv.quote.isEmpty,
+      "arity-checked quarantine parse requires quoting disabled (the BQ " +
+        "quote_character='' contract); with quoting enabled the delimiter " +
+        "count is not the field count")
+    val readSchema = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
+    val opts = CsvOptions.toReaderOptions(csv) ++ Map(
+      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
+    val delim = java.util.regex.Pattern.quote(csv.delimiter)
+    val width = schema.fields.length
+    lines
+      .filter(col("value") =!= "") // the csv source skips blank lines; so do we
+      .select(col("value"), from_csv(col("value"), readSchema, opts).as("_p"))
+      .select(schema.fieldNames.map(n => col(s"_p.`$n`")).toSeq :+
+        when(col(s"_p.`$corruptCol`").isNotNull ||
+            size(split(col("value"), delim, -1)) =!= width,
+          col("value")).as(corruptCol): _*)
+  }
+
   /** PERMISSIVE-with-capture read — the engine side of BigQuery's
     * `max_bad_records` contract: rows that fail to parse are EXCLUDED from
     * the good frame (not silently nulled, the PERMISSIVE default; not a
@@ -77,7 +113,17 @@ object HivePartitionedSource {
       s"schema already contains reserved column $corruptCol")
     val readSchema = schema.add(corruptCol, org.apache.spark.sql.types.StringType)
     val parsed = (format match {
+      case "csv" if csv.quote.isEmpty && !csv.header =>
+        // The reference contract (no quoting, no header): read raw lines
+        // and parse via parseLinesWithCapture, which ALSO quarantines
+        // wrong-arity rows — BQ counts those as bad records, Spark's CSV
+        // PERMISSIVE does not.
+        parseLinesWithCapture(spark.read.text(glob), schema, csv, corruptCol)
       case "csv" =>
+        // Quoted/headered CSV: quoting makes line-splitting unsound (and
+        // embedded newlines break the text source), so only cell-level
+        // parse failures are captured — a documented divergence from BQ's
+        // bad-record counting for wrong-arity rows under these configs.
         spark.read.schema(readSchema)
           .options(CsvOptions.toReaderOptions(csv) ++ Map(
             "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol))

@@ -197,17 +197,22 @@ class IngestPipelineSpec extends SparkSpec {
   }
 
   test("max_bad_records: malformed rows are skipped within budget, fail past it") {
-    // a fresh hour with 2 good rows and 2 malformed lines (wrong arity,
-    // unparseable type) — isolated from the other tests' hours
+    // a fresh hour with 2 good rows and 4 malformed lines — two with
+    // unparseable cells, and two ARITY traps whose present cells all parse
+    // cleanly (invisible to Spark CSV PERMISSIVE, which null-fills missing
+    // trailing fields and drops extras; BQ counts them as bad records) —
+    // isolated from the other tests' hours
     val h15 = PartitionHour(2023, 6, 27, 15)
     writeTsv(h15, "part-000.tsv", Seq(
       "2023-06-27 15:01:00\tdev-1\tview\ta\t10",
       "broken line",
       "2023-06-27 15:02:00\tdev-2\tclick\tb\t20",
-      "not-a-ts\tdev-3\tview\tc\tnot-a-long"))
+      "not-a-ts\tdev-3\tview\tc\tnot-a-long",
+      "2023-06-27 15:03:00\tdev-4\tview\td",            // under-arity, cells parse
+      "2023-06-27 15:04:00\tdev-5\tview\te\t30\textra")) // over-arity, cells parse
     val r = new JobRunner(spark)
 
-    // budget 1 < 2 bad rows => the job FAILS with the budget in the message
+    // budget 1 < 4 bad rows => the job FAILS with the budget in the message
     val tight = cfg.copy(maxBadRecords = 1)
     val m1 = r.assemble(tight, h15)
     r.start(tight, m1)
@@ -215,8 +220,9 @@ class IngestPipelineSpec extends SparkSpec {
     assert(st1 == JobState.Failure, msg1)
     assert(msg1.exists(_.contains("max_bad_records")))
 
-    // budget 5 >= 2 => SUCCESS, and exactly the good rows land — skipped,
-    // not nulled (PERMISSIVE alone would land 4 rows with null holes)
+    // budget 5 >= 4 => SUCCESS, and exactly the good rows land — skipped,
+    // not nulled (PERMISSIVE alone would land the arity traps with null
+    // holes / silently dropped extras)
     val loose = cfg.copy(maxBadRecords = 5)
     val m2 = r.assemble(loose, h15)
     r.start(loose, m2)
