@@ -122,6 +122,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         e.printStackTrace()
         Double.MaxValue
+      } finally {
+        // Queries that persist intermediates (d28/d34/d35) cannot unpersist
+        // before their caller's action; dropping the cache per query keeps
+        // 151 queries' worth of residue from accumulating and distorting
+        // later timings (the ScaleSlope isolation lesson).
+        spark.catalog.clearCache()
       }
     }
 

@@ -23,6 +23,9 @@ object Verify {
         System.err.println(f"[verify] $name ok in ${(System.nanoTime()-t0)/1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // drop per-query persisted intermediates (see Bench.runOnce)
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -615,6 +615,10 @@ object TextQueries {
     // tokenize/explode/partial-agg lineage — the query's dominant cost —
     // executes twice. The cached frame is (doc_id, term, count), far smaller
     // than the corpus (no bodies), and spills to disk if memory is tight.
+    // Lifetime: the returned plan still references this frame, so it cannot
+    // unpersist here — the gate mains (Bench/Verify) clearCache after each
+    // query's action, which is what bounds residue across the 151-query run
+    // (same for d34's pairs and d35's inst).
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))

@@ -40,14 +40,21 @@ object BucketedTables {
   }
 
   /** [[save]] memoized across runs AND JVMs: a hidden marker in the table
-    * directory records (bucketCol, buckets, row count); when it matches,
-    * the parquet buckets on disk are the ones this `df` would rewrite, so
-    * the write is skipped — and a fresh JVM (whose in-memory catalog forgot
-    * the table) re-registers the existing files with an external
-    * `CLUSTERED BY ... INTO n BUCKETS` DDL instead of re-shuffling the
-    * data. That re-registration is exactly what a production deployment
-    * does on restart: bucket layout is catalog METADATA over immutable
-    * files; only the data write pays the shuffle, once.
+    * directory records (bucketCol, buckets, row count, content
+    * fingerprint); when it matches, the parquet buckets on disk are the
+    * ones this `df` would rewrite, so the write is skipped — and a fresh
+    * JVM (whose in-memory catalog forgot the table) re-registers the
+    * existing files with an external `CLUSTERED BY ... INTO n BUCKETS` DDL
+    * instead of re-shuffling the data. That re-registration is exactly what
+    * a production deployment does on restart: bucket layout is catalog
+    * METADATA over immutable files; only the data write pays the shuffle,
+    * once.
+    *
+    * The fingerprint is an order-independent xor of per-row xxhash64 over
+    * all columns, computed in the same single aggregate pass as the count —
+    * a data change that preserves row count (the stale-reuse hazard of a
+    * count-only stamp) flips it. One scan of the input per call is the
+    * honest price of memoization; it is what the write would read anyway.
     */
   def saveOrReuse(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
@@ -56,7 +63,9 @@ object BucketedTables {
       spark.conf.get("spark.sql.warehouse.dir")).getPath
     val dir = new java.io.File(warehouse, table.toLowerCase)
     val marker = new java.io.File(dir, "._bucketed_ok")
-    val stamp = s"$bucketCol|$buckets|${df.count()}"
+    val idRow = df.selectExpr("count(*) AS n",
+      "coalesce(bit_xor(xxhash64(*)), 0L) AS fp").collect()(0)
+    val stamp = s"$bucketCol|$buckets|${idRow.getLong(0)}|${idRow.getLong(1)}"
     val markerValid = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {
