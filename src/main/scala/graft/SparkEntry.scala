@@ -117,6 +117,7 @@ object SparkEntry {
     "e24_trained_pq" -> ((s, d) => V.e24TrainedPq(s, d)),
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
+    "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1103,6 +1104,7 @@ object SparkEntry {
     "e24_trained_pq" -> e24OracleSql,
     "e25_trained_pq_search" -> e25OracleSql,
     "e26_trained_ivfpq_full" -> e26OracleSql,
+    "e27_pq_k64" -> e25OracleSqlK(64),
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1841,7 +1843,7 @@ object SparkEntry {
     * of [[graft.operators.VectorQueries.pqTrainedCodebooks]]; the e15
     * k-means chain with an `m` dimension. No leading WITH.
     */
-  private def pqChainSql(iters: Int): String = {
+  private def pqChainSql(iters: Int, kCode: Int = 4): String = {
     def updateCte(name: String, asg: String): String =
       s"""$name AS (
          | SELECT m, centroid_id,
@@ -1863,7 +1865,7 @@ object SparkEntry {
        | FROM embeddings e, (SELECT unnest(range(0, 8)) AS m) t),
        |pc0 AS (
        | SELECT m, CAST(vec_id AS INT) AS centroid_id, v AS c
-       | FROM sub WHERE vec_id < 4),
+       | FROM sub WHERE vec_id < $kCode),
        |$rounds""".stripMargin
   }
 
@@ -1885,11 +1887,14 @@ object SparkEntry {
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e25TrainedPqSearch]]
     * — the relational ADC: codes join the query sub-dot table on
-    * (m, code), scores sum exactly in decimal.
+    * (m, code), scores sum exactly in decimal. Parameterized by codebook
+    * size: kCode=4 is the e25 oracle, kCode=64 the e27 one (same chain).
     */
-  private def e25OracleSql: String = {
+  private def e25OracleSql: String = e25OracleSqlK(4)
+
+  private def e25OracleSqlK(kCode: Int): String = {
     val iters = 2
-    s"""WITH ${pqChainSql(iters)},
+    s"""WITH ${pqChainSql(iters, kCode)},
        |${pqAssignCte("pafin", s"pc$iters")},
        |codes AS (
        | SELECT vec_id AS neighbor_id, m, centroid_id FROM pafin),

@@ -449,18 +449,23 @@ object VectorQueries {
     zip_with(col("embedding"), col("c"), (x, y) => x.cast("double") * y),
     lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
 
-  /** One nearest-trained-centroid assignment pass (broadcast codebook, no
-    * shuffle; decimal argmax, ties to lowest centroid — e4's rule).
+  /** One nearest-trained-centroid assignment pass (broadcast codebook;
+    * decimal argmax, ties to lowest centroid — e4's rule). The argmax is a
+    * partial-aggregable `max(struct(sim, -centroid_id, payload))`, NOT a
+    * sort-window: map-side combine reduces each vector to one row before
+    * the shuffle, so the exchange carries N rows, never the K-scaled
+    * candidate stream — the difference that matters once K is 64/256
+    * (e27) or N is 10^9. The negated id makes struct-max break score ties
+    * toward the LOWEST centroid, bit-identical to the window it replaces.
     */
-  private def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+  private def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("sim_dec", trainedDotDec)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
-  }
+      .groupBy("vec_id")
+      .agg(max(struct(col("sim_dec"), (-col("centroid_id")).as("ncid"),
+        col("embedding").as("e"))).as("w"))
+      .select(col("vec_id"), col("w.e").as("embedding"),
+        (-col("w.ncid")).as("centroid_id"))
 
   /** The trained codebook itself — `iters` Lloyd rounds from the demo seeds,
     * returned as (centroid_id, c: array<double>). Shared by e15 (training
@@ -526,15 +531,19 @@ object VectorQueries {
     * d19 rule.
     */
   private def assignSub(sub: DataFrame, cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id", "m").orderBy(col("sim_dec").desc, col("centroid_id").asc)
     val dot = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    // same partial-aggregable argmax as assignTrained: the shuffle carries
+    // one row per (vec_id, m) subvector, not the M·K-scaled candidate
+    // stream a sort-window would move — this is what keeps training cost
+    // linear in N as K grows to production geometry (e27)
     sub.join(broadcast(cents), "m")
       .withColumn("sim_dec", dot)
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("m"), col("v"), col("centroid_id"))
+      .groupBy("vec_id", "m")
+      .agg(max(struct(col("sim_dec"), (-col("centroid_id")).as("ncid"),
+        col("v").as("sv"))).as("w"))
+      .select(col("vec_id"), col("m"), col("w.sv").as("v"),
+        (-col("w.ncid")).as("centroid_id"))
   }
 
   /** (vec_id, m, v): every vector exploded into its M double-cast 8-dim
@@ -549,11 +558,17 @@ object VectorQueries {
             x => x.cast("double")).as("v")))).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.v").as("v"))
 
+  /** `kCode` is the per-subspace codebook size K — PqK (=4) for the demo-
+    * geometry queries, 64+ for production geometry (real PQ is K=256; the
+    * relational ADC consumers are O(1) in K by construction, so the only
+    * K-dependent costs are here in training: the assign join's broadcast
+    * side is M·K rows and the update aggregates M·K·subdim cells).
+    */
   private[operators] def pqTrainedCodebooks(spark: SparkSession, sfDir: String,
-      iters: Int = 2): DataFrame = {
+      iters: Int = 2, kCode: Int = PqK): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     val sub = subspaces(emb)
-    var cents = sub.filter(col("vec_id") < PqK)
+    var cents = sub.filter(col("vec_id") < kCode)
       .select(col("m"), col("vec_id").cast("int").as("centroid_id"),
         col("v").as("c"))
       .localCheckpoint(true)
@@ -611,10 +626,10 @@ object VectorQueries {
     * summed score bit-identical across engines and aggregation orders.
     */
   def e25TrainedPqSearch(spark: SparkSession, sfDir: String,
-      k: Int = 3, iters: Int = 2): DataFrame = {
+      k: Int = 3, iters: Int = 2, kCode: Int = PqK): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     val sub = subspaces(emb)
-    val cents = pqTrainedCodebooks(spark, sfDir, iters)
+    val cents = pqTrainedCodebooks(spark, sfDir, iters, kCode)
     val codes = assignSub(sub, cents)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
@@ -634,6 +649,23 @@ object VectorQueries {
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim_sum").cast("double").as("tpq_sim"))
   }
+
+  /** e27: PRODUCTION-GEOMETRY PQ — e25's trained ADC serving at K=64
+    * sub-centroids per subspace (real PQ is K=256; the demo-geometry e24/
+    * e25 train K=4). The point this query PROVES rather than argues: the
+    * relational ADC is O(1) in K — codes are still one (neighbor, m, code)
+    * row each, the query table grows only to Q·M·K broadcastable rows
+    * (10·8·64 = 5120 here), and no expression tree anywhere enumerates K
+    * (the column-unrolled alternative would blow codegen up 16×). Training
+    * cost is the only K-scaled stage, bounded at M·K·subdim aggregate
+    * cells per Lloyd round. Oracled with the same unrolled-CTE mirror as
+    * e25 at K=64, so convergence of the bigger training is hash-pinned,
+    * not assumed; serving-flat-in-K is adjudicated by this query's bench
+    * time sitting next to e25's.
+    */
+  def e27PqK64(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, kCode: Int = 64): DataFrame =
+    e25TrainedPqSearch(spark, sfDir, k, iters, kCode)
 
   /** e26: FULLY-TRAINED IVF-PQ — the production composition with every
     * quantizer trained: e15's Lloyd rounds train the coarse centroids

@@ -137,4 +137,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("e27: K=64 PQ — argmax assignment is a partial agg, not a window; " +
+      "the only window is the final per-query top-k") {
+    val p = plan("e27_pq_k64")
+    // one Window exec total (rank over query_id; its WindowGroupLimit
+    // pre-filter is fine). The K-scaled candidate streams (N·M·K rows in
+    // training and serving) must never hit a sort-window — the
+    // partial-agg max(struct) reduces them map-side
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    // the codebook and the Q·M·K query-dot table ride as broadcasts;
+    // nothing K-sized is ever the probe side of a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
