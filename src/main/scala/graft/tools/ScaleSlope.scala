@@ -27,21 +27,25 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSlope {
 
-  private def replicateDocs(spark: SparkSession, src: String, out: String,
+  private[graft] def replicateDocs(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val span = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L
     docs.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("doc_id", col("doc_id") + col("rep") * lit(span))
+      // 12 hex chars: at 16^12 the per-replica token vocabulary cannot
+      // birthday-collide (6 chars measurably did — ~16M space vs ~50k
+      // tokens — which perturbed intra-replica Jaccard and broke the
+      // replica-linearity property ScaleSlopeSpec pins)
       .withColumn("text", when(col("rep") === 0, col("text")).otherwise(
         array_join(transform(split(col("text"), " "),
-          t => substring(md5(concat(t, col("rep").cast("string"))), 1, 6)), " ")))
+          t => substring(md5(concat(t, col("rep").cast("string"))), 1, 12)), " ")))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
-  private def replicateEmb(spark: SparkSession, src: String, out: String,
+  private[graft] def replicateEmb(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val emb = spark.read.parquet(s"$src/embeddings.parquet")
     val span = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
@@ -54,7 +58,7 @@ object ScaleSlope {
   private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
     val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
     val marker = new java.io.File(out, "._scale_ok")
-    val stamp = s"$src|$factor"
+    val stamp = s"v2|$src|$factor" // v2: 12-char collision-free remap
     val ok = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!ok) {
@@ -94,7 +98,7 @@ object ScaleSlope {
 
     println(f"${"scale"}%-8s ${"rows(doc/emb)"}%-16s ${"canary"}%-7s " +
       queries.map(_._1).map(n => f"$n%-18s").mkString)
-    scales.foreach { case (label, dir) =>
+    val samples = scales.map { case (label, dir) =>
       // isolate scales: the dedup queries persist per-corpus shingle caches;
       // carrying four scales' caches at once evicts/thashes the largest
       // scale (measured: d13 x100 192s with all caches resident vs ~30s
@@ -114,7 +118,30 @@ object ScaleSlope {
       }
       println(f"$label%-8s ${s"$nd/$ne"}%-16s $c%-7.2f " +
         times.map(t => f"$t%-18.2f").mkString)
+      (label, nd, ne, c, times)
     }
+    // Gate artifact: target/scaleslope.json — per-scale samples plus the
+    // x10-vs-sf0.1 slope per query (rows grow 10x; a slope well under 10
+    // on the time axis is the sublinear-in-data evidence SURVEY §9 cites;
+    // canary values let a reader discount flapped samples).
+    val byLabel = samples.map(s => s._1 -> s).toMap
+    val slopes = (byLabel.get("sf0.1"), byLabel.get("x10")) match {
+      case (Some((_, _, _, _, t1)), Some((_, _, _, _, t10))) =>
+        queries.map(_._1).zip(t1.zip(t10)).map { case (n, (a, b)) =>
+          s""""$n":${if (a > 0) f"${b / a}%.2f" else "null"}"""
+        }.mkString(",")
+      case _ => ""
+    }
+    val sampleJson = samples.map { case (label, nd, ne, c, times) =>
+      val qs = queries.map(_._1).zip(times)
+        .map { case (n, t) => f""""$n":$t%.3f""" }.mkString(",")
+      s"""{"scale":"$label","docs":$nd,"embs":$ne,"canary":${f"$c%.3f"},"sec":{$qs}}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes}}"""
+    val out = java.nio.file.Paths.get("target/scaleslope.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
+    println(json)
     spark.stop()
   }
 }
