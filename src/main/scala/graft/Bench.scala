@@ -94,13 +94,21 @@ object Bench {
     spark.range(1000).groupBy(col("id") % 10).agg(warmAgg(col("id")))
       .write.format("noop").mode("overwrite").save()
 
+    // Warm the canary's own path first (parquet committer + JIT): the r10
+    // shakedown measured an unwarmed first-canary min of 2.76s on a host
+    // whose warmed steady was ~0.6s — a JIT artifact, not host state, and
+    // it would poison the persisted anchor.
+    canary(spark)
     val freshNorm = (1 to 3).map(_ => canary(spark)).min
     // Anchor against the best norm ever seen on this host: a run that starts
     // during a SUSTAINED flap would otherwise adopt the degraded number as
     // "normal" and no probe could ever trip (round-9 failure mode).
     val norm = readBestNorm().fold(freshNorm)(math.min(_, freshNorm))
     writeBestNorm(norm)
-    val hostDegraded = freshNorm > math.max(NormCeiling, FlapFactor * norm)
+    // The ceiling check must be ABSOLUTE (not inside a max with the
+    // relative term): on a first run the anchor IS the fresh norm, and a
+    // relative-only test can never trip.
+    val hostDegraded = freshNorm > NormCeiling || freshNorm > FlapFactor * norm
     System.err.println(
       f"[bench] canary fresh ${freshNorm}%.3fs, anchored norm ${norm}%.3fs" +
         (if (hostDegraded) " — HOST DEGRADED, numbers are upper bounds" else ""))

@@ -105,6 +105,7 @@ object SparkEntry {
     "m4_container_decode" -> (M.m4ContainerDecode _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
+    "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
     "st16_streaming_quarantine" -> (IP.st16StreamingQuarantine _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
@@ -1105,6 +1106,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> e25OracleSql,
     "e26_trained_ivfpq_full" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
+    "d36_semantic_dedup" -> d36OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1956,6 +1958,37 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS fivfpq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.DedupQueries.d36SemanticDedup]] —
+    * the trained-assignment CTE chain feeding within-bin pairwise cosine
+    * (e5's decimal formula) and the pairwise keep-smallest-id rule.
+    */
+  private def d36OracleSql: String = {
+    val iters = 2
+    s"""WITH ${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg", s"c$iters")},
+       |bins AS (SELECT vec_id, embedding, centroid_id AS bin FROM casg),
+       |pairs AS (
+       | SELECT a.bin, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM bins a JOIN bins b ON a.bin = b.bin AND a.vec_id < b.vec_id),
+       |removed AS (
+       | SELECT DISTINCT bin, id_b AS vec_id FROM pairs WHERE sim_dec >= 0.25)
+       |SELECT b.bin, count(*) AS n_vectors,
+       | CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_removed,
+       | CAST(sum(CASE WHEN r.vec_id IS NULL THEN b.vec_id END) AS BIGINT)
+       |  AS sum_survivor_ids
+       |FROM bins b LEFT JOIN removed r ON r.bin = b.bin AND r.vec_id = b.vec_id
+       |GROUP BY b.bin""".stripMargin
   }
 
   private def e15OracleSql: String = {

@@ -650,4 +650,54 @@ object DedupQueries {
       .select(col("vec_id"), col("centroid_id"),
         col("sim_dec").cast("double").as("centroid_sim"))
   }
+
+  /** d36: SEMANTIC DEDUP (the SemDeDup recipe) — near-duplicate removal in
+    * EMBEDDING space, with trained k-means clusters bounding the quadratic
+    * term: vectors are binned by the trained coarse codebook
+    * ([[VectorQueries.kmeansCentroids]], the e15 Lloyd chain), pairwise
+    * cosine runs ONLY within a bin, and a vector is removed when it is
+    * cosine-similar (>= `threshold`, decimal-rounded) to any SMALLER-id
+    * vector in its bin — d15's pairwise keep-first rule, lifted from
+    * token space to embedding space. Output per bin: census + removal
+    * stats + survivor id-sum, which hash-pins the trained assignment, the
+    * pair classification, and the keep rule at once.
+    *
+    * Scale shape (why this survives 100 TB where all-pairs cosine cannot):
+    * candidate cost is Σ_bins |bin|² — the cluster count scales with the
+    * corpus so |bin| stays ~constant, making the quadratic term a LINEAR
+    * total (the SemDeDup argument, here as a real plan: bin equi-join,
+    * never a cartesian). The bin self-join shuffles on the bin key;
+    * removal is a partial-agg'd min-partner exists, never a window over
+    * the corpus.
+    */
+  def d36SemanticDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.25, iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val bins = VectorQueries.assignTrained(emb,
+      VectorQueries.kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"))
+    val dotAB = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // within-bin pairs, one direction (a < b): b is the removal candidate
+    val dupPairs = bins
+      .select(col("bin"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .join(bins.select(col("bin"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b")), "bin")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_dec",
+        (dotAB / (norm(col("emb_a")) * norm(col("emb_b")))).cast("decimal(20,6)"))
+      .filter(col("sim_dec") >= threshold)
+    val removed = dupPairs.select(col("bin"), col("id_b").as("vec_id")).distinct()
+    bins.select(col("bin"), col("vec_id"))
+      .join(removed.withColumn("rm", lit(1)), Seq("bin", "vec_id"), "left")
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(col("rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("rm").isNull, col("vec_id"))).as("sum_survivor_ids"))
+  }
 }

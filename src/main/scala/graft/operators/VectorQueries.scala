@@ -458,7 +458,7 @@ object VectorQueries {
     * (e27) or N is 10^9. The negated id makes struct-max break score ties
     * toward the LOWEST centroid, bit-identical to the window it replaces.
     */
-  private def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame =
+  private[operators] def assignTrained(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("sim_dec", trainedDotDec)
       .groupBy("vec_id")
