@@ -68,6 +68,7 @@ object SparkEntry {
     "q19_grouping_sets" -> (R.q19GroupingSets _),
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
     "e18_persisted_ivf" -> ((s, d) => V.e18PersistedIvf(s, d)),
+    "st17_streaming_index_ingest" -> ((s, d) => V.st17StreamingIndexIngest(s, d)),
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
     "q22_scalar_subquery" -> (R.q22ScalarSubquery _),
@@ -520,6 +521,9 @@ object SparkEntry {
     // e18: e6's restatement VERBATIM — the persisted, partition-pruned
     // index path must return exactly what the in-memory probe search does
     "e18_persisted_ivf" -> e18OracleSql,
+    // the stream-built index must serve IDENTICALLY to the one-shot build:
+    // e18's full-corpus restatement, verbatim, is the equivalence oracle
+    "st17_streaming_index_ingest" -> e18OracleSql,
     // e20: THE SAME SQL as e18 — coarse assignment is per-vector, so the
     // base-build ∪ appended-batch index must serve exactly what a full
     // rebuild serves; reusing the oracle text IS the append≡rebuild claim

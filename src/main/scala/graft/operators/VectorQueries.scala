@@ -866,6 +866,103 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** st17: STREAMING INDEX INGEST — the continuous-embedding-pipeline form
+    * of e20's incremental append: the corpus arrives as a file STREAM
+    * (`maxFilesPerTrigger=1` forces multi-batch), and every micro-batch is
+    * assigned alone (a batch-sized scan, never a corpus scan) and appended
+    * into its bins of the persisted partitioned index; serving is e18's
+    * bin-pruned read over the accreted lists. Because coarse assignment is
+    * per-vector, stream-built ∪ equals the one-shot build bit-exactly —
+    * the oracle is e18's full-corpus restatement verbatim, which is the
+    * strongest possible statement of the equivalence. The gate replay uses
+    * a fresh checkpoint + overwritten index per run; a production deploy
+    * makes the append exactly-once by routing batch files through
+    * [[graft.sources.SnapshotLog]] with the batchId as commitKey (st15's
+    * mechanism) at the cost of manifest-based instead of directory-based
+    * bin pruning.
+    *
+    * Scale shape: per batch, cost ∝ batch size (assignment broadcast is
+    * the K-row codebook; the append touches only the bins the batch maps
+    * to); the index never rewrites an existing file, so a day's stream
+    * accretes files compacted later by e23's bin-scoped sweep.
+    */
+  def st17StreamingIndexIngest(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    // fixture: the embeddings table split into 4 range-partitioned parquet
+    // files so the file stream genuinely runs multiple micro-batches;
+    // memoized on row count across JVMs
+    val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
+      .getAbsoluteFile.toString
+    val marker = new java.io.File(splitDir, "._split_ok")
+    val stamp = s"$sfDir|${emb.count()}"
+    val markerValid = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!markerValid) {
+      emb.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$splitDir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    val indexDir = new java.io.File(s"target/parity/ivf-sindex-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/ivf-sckpt-$sfTag")
+      .getAbsoluteFile.toString
+    def wipe(d: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(new java.io.File(d))
+    }
+    wipe(indexDir); wipe(ckptDir)
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        assignToCentroids(batch.sparkSession, sfDir, batch)
+          .write.mode("append").partitionBy("centroid_id")
+          .parquet(s"file:$indexDir")
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // e18's serving, over the stream-built index
+    val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:
     * probe the affected bins with a column-pruned semi-join scan, then one
     * dynamic partition overwrite rewrites exactly those bins anti-joined
