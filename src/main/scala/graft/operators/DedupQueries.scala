@@ -674,23 +674,30 @@ object DedupQueries {
       threshold: Double = 0.25, iters: Int = 2): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // per-VECTOR norms ride the bin rows, so each pair evaluates one dot,
+    // not dot + two 64-dim norm reductions — same IEEE expression per
+    // vector (sqrt of the double sum), hence bit-identical sim_dec, at a
+    // third of the per-pair HOF work; at Σ|bin|² pairs that is the
+    // dominant cost of the whole query
     val bins = VectorQueries.assignTrained(emb,
       VectorQueries.kmeansCentroids(spark, sfDir, iters))
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"))
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"),
+        norm(col("embedding")).as("nrm"))
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
     // within-bin pairs, one direction (a < b): b is the removal candidate
     val dupPairs = bins
-      .select(col("bin"), col("vec_id").as("id_a"), col("embedding").as("emb_a"))
+      .select(col("bin"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
       .join(bins.select(col("bin"), col("vec_id").as("id_b"),
-        col("embedding").as("emb_b")), "bin")
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "bin")
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim_dec",
-        (dotAB / (norm(col("emb_a")) * norm(col("emb_b")))).cast("decimal(20,6)"))
+        (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
       .filter(col("sim_dec") >= threshold)
     val removed = dupPairs.select(col("bin"), col("id_b").as("vec_id")).distinct()
     bins.select(col("bin"), col("vec_id"))
