@@ -104,6 +104,7 @@ object SparkEntry {
     "b1_bucketed_join" -> (R.b1BucketedJoin _),
     "m3_frame_sample" -> (M.m3FrameSample _),
     "m4_container_decode" -> (M.m4ContainerDecode _),
+    "m5_pcm_window_energy" -> (M.m5PcmWindowEnergy _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
@@ -807,6 +808,19 @@ object SparkEntry {
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 3
         |  ELSE 1 + (doc_id // 2) % 2 END AS INT) AS channels
         |FROM documents""".stripMargin,
+    // restates MultimodalOps.syntheticPcmWav's generative formula over the
+    // same 8-sample windows — the engine side decoded the samples from the
+    // assembled WAV BYTES, so equality pins the chunk walk + LE signed reads
+    "m5_pcm_window_energy" ->
+      """WITH params AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        |samples AS (
+        | SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS s
+        | FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM params) t)
+        |SELECT doc_id, CAST(i // 8 AS INT) AS window_idx,
+        | count(*) AS n_in_window,
+        | CAST(sum(s * s) AS BIGINT) AS sum_sq,
+        | CAST(max(abs(s)) AS BIGINT) AS peak
+        |FROM samples GROUP BY doc_id, i // 8""".stripMargin,
     "d34_bigram_lm" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -219,6 +219,102 @@ object MultimodalOps {
     buf.array()
   }
 
+  /** A 16-bit mono PCM WAV whose samples are the deterministic int16
+    * sequence s(id,i) = ((id·31 + i·7919) mod 65536) − 32768, n = 16 +
+    * id mod 17 samples, odd ids carrying a JUNK chunk before `fmt `.
+    * The generative formula is what the m5 oracle restates — nothing else
+    * connects fixture parameters to decoded samples, so hash equality
+    * proves the byte-level decode (chunk walk, offset, endianness,
+    * signedness).
+    */
+  private[operators] def syntheticPcmWav(id: Long): Array[Byte] = {
+    val n = (16 + id % 17).toInt
+    val junk = id % 2 == 1
+    val junkLen = if (junk) 14 else 0
+    val total = 44 + junkLen + 2 * n
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(total - 8)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    if (junk) {
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(6)
+      buf.put(Array.fill[Byte](6)(0x6a))
+    }
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(8000)  // PCM, mono, 8 kHz
+    buf.putInt(8000 * 2).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(2 * n)
+    (0 until n).foreach { i =>
+      buf.putShort((((id * 31 + i.toLong * 7919) % 65536) - 32768).toShort)
+    }
+    buf.array()
+  }
+
+  /** Decode the PCM int16 samples of a RIFF/WAVE payload: chunk walk from
+    * offset 12 (JUNK and any other non-`data` chunks skipped, word-aligned
+    * like every real RIFF reader), then little-endian SIGNED 16-bit reads
+    * over the `data` chunk. The byte-to-sample half of the audio path —
+    * [[HeaderDecoder]] stops at the format header; this reads the signal.
+    */
+  private[operators] def pcmSamples(docId: Long, payload: Array[Byte]): Array[Int] = {
+    require(payload.length >= 12 && tagOf(payload, 0) == "RIFF" &&
+      tagOf(payload, 8) == "WAVE", s"doc $docId: not a RIFF/WAVE payload")
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val size = i32leOf(payload, off + 4)
+      if (tagOf(payload, off) == "data") {
+        require(size >= 0 && off + 8 + size <= payload.length,
+          s"doc $docId: data chunk claims $size bytes past payload end")
+        val n = size / 2
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = payload(off + 8 + 2 * i) & 0xff
+          val hi = payload(off + 8 + 2 * i + 1)
+          out(i) = (hi << 8) | lo // hi kept signed: LE int16
+          i += 1
+        }
+        return out
+      }
+      off += 8 + size + (size & 1)
+    }
+    throw new IllegalArgumentException(s"doc $docId: no data chunk")
+  }
+
+  private def tagOf(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, "US-ASCII")
+  private def i32leOf(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** m5 gate query: PCM WINDOW ENERGY — the first signal-level (not just
+    * container-level) audio operator: every document's 16-bit WAV payload
+    * is decoded to samples in a partition-local pass (payload bytes never
+    * shuffle — only the int sample arrays flow), then windowed RELATIONALLY:
+    * posexplode → group by (doc, i div 8) → exact integer sum-of-squares
+    * and peak per 8-sample window. All-integer arithmetic makes the oracle
+    * (the generative formula restated over the same windows) bit-exact with
+    * no decimal routing needed.
+    *
+    * Scale shape: decode is mapPartitions (m2's contract); the windowed
+    * aggregate is partial before its shuffle and keyed on (doc_id, window)
+    * — high cardinality, no skew; window stats are 3 longs per window,
+    * never samples.
+    */
+  def m5PcmWindowEnergy(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id => (id, pcmSamples(id, syntheticPcmWav(id))) })
+      .toDF("doc_id", "samples")
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "s")))
+      .groupBy(col("doc_id"),
+        floor(col("i") / 8).cast("int").as("window_idx"))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(col("s").cast("long") * col("s")).as("sum_sq"),
+        max(abs(col("s"))).cast("long").as("peak"))
+  }
+
   /** m4 gate query: REAL container decode — the de-stubbed half of the
     * multimodal story. Each document id deterministically becomes a valid
     * BMP (even ids) or RIFF/WAV (odd ids; every other one carrying a JUNK

@@ -89,4 +89,43 @@ class MultimodalOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("pcmSamples reads LE signed int16 from hand-laid bytes, skipping JUNK") {
+    // hand-assembled, not via syntheticPcmWav: RIFF/WAVE, a JUNK chunk the
+    // walk must skip, fmt, then data = [1, -1, -32768, 32767] little-endian
+    val data = Array[Byte](0x01, 0x00, 0xff.toByte, 0xff.toByte,
+      0x00, 0x80.toByte, 0xff.toByte, 0x7f)
+    val buf = java.nio.ByteBuffer.allocate(44 + 14 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 14 + data.length)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("JUNK".getBytes("US-ASCII")).putInt(6)
+    buf.put(Array.fill[Byte](6)(0))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(data.length)
+    buf.put(data)
+    assert(MultimodalOps.pcmSamples(1L, buf.array()).toSeq ==
+      Seq(1, -1, -32768, 32767))
+    // a payload without a data chunk fails loudly
+    intercept[IllegalArgumentException] {
+      MultimodalOps.pcmSamples(2L, buf.array().take(44 + 14))
+    }
+  }
+
+  test("m5: window stats match the generative formula, windows cover all samples") {
+    val rows = m5PcmWindowEnergy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getLong(0))
+    byDoc.foreach { case (id, ws) =>
+      val n = (16 + id % 17).toInt
+      assert(ws.map(_.getLong(2)).sum == n, s"doc $id sample coverage")
+      assert(ws.map(_.getInt(1)).sorted.toSeq == (0 until (n + 7) / 8).toSeq)
+      // spot-check window 0 against the formula
+      val w0 = ws.find(_.getInt(1) == 0).get
+      val s = (0 until 8).map(i => ((id * 31 + i.toLong * 7919) % 65536) - 32768)
+      assert(w0.getLong(3) == s.map(x => x * x).sum, s"doc $id sum_sq")
+      assert(w0.getLong(4) == s.map(math.abs).max, s"doc $id peak")
+    }
+  }
 }
