@@ -108,6 +108,7 @@ object SparkEntry {
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
+    "st18_streaming_semantic_dedup" -> ((s, d) => D.st18StreamingSemanticDedup(s, d)),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
     "st16_streaming_quarantine" -> (IP.st16StreamingQuarantine _),
     "d16_char_entropy" -> (T.d16CharEntropy _),
@@ -1125,6 +1126,9 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "d36_semantic_dedup" -> d36OracleSql,
+    // the incrementally-deduped state must equal the batch answer: d36's
+    // full-corpus SQL verbatim is the order-independence oracle
+    "st18_streaming_semantic_dedup" -> d36OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)

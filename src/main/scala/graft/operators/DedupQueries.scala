@@ -651,6 +651,143 @@ object DedupQueries {
         col("sim_dec").cast("double").as("centroid_sim"))
   }
 
+  /** st18: STREAMING SEMANTIC DEDUP — [[d36SemanticDedup]]'s pairwise rule
+    * computed INCREMENTALLY over a micro-batched vector stream: state is a
+    * bin-partitioned table of every arrived vector with a `kept` flag, and
+    * each batch (1) assigns its vectors to trained bins, (2) forms
+    * same-bin pairs against state AND within itself, and (3) rewrites ONLY
+    * the bins the batch touches, flipping `kept` to false for any vector
+    * (stored or incoming) similar to a smaller-id vector. The d36 rule —
+    * removed iff similar to ANY smaller-id bin-mate, kept or not — is
+    * prefix-decomposable and ORDER-INDEPENDENT: prior-prior pair effects
+    * are already in the flags and never change, so any batch partitioning
+    * and any arrival order converge to the batch answer. The oracle states
+    * that equivalence in the strongest form: d36's full-corpus SQL,
+    * verbatim.
+    *
+    * Scale shape: per batch, pair cost is |batch|·|touched bins' state| +
+    * |batch|² (never state²; prior-prior pairs are excluded), and the
+    * state rewrite is a dynamic partition overwrite of exactly the
+    * touched bins — untouched bins keep their files. At scale the state
+    * table would version through [[graft.sources.SnapshotLog]] for
+    * exactly-once (st15's mechanism); the gate replay uses a fresh
+    * checkpoint + state dir per run.
+    */
+  def st18StreamingSemanticDedup(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.25, iters: Int = 2): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // the same 4-file range-split fixture st17 streams (shared memo)
+    val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
+      .getAbsoluteFile.toString
+    val marker = new java.io.File(splitDir, "._split_ok")
+    val stamp = s"$sfDir|${emb.count()}"
+    val markerValid = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!markerValid) {
+      emb.repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$splitDir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    val stateDir = new java.io.File(s"target/parity/semdedup-state-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/semdedup-ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    def wipeDir(d: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(new java.io.File(d))
+    }
+    wipeDir(stateDir); wipeDir(ckptDir)
+
+    // trained codebook, computed ONCE and carried as plain rows so each
+    // micro-batch rebuilds a 4-row frame on its own session (no cross-
+    // session plan mixing, no per-batch re-training)
+    val centRows = VectorQueries.kmeansCentroids(spark, sfDir, iters)
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val normOf = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val dotAB = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val cents = centRows.toSeq.toDF("centroid_id", "c")
+        val asgB = VectorQueries.assignTrained(
+            batch.select(col("vec_id"), col("embedding")), cents)
+          .select(col("vec_id"), col("embedding"),
+            col("centroid_id").as("bin"), normOf(col("embedding")).as("nrm"),
+            lit(true).as("kept"), lit(1).as("src"))
+        val hasState = new java.io.File(stateDir).listFiles() != null &&
+          new java.io.File(stateDir).listFiles().exists(_.getName.startsWith("bin="))
+        val prior =
+          if (!hasState) asgB.filter(lit(false))
+          else bs.read.option("basePath", s"file:$stateDir")
+            .parquet(s"file:$stateDir")
+            .select(col("vec_id"), col("embedding"),
+              col("bin").cast("int").as("bin"), col("nrm"), col("kept"),
+              lit(0).as("src"))
+        val touched = asgB.select(col("bin")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        // all same-bin pairs EXCEPT prior-prior (their effects are already
+        // in the flags); the u = prior∪batch frame is localCheckpointed so
+        // the state dir can be overwritten while derived from itself
+        val u = prior.filter(col("bin").isin(touched: _*))
+          .unionByName(asgB).localCheckpoint(true)
+        val pairs = u.select(col("bin"), col("vec_id").as("id_a"),
+            col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
+            col("src").as("src_a"))
+          .join(u.select(col("bin"), col("vec_id").as("id_b"),
+            col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
+            col("src").as("src_b")), "bin")
+          .filter(col("id_a") < col("id_b") &&
+            (col("src_a") + col("src_b") > 0))
+          .withColumn("sim_dec",
+            (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
+          .filter(col("sim_dec") >= threshold)
+        val doomed = pairs.select(col("bin"), col("id_b").as("vec_id")).distinct()
+        val newState = u
+          .join(doomed.withColumn("rm", lit(1)), Seq("bin", "vec_id"), "left")
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (col("kept") && col("rm").isNull).as("kept"), col("bin"))
+        val key = "spark.sql.sources.partitionOverwriteMode"
+        val prev = bs.conf.get(key, "static")
+        bs.conf.set(key, "dynamic")
+        try newState.repartition(col("bin")).write.mode("overwrite")
+          .partitionBy("bin").parquet(s"file:$stateDir")
+        finally bs.conf.set(key, prev)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.option("basePath", s"file:$stateDir").parquet(s"file:$stateDir")
+      .groupBy(col("bin").cast("int").as("bin"))
+      .agg(count(lit(1)).as("n_vectors"),
+        sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("kept"), col("vec_id"))).as("sum_survivor_ids"))
+  }
+
   /** d36: SEMANTIC DEDUP (the SemDeDup recipe) — near-duplicate removal in
     * EMBEDDING space, with trained k-means clusters bounding the quadratic
     * term: vectors are binned by the trained coarse codebook
