@@ -122,6 +122,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
+    "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1129,6 +1130,7 @@ object SparkEntry {
     // the incrementally-deduped state must equal the batch answer: d36's
     // full-corpus SQL verbatim is the order-independence oracle
     "st18_streaming_semantic_dedup" -> d36OracleSql,
+    "e28_trained_nprobe" -> e28OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1939,6 +1941,51 @@ object SparkEntry {
        |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS tpq_sim
+       |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e28TrainedNprobe]] —
+    * e26's composed chains with a probe CTE (top-nprobe coarse centroids
+    * per query, decimal-ranked) replacing the own-bin restriction.
+    */
+  private def e28OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg0", s"c$iters")},
+       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
+       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id),
+       |probes AS (
+       | SELECT vec_id AS query_id, centroid_id AS bin FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+       |      AS DECIMAL(20,6)) DESC,
+       |     c.centroid_id ASC) AS rk
+       |  FROM embeddings e, c$iters c WHERE e.vec_id < 10) t WHERE rk <= 2),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s JOIN pc$iters c ON c.m = s.m WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT pr.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN probes pr ON pr.bin = c.bin
+       | JOIN qd q ON q.query_id = pr.query_id AND q.m = c.m
+       |  AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> pr.query_id
+       | GROUP BY pr.query_id, c.neighbor_id),
+       |ranked AS (
+       | SELECT query_id, neighbor_id, sim_sum,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
+       | FROM scored)
+       |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS npq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
 

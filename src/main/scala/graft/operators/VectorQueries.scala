@@ -710,6 +710,58 @@ object VectorQueries {
         col("sim_sum").cast("double").as("fivfpq_sim"))
   }
 
+  /** e28: TRAINED NPROBE SERVING — the fully-trained IVF-PQ composition
+    * (e26) with a TUNABLE probe set: each query scores candidates from its
+    * `nprobe` nearest coarse centroids instead of only its own bin, the
+    * production recall knob (e16 measured the nprobe-recall curve on the
+    * demo-centroid IVF-flat; this puts the knob on the trained compressed
+    * path). Probe selection is a Q·K broadcast ranking (decimal dot,
+    * lowest-centroid ties); candidates come from the probe-set equi-join
+    * on bin — never a cartesian — and scoring is the relational ADC
+    * unchanged.
+    *
+    * Scale shape: candidate volume ∝ nprobe/C of the corpus per query —
+    * the exact dial a deployment turns; the probe table is Q·nprobe rows
+    * broadcast; the score shuffle still carries partial sums only.
+    */
+  def e28TrainedNprobe(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarseCents = kmeansCentroids(spark, sfDir, iters)
+    val coarse = assignTrained(emb, coarseCents)
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+    val codes = assignSub(sub, fine)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
+      .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(coarseCents))
+      .withColumn("sim_dec", trainedDotDec)
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("bin"))
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = sub.filter(col("vec_id") < 10)
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
+        dotc.as("qd"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    codes.join(broadcast(probes), "bin")
+      .join(broadcast(qdots), Seq("query_id", "m", "centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("npq_sim"))
+  }
+
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
     * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
     * the demo seeds; production indexes search the codebook k-means actually
