@@ -138,6 +138,27 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d36: within-bin pairs come from a bin equi-join, never a cartesian") {
+    val p = plan("d36_semantic_dedup")
+    // the only non-equi joins allowed are the K-row codebook broadcast
+    // crosses (BroadcastNestedLoopJoin over a constant 4-row build side);
+    // a CartesianProduct would mean the PAIR join lost its bin key. The
+    // pair join itself is corpus×corpus on the bin key — a shuffle
+    // (sort-merge) join is the RIGHT plan there: neither side broadcasts
+    // at scale, and bin cardinality grows with the corpus.
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Join [bin") || p.contains("join [bin") ||
+      p.contains("SortMergeJoin"), p)
+  }
+
+  test("e28: probe-set candidates are bin equi-joined; probe + query-dot " +
+      "tables broadcast; no cartesian anywhere") {
+    val p = plan("e28_trained_nprobe")
+    assert(!p.contains("CartesianProduct"), p)
+    // probes, qdots, and the codes→bin join all plan as broadcast hash
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("e27: K=64 PQ — argmax assignment is a partial agg, not a window; " +
       "the only window is the final per-query top-k") {
     val p = plan("e27_pq_k64")
