@@ -165,6 +165,7 @@ object SparkEntry {
     "q48_lateral_topn" -> (R.q48LateralTopn _),
     "q49_null_safe_join" -> (R.q49NullSafeJoin _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
+    "d37_incremental_dedup" -> (T.d37IncrementalDedup _),
     "d32_source_overlap" -> (T.d32SourceOverlap _),
     "d33_split_assign" -> (T.d33SplitAssign _),
     "q41_datetime" -> (R.q41Datetime _),
@@ -1045,6 +1046,32 @@ object SparkEntry {
         | count(DISTINCT h) AS n_canon_forms,
         | count(DISTINCT raw_h) - count(DISTINCT h) AS n_caught_by_canon
         |FROM c GROUP BY source""".stripMargin,
+    // restates d37: prior = doc_id%5<>0, batch = %5=0, canonical-hash
+    // anti-join, within-batch min-id winner, v2 = prior ∪ kept
+    "d37_incremental_dedup" ->
+      """WITH d AS (
+        | SELECT doc_id, source,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS h
+        | FROM documents),
+        |prior AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |keptb AS (
+        | SELECT h, min(doc_id) AS doc_id,
+        |  arg_min(source, doc_id) AS source
+        | FROM batch b
+        | WHERE NOT EXISTS (SELECT 1 FROM prior p WHERE p.h = b.h)
+        | GROUP BY h),
+        |v2 AS (
+        | SELECT doc_id, source, FALSE AS is_new FROM prior
+        | UNION ALL SELECT doc_id, source, TRUE FROM keptb),
+        |nb AS (SELECT source, count(*) AS n_batch FROM batch GROUP BY source)
+        |SELECT v.source, count(*) AS n_docs_v2,
+        | CAST(sum(CASE WHEN v.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_kept,
+        | CAST(any_value(nb.n_batch) -
+        |  sum(CASE WHEN v.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_dropped
+        |FROM v2 v JOIN nb ON nb.source = v.source
+        |GROUP BY v.source""".stripMargin,
     // c4: hours below the cutoff (first day's noon) are deleted directories;
     // the oracle counts the same hours from the data — an hour with no rows
     // never had a directory, so both sides count physically-existing hours

@@ -387,6 +387,61 @@ object TextQueries {
         col("n_exact_forms") - col("n_canon_forms"))
   }
 
+  /** d37: INCREMENTAL CORPUS DEDUP AGAINST A PRIOR SNAPSHOT — the
+    * cross-cut hygiene op every recurring training-data pipeline runs:
+    * when a new batch of documents arrives, drop the ones already in the
+    * corpus (by d30's canonical hash) and commit only the survivors as a
+    * new snapshot that carries the prior cut's files BY REFERENCE
+    * ([[graft.sources.SnapshotLog]] — so "the corpus as of v2" is prior ∪
+    * kept-new, reproducible forever, and the commit's write cost is
+    * ∝ the kept batch, never the corpus). Batch-internal duplicates keep
+    * their smallest doc_id. Output per source: v2 census + how many new
+    * docs were kept vs dropped — which hash-pins the canonicalization,
+    * the anti-join, the within-batch keep rule, and the snapshot
+    * carry-forward at once.
+    *
+    * Scale shape: the dedup is one anti-join of the BATCH against the
+    * prior cut's hash column (shuffles batch + hash column, never
+    * documents), the within-batch winner is a partial-agg'd min, and the
+    * snapshot read back is manifest-pruned to exactly v2's files.
+    */
+  def d37IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.SnapshotLog
+    val canon = md5(trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), canon.as("h"))
+    val prior = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+    val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+
+    val dir = new java.io.File(s"target/parity/incdedup-" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_")).getAbsoluteFile
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    rec(dir)
+    val path = s"file:$dir"
+    val v1 = SnapshotLog.commit(spark, path, prior, Nil)
+    // dedupe the batch against the SNAPSHOT (not the source table): the
+    // prior cut is whatever v1 says it is — the reproducibility contract
+    val priorHashes = SnapshotLog.read(spark, path, v1).select("h").distinct()
+    val kept = batch.join(priorHashes, Seq("h"), "left_anti")
+      .groupBy("h").agg(min(struct(col("doc_id"), col("source"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"), col("h"))
+    val v2 = SnapshotLog.commit(spark, path, kept,
+      SnapshotLog.manifest(spark, path, v1))
+
+    val nBatch = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
+    SnapshotLog.read(spark, path, v2)
+      .withColumn("is_new", pmod(col("doc_id"), lit(5)) === 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_v2"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new_kept"))
+      .join(nBatch, "source")
+      .select(col("source"), col("n_docs_v2"), col("n_new_kept"),
+        (col("n_batch") - col("n_new_kept")).as("n_new_dropped"))
+  }
+
   def d24PiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val phone = "\\+1-555-[0-9]{4}"
