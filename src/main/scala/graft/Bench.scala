@@ -182,8 +182,13 @@ object Bench {
         }
       }.toSeq
 
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
-      .mkString("{", ",", "}")
+    // Failed queries emit null (never a numeric sentinel): a naive consumer
+    // summing or averaging the map must fail loudly on null rather than
+    // silently ingest -1.0 as a wall time. The names are also enumerated in
+    // "failed".
+    val qs = results.map { case (k, v) =>
+      if (v < 0) s""""$k":null""" else f""""$k":$v%.3f"""
+    }.mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.toSeq.sorted.map(n => s""""$n"""")
       .mkString("[", ",", "]")

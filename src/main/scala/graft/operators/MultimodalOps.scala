@@ -98,6 +98,12 @@ object MultimodalOps {
         while (off + 8 <= payload.length) {
           val id = tag(payload, off)
           val size = i32le(payload, off + 4)
+          // Validate EVERY chunk's claimed size before trusting it: a
+          // negative or oversized size would step the walk backwards (an
+          // infinite loop) or silently skip later chunks instead of
+          // failing cleanly on the malformed byte.
+          require(size >= 0 && off + 8 + size <= payload.length,
+            s"doc $docId: RIFF chunk '$id' claims $size bytes past payload end")
           if (id == "fmt " && off + 8 + 16 <= payload.length) {
             val channels = u16le(payload, off + 10)
             val rate = i32le(payload, off + 12)
@@ -262,9 +268,12 @@ object MultimodalOps {
     var off = 12
     while (off + 8 <= payload.length) {
       val size = i32leOf(payload, off + 4)
+      // Every chunk's size is validated before the walk advances on it — a
+      // malformed preceding chunk must fail cleanly, not loop the walk or
+      // skip the data chunk (same rule as HeaderDecoder's walk).
+      require(size >= 0 && off + 8 + size <= payload.length,
+        s"doc $docId: chunk '${tagOf(payload, off)}' claims $size bytes past payload end")
       if (tagOf(payload, off) == "data") {
-        require(size >= 0 && off + 8 + size <= payload.length,
-          s"doc $docId: data chunk claims $size bytes past payload end")
         val n = size / 2
         val out = new Array[Int](n)
         var i = 0

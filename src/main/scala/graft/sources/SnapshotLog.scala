@@ -25,9 +25,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * replay after a crash) cannot double-apply a batch. Every attempt stages
   * its data under a UNIQUE `commit-v{N}-{attempt}` directory that the
   * manifest references directly, so no two writers ever touch the same data
-  * dir and the commit path never deletes anything — a concurrent writer
-  * that loses the manifest race (rename to an existing `v{N}.manifest`
-  * fails loudly) or a TORN attempt (data written, manifest rename missed)
+  * dir and the commit path never deletes data — a concurrent writer
+  * that loses the manifest race (the per-version slot lock is created
+  * exclusively, so the loser fails loudly before it can rename; plain
+  * exists-then-rename would silently overwrite on POSIX rename semantics)
+  * or a TORN attempt (data written, manifest rename missed)
   * leaves only an orphan directory no manifest references. Orphans are
   * reclaimed by [[vacuumOrphans]], which re-lists every published manifest
   * and only deletes unreferenced dirs older than a caller-given age (so an
@@ -51,6 +53,13 @@ object SnapshotLog {
     * produced the version; data lines are absolute file paths.
     */
   private val KeyHeader = "#commitKey="
+
+  /** A slot lock older than this with no published manifest is a crashed
+    * attempt and may be broken by the next committer. Must comfortably
+    * exceed the longest plausible write-manifest-to-publish window (the
+    * manifest write is tiny — seconds, not minutes).
+    */
+  private val DefaultLockStaleMs = 10 * 60 * 1000L
 
   private def fsFor(spark: SparkSession, tablePath: String): (FileSystem, Path) = {
     val root = new Path(tablePath)
@@ -119,7 +128,8 @@ object SnapshotLog {
     * dir left for [[vacuumOrphans]].
     */
   def commit(spark: SparkSession, tablePath: String, newData: DataFrame,
-      carried: Seq[String], commitKey: Option[String] = None): Int = {
+      carried: Seq[String], commitKey: Option[String] = None,
+      lockStaleMs: Long = DefaultLockStaleMs): Int = {
     val (fs, root) = fsFor(spark, tablePath)
     commitKey.flatMap(versionOfKey(fs, root, _)) match {
       case Some(v) => v // replayed batch: already live, nothing to do
@@ -135,6 +145,27 @@ object SnapshotLog {
         val header = commitKey.map(KeyHeader + _).toSeq
         val lines = header ++ (carried ++ fresh).sorted
         fs.mkdirs(logDir(root))
+        // Exclusive slot claim BEFORE the publish rename. POSIX rename(2)
+        // (local FS, and any FileSystem delegating to it) silently
+        // OVERWRITES an existing destination, so exists-check-then-rename
+        // is a TOCTOU hole: two racers for v could both pass the check and
+        // the loser would replace the winner's published manifest. The lock
+        // file is created exclusively (O_EXCL via the JDK on file:, the
+        // FileSystem's own no-overwrite create elsewhere — atomic on HDFS
+        // by contract), so only ONE attempt per version ever renames; the
+        // loser fails loudly here. A claim whose owner crashed before
+        // publishing (lock present, no manifest, older than lockStaleMs)
+        // is broken and re-claimed so the slot cannot wedge forever.
+        val lock = new Path(logDir(root), f"v$v%05d.lock")
+        if (!atomicClaim(fs, lock)) {
+          val stale = !fs.exists(versionFile(root, v)) &&
+            fs.getFileStatus(lock).getModificationTime <
+              System.currentTimeMillis() - lockStaleMs
+          val reclaimed = stale && { fs.delete(lock, false); atomicClaim(fs, lock) }
+          if (!reclaimed)
+            throw new IllegalStateException(
+              s"concurrent commit of v$v at $tablePath (slot lock held)")
+        }
         val tmp = new Path(logDir(root), s".v$v-$attempt.tmp")
         val out = fs.create(tmp, true)
         try out.write(lines.mkString("\n").getBytes("UTF-8")) finally out.close()
@@ -144,6 +175,22 @@ object SnapshotLog {
         v
     }
   }
+
+  /** Atomically create `lock` exclusively; true iff this caller created it.
+    * On file: the JDK's createNewFile gives true O_EXCL atomicity; on other
+    * schemes the FileSystem's no-overwrite create is used (atomic on HDFS
+    * per its contract; object-store semantics vary — conditional-put stores
+    * map it to if-none-match).
+    */
+  private def atomicClaim(fs: FileSystem, lock: Path): Boolean =
+    if ("file" == fs.getUri.getScheme) {
+      val f = new java.io.File(lock.toUri.getPath)
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+    } else {
+      try { fs.create(lock, false).close(); true }
+      catch { case _: java.io.IOException => false }
+    }
 
   /** Delete data directories no published manifest references — the torn
     * attempts and rename-race losers the commit path deliberately leaves
@@ -165,10 +212,24 @@ object SnapshotLog {
       .map(f => new Path(f).getParent.getName)
       .toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
+    // Age-gate on the NEWEST FILE inside the dir, not the directory entry:
+    // object stores synthesize zero/meaningless mtimes for "directories",
+    // so a live writer's in-flight staged dir could look ancient and get
+    // swept mid-write. File mtimes are real everywhere. A dir with no files
+    // yet (listing raced the writer's first create) is skipped outright —
+    // empty orphans cost nothing and a later vacuum reclaims them once
+    // their files land and age out.
+    // plain listStatus recursion, not fs.listFiles(_, true): the located-
+    // status fast path assumes file: URIs on local-delegating schemes
+    def newestFileMtime(dir: Path): Option[Long] = {
+      val (files, dirs) = fs.listStatus(dir).toSeq.partition(_.isFile)
+      (files.map(_.getModificationTime) ++
+        dirs.flatMap(d => newestFileMtime(d.getPath))).maxOption
+    }
     fs.listStatus(dataRoot).toSeq
       .filter(st => st.isDirectory &&
         !referencedDirs.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
+        newestFileMtime(st.getPath).exists(_ < cutoff))
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 

@@ -113,6 +113,30 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("a malformed PRECEDING chunk size fails cleanly, never loops the walk") {
+    // JUNK chunk claiming a negative size: an unvalidated walk would step
+    // off backwards (infinite loop); both walks must reject the chunk itself
+    def riffWithJunkSize(size: Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + 8 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(20)
+      buf.put("WAVE".getBytes("US-ASCII"))
+      buf.put("JUNK".getBytes("US-ASCII")).putInt(size)
+      buf.put(Array.fill[Byte](8)(0))
+      buf.array()
+    }
+    for (bad <- Seq(-12, Int.MinValue, 1 << 20)) {
+      val ex = intercept[IllegalArgumentException] {
+        MultimodalOps.pcmSamples(3L, riffWithJunkSize(bad))
+      }
+      assert(ex.getMessage.contains("JUNK"), s"size=$bad: ${ex.getMessage}")
+      // HeaderDecoder's walk enforces the same rule
+      intercept[IllegalArgumentException] {
+        MultimodalOps.HeaderDecoder.decode(3L, riffWithJunkSize(bad))
+      }
+    }
+  }
+
   test("m5: window stats match the generative formula, windows cover all samples") {
     val rows = m5PcmWindowEnergy(spark, sfDir).collect()
     assert(rows.nonEmpty)

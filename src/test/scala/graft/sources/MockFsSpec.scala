@@ -92,12 +92,20 @@ class MockFsSpec extends SparkSpec {
     // keyed replay is a no-op across schemes too
     assert(SnapshotLog.commit(spark, path, Seq(9L).toDF("id"),
       SnapshotLog.manifest(spark, path, v2), commitKey = Some("b1")) == v2)
-    // orphan sweep walks the mockfs listing, not java.io
+    // orphan sweep walks the mockfs listing, not java.io. The age gate reads
+    // FILE mtimes (object-store dir mtimes are synthetic), so the torn dir
+    // needs a file to age by — and an EMPTY dir (a writer's first create may
+    // be in flight) is never swept.
     val torn = new java.io.File(dir, "data/commit-v00003-torn")
     torn.mkdirs()
+    Files.write(new java.io.File(torn, "part-stray.parquet").toPath,
+      Array[Byte](1, 2, 3))
+    val empty = new java.io.File(dir, "data/commit-v00004-inflight")
+    empty.mkdirs()
     val swept = SnapshotLog.vacuumOrphans(spark, path, 0L)
     assert(swept.size == 1 && swept.head.contains("commit-v00003-torn"))
     assert(!torn.exists())
+    assert(empty.exists(), "an empty (possibly in-flight) dir must survive vacuum")
     assert(SnapshotLog.read(spark, path, v1).as[Long].collect().toSet ==
       Set(1L, 2L, 3L))
   }

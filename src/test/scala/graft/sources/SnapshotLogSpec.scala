@@ -145,4 +145,65 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.manifest(spark, path, 9)
     }
   }
+
+  test("publish is exclusive-claim-then-rename: a racer fails loudly and can NEVER clobber a published manifest") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-snap4").toString
+    val path = s"file:$dir"
+    SnapshotLog.commit(spark, path, Seq(1L).toDF("id"), Nil)
+
+    // Simulate the TOCTOU loser: a concurrent writer holds the v2 slot lock
+    // (has passed its claim, not yet renamed). Our commit must fail LOUDLY
+    // at the claim — with plain exists-check-then-rename it would have
+    // proceeded and POSIX rename(2) would silently overwrite whichever
+    // manifest landed first.
+    val lock = new java.io.File(dir, "_graft_log/v00002.lock")
+    assert(lock.getParentFile.isDirectory)
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException] {
+      SnapshotLog.commit(spark, path, Seq(2L).toDF("id"), Nil)
+    }
+    assert(ex.getMessage.contains("concurrent commit"))
+    // the failed attempt left no v2 manifest and v1 is untouched
+    assert(!new java.io.File(dir, "_graft_log/v00002.manifest").exists())
+    assert(SnapshotLog.read(spark, path, 1).count() == 1)
+
+    // A CRASHED claimer (lock present, no manifest, older than the stale
+    // window) must not wedge the slot forever: the next committer breaks
+    // the stale lock and publishes.
+    assert(lock.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    val v2 = SnapshotLog.commit(spark, path, Seq(2L).toDF("id"),
+      SnapshotLog.manifest(spark, path, 1), lockStaleMs = 60L * 1000)
+    assert(v2 == 2)
+    assert(SnapshotLog.read(spark, path, 2).as[Long].collect().toSet == Set(1L, 2L))
+
+    // Hammer test: N threads race unkeyed commits. Every slot is published
+    // by exactly one winner — each published manifest must be complete and
+    // readable (a clobbered manifest would lose the winner's fresh file and
+    // the read-back would miss rows).
+    val threads = 4
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Either[Throwable, Int]]
+    val pool = (0 until threads).map { i =>
+      new Thread(() => {
+        try results.add(Right(SnapshotLog.commit(spark, path,
+          Seq(100L + i).toDF("id"), carried = Nil)))
+        catch { case t: Throwable => results.add(Left(t)) }
+      })
+    }
+    pool.foreach(_.start()); pool.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val (losers, winners) = results.asScala.toSeq.partition(_.isLeft)
+    val wonVersions = winners.collect { case Right(v) => v }
+    assert(wonVersions.distinct.size == wonVersions.size,
+      s"two racers claimed the same version: $wonVersions")
+    losers.foreach { case Left(t) =>
+      assert(t.isInstanceOf[IllegalStateException] ||
+        t.getMessage.contains("concurrent commit"), s"unexpected loser error: $t")
+    case _ => ()
+    }
+    // every published version resolves and reads back fully
+    val head = SnapshotLog.latestVersion(spark, path).get
+    assert(head == 2 + wonVersions.size)
+    (1 to head).foreach { v => SnapshotLog.read(spark, path, v).count() }
+  }
 }
