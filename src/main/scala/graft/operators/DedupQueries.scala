@@ -682,7 +682,8 @@ object DedupQueries {
     val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(splitDir, "._split_ok")
-    val stamp = s"$sfDir|${emb.count()}"
+    val nVecs = emb.count()
+    val stamp = s"$sfDir|$nVecs"
     val markerValid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {
@@ -702,11 +703,15 @@ object DedupQueries {
     }
     wipeDir(stateDir); wipeDir(ckptDir)
 
-    // trained codebook, computed ONCE and carried as plain rows so each
-    // micro-batch rebuilds a 4-row frame on its own session (no cross-
-    // session plan mixing, no per-batch re-training)
-    val centRows = VectorQueries.kmeansCentroids(spark, sfDir, iters)
-      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    // trained binning codebooks (flat at gate scale, IMI beyond — the same
+    // corpus-scaled cell count as d36, via the shared semBinning helper),
+    // computed ONCE and carried as plain rows so each micro-batch rebuilds
+    // the tiny frames on its own session (no cross-session plan mixing, no
+    // per-batch re-training)
+    val k = VectorQueries.semK(nVecs)
+    val (books, kSide) = VectorQueries.semBinning(spark, sfDir, iters, k)
+    val bookRows = books.map(_.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
     val normOf = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val dotAB = aggregate(
@@ -730,11 +735,11 @@ object DedupQueries {
           org.apache.spark.sql.Row], _: Long) =>
         val bs = batch.sparkSession
         import bs.implicits._
-        val cents = centRows.toSeq.toDF("centroid_id", "c")
-        val asgB = VectorQueries.assignTrained(
-            batch.select(col("vec_id"), col("embedding")), cents)
-          .select(col("vec_id"), col("embedding"),
-            col("centroid_id").as("bin"), normOf(col("embedding")).as("nrm"),
+        val batchBooks = bookRows.map(_.toDF("centroid_id", "c"))
+        val asgB = VectorQueries.semAssignBins(
+            batch.select(col("vec_id"), col("embedding")), batchBooks, kSide)
+          .select(col("vec_id"), col("embedding"), col("bin"),
+            normOf(col("embedding")).as("nrm"),
             lit(true).as("kept"), lit(1).as("src"))
         val hasState = new java.io.File(stateDir).listFiles() != null &&
           new java.io.File(stateDir).listFiles().exists(_.getName.startsWith("bin="))
@@ -800,10 +805,15 @@ object DedupQueries {
     * pair classification, and the keep rule at once.
     *
     * Scale shape (why this survives 100 TB where all-pairs cosine cannot):
-    * candidate cost is Σ_bins |bin|² — the cluster count scales with the
-    * corpus so |bin| stays ~constant, making the quadratic term a LINEAR
-    * total (the SemDeDup argument, here as a real plan: bin equi-join,
-    * never a cartesian). The bin self-join shuffles on the bin key;
+    * candidate cost is Σ_bins |bin|² — and the cluster count REALLY scales
+    * with the corpus: k = max(4, N / [[VectorQueries.SemTargetBin]]), so
+    * |bin| stays ~constant and the quadratic term is a LINEAR total
+    * (measured, not argued: d36 is in the ScaleSlope x10 gate). Binning is
+    * [[VectorQueries.semBinning]] — flat trained k-means at gate scale
+    * (k = 4, the oracled path), an inverted multi-index (two half-vector
+    * codebooks of ceil(sqrt(k)) cells) beyond it, so training/assignment
+    * stays N·sqrt(k) instead of the N·k flat Lloyd that would itself go
+    * quadratic as k tracks N. The bin self-join shuffles on the bin key;
     * removal is a partial-agg'd min-partner exists, never a window over
     * the corpus.
     */
@@ -813,14 +823,15 @@ object DedupQueries {
       .select(col("vec_id"), col("embedding"))
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val k = VectorQueries.semK(emb.count())
+    val (books, kSide) = VectorQueries.semBinning(spark, sfDir, iters, k)
     // per-VECTOR norms ride the bin rows, so each pair evaluates one dot,
     // not dot + two 64-dim norm reductions — same IEEE expression per
     // vector (sqrt of the double sum), hence bit-identical sim_dec, at a
     // third of the per-pair HOF work; at Σ|bin|² pairs that is the
     // dominant cost of the whole query
-    val bins = VectorQueries.assignTrained(emb,
-      VectorQueries.kmeansCentroids(spark, sfDir, iters))
-      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"),
+    val bins = VectorQueries.semAssignBins(emb, books, kSide)
+      .select(col("vec_id"), col("embedding"), col("bin"),
         norm(col("embedding")).as("nrm"))
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),

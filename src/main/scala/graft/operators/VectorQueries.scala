@@ -467,14 +467,57 @@ object VectorQueries {
       .select(col("vec_id"), col("w.e").as("embedding"),
         (-col("w.ncid")).as("centroid_id"))
 
+  /** Memoized trained artifact: run `train` once per (name, input corpus,
+    * params) and persist the tiny result table under `target/parity/`, so
+    * the 8 gate queries that consume identical training (d36, st18, e17,
+    * e24–e28) stop re-running Lloyd rounds per query — serving queries
+    * measure SERVING, which is also the production shape (train once,
+    * serve many). The stamp content-fingerprints the INPUT (row count +
+    * xxhash64 of every (vec_id, embedding)) plus the training params, so a
+    * fixture or parameter change retrains instead of serving a stale
+    * codebook; the fingerprint scan is one linear pass over the corpus,
+    * amortized across every consumer in the run.
+    */
+  private def memoTrained(spark: SparkSession, sfDir: String, name: String,
+      params: String)(train: => DataFrame): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/parity/trained-$name-$sfTag")
+      .getAbsoluteFile
+    val marker = new java.io.File(dir, "._trained_ok")
+    val idRow = table(spark, sfDir, "embeddings")
+      .selectExpr("count(*) AS n",
+        "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS fp")
+      .collect()(0)
+    val stamp = s"$params|${idRow.getLong(0)}|${idRow.getLong(1)}"
+    val valid = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!valid) {
+      train.write.mode("overwrite").parquet(s"file:$dir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    spark.read.parquet(s"file:$dir")
+  }
+
   /** The trained codebook itself — `iters` Lloyd rounds from the demo seeds,
     * returned as (centroid_id, c: array<double>). Shared by e15 (training
     * diagnostics) and e17 (trained-index search); see [[e15Kmeans]] for the
-    * determinism and per-iteration scale contract.
+    * determinism and per-iteration scale contract. Memoized per corpus via
+    * [[memoTrained]].
     */
   private[operators] def kmeansCentroids(spark: SparkSession, sfDir: String,
-      iters: Int = 2, k: Int = 4): DataFrame = {
-    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+      iters: Int = 2, k: Int = 4): DataFrame =
+    memoTrained(spark, sfDir, "kmeans", s"$iters|$k") {
+      lloydTrain(
+        table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding")),
+        iters, k)
+    }
+
+  /** [[kmeansCentroids]] generalized to ANY (vec_id, embedding) frame —
+    * the semantic-dedup IMI path trains it on half-vector slices; the
+    * e15/e17 chain trains it on full embeddings. Identical math either
+    * way (decimal-exact means, dot-argmax assignment, seeds = vec_id < k).
+    */
+  private[operators] def lloydTrain(emb: DataFrame, iters: Int, k: Int): DataFrame = {
     var cents = emb.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int").as("centroid_id"),
         transform(col("embedding"), x => x.cast("double")).as("c"))
@@ -499,6 +542,96 @@ object VectorQueries {
         .localCheckpoint(true)
     }
     cents
+  }
+
+  /** Target within-bin population for semantic dedup (d36/st18). The bin
+    * count k = max(4, ceil(N / this)) SCALES WITH THE CORPUS — the SemDeDup
+    * linearity claim made real: Σ|bin|² ≈ N·SemTargetBin stays linear in N
+    * instead of N²/k with a fixed k. 128 keeps the gate corpora (≤512
+    * vectors) at exactly k=4, so the flat-k-means oracle is unchanged while
+    * every larger corpus gets proportionally more cells.
+    */
+  private[operators] val SemTargetBin = 128
+
+  private[operators] def semK(n: Long): Int =
+    math.max(4, math.ceil(n.toDouble / SemTargetBin).toInt)
+
+  /** The semantic-dedup binning codebooks for corpus size `n`:
+    *
+    *  - k == 4 (gate scale): ONE flat Lloyd codebook — byte-identical to
+    *    the historical d36 path, which the DuckDB oracle restates.
+    *  - k > 4: an INVERTED MULTI-INDEX (Babenko & Lempitsky's IMI recipe):
+    *    the vector splits into two halves, each half trains its OWN
+    *    kSide = ceil(sqrt(k)) Lloyd codebook, and a vector's bin is the
+    *    PAIR of half-cell ids (kSide² ≈ k cells). This is what lets bin
+    *    count scale with the corpus without quadratic training: flat
+    *    Lloyd assignment is N·k dots per round — with k ∝ N that is N²,
+    *    the exact scale-killer bin scaling is meant to fix — while IMI
+    *    trains and assigns in N·2·ceil(sqrt(k)) HALF-dots (same bytes per
+    *    dot pair), i.e. O(N^1.5) worst-case and effectively linear at any
+    *    practical sf. Near-duplicate vectors agree on both halves, so they
+    *    still land in the same cell and the within-bin pairwise rule sees
+    *    them.
+    *
+    * Returns the codebook frames (1 = flat, 2 = IMI halves) + kSide.
+    */
+  private[operators] def semBinning(spark: SparkSession, sfDir: String,
+      iters: Int, k: Int): (Seq[DataFrame], Int) =
+    if (k <= 4) (Seq(kmeansCentroids(spark, sfDir, iters, k)), k)
+    else {
+      val kSide = math.ceil(math.sqrt(k.toDouble)).toInt
+      val halfW = size(col("embedding")) / 2
+      val emb = table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val books = Seq("semL" -> lit(1), "semR" -> (halfW + 1)).map {
+        case (name, start) =>
+          memoTrained(spark, sfDir, name, s"$iters|$kSide") {
+            lloydTrain(emb.select(col("vec_id"),
+              slice(col("embedding"), start, halfW).as("embedding")),
+              iters, kSide)
+          }
+      }
+      (books, kSide)
+    }
+
+  /** Assign every vector to its semantic-dedup bin under `books` (from
+    * [[semBinning]], or rebuilt from collected rows on a foreachBatch
+    * session). Flat: one broadcast argmax — exactly [[assignTrained]].
+    * IMI: TWO chained broadcast argmaxes (left half then right half), each
+    * the same partial-aggregable max-struct — no N×N join, no sort-window,
+    * two linear shuffles of one row per vector.
+    */
+  private[operators] def semAssignBins(emb: DataFrame, books: Seq[DataFrame],
+      kSide: Int): DataFrame = {
+    def dotDec(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v).cast("decimal(20,6)")
+    books match {
+      case Seq(flat) =>
+        assignTrained(emb, flat)
+          .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"))
+      case Seq(left, right) =>
+        val halfW = size(col("embedding")) / 2
+        emb.select(col("vec_id"), col("embedding"),
+            slice(col("embedding"), lit(1), halfW).as("h0"),
+            slice(col("embedding"), halfW + 1, halfW).as("h1"))
+          .crossJoin(broadcast(left))
+          .withColumn("sim_dec", dotDec(col("h0"), col("c")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim_dec"), (-col("centroid_id")).as("ncid"),
+            col("embedding").as("e"), col("h1").as("h1"))).as("w"))
+          .select(col("vec_id"), col("w.e").as("embedding"),
+            col("w.h1").as("h1"), (-col("w.ncid")).as("c0"))
+          .crossJoin(broadcast(right))
+          .withColumn("sim_dec", dotDec(col("h1"), col("c")))
+          .groupBy("vec_id")
+          .agg(max(struct(col("sim_dec"), (-col("centroid_id")).as("ncid"),
+            col("embedding").as("e"), col("c0").as("c0"))).as("w"))
+          .select(col("vec_id"), col("w.e").as("embedding"),
+            (col("w.c0") * kSide - col("w.ncid")).as("bin"))
+      case _ => throw new IllegalArgumentException(
+        s"semAssignBins: expected 1 or 2 codebooks, got ${books.size}")
+    }
   }
 
   def e15Kmeans(spark: SparkSession, sfDir: String, iters: Int = 2,
@@ -565,7 +698,13 @@ object VectorQueries {
     * side is M·K rows and the update aggregates M·K·subdim cells).
     */
   private[operators] def pqTrainedCodebooks(spark: SparkSession, sfDir: String,
-      iters: Int = 2, kCode: Int = PqK): DataFrame = {
+      iters: Int = 2, kCode: Int = PqK): DataFrame =
+    memoTrained(spark, sfDir, "pqbooks", s"$iters|$kCode") {
+      pqTrainedCodebooksUncached(spark, sfDir, iters, kCode)
+    }
+
+  private def pqTrainedCodebooksUncached(spark: SparkSession, sfDir: String,
+      iters: Int, kCode: Int): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
     val sub = subspaces(emb)
     var cents = sub.filter(col("vec_id") < kCode)

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-slope experiment for the dedup/ANN families (SURVEY §9 dossier
-  * evidence): measures d13/d15/e6/e18 wall time at sf0.01, sf0.1, and
+  * evidence): measures d13/d15/e6/e18/d36 wall time at sf0.01, sf0.1, and
   * REPLICA-SCALED corpora at 10x and 100x sf0.1 built under target/scale/.
   * A ~linear time-vs-rows slope validates the cost models with data, not
   * prose; superlinear growth would expose a hidden all-pairs/skew term.
@@ -51,6 +51,20 @@ object ScaleSlope {
     val span = emb.agg(max(col("vec_id"))).collect()(0).getLong(0) + 1L
     emb.withColumn("rep", explode(sequence(lit(0), lit(factor - 1))))
       .withColumn("vec_id", col("vec_id") + col("rep") * lit(span))
+      // Decorrelate replicas with a per-replica DIAGONAL SIGN FLIP (a ±1
+      // orthogonal transform, the embedding analogue of the token remap
+      // above): within a replica every dot product and norm is preserved
+      // EXACTLY (s_i² = 1), so the original similarity structure is
+      // reproduced inside each replica and scales linearly; across
+      // replicas the pseudo-random sign pattern cancels dots toward 0.
+      // Verbatim copies would instead make every vector a factor-way
+      // cross-replica exact duplicate — d36's within-bin pair output
+      // would grow with factor² as a DATA property and the slope would
+      // measure duplicate explosion, not engine scaling.
+      .withColumn("embedding", when(col("rep") === 0, col("embedding"))
+        .otherwise(zip_with(col("embedding"),
+          sequence(lit(0), size(col("embedding")) - 1),
+          (x, i) => when(pmod(hash(col("rep"), i), lit(2)) === 0, x).otherwise(-x))))
       .drop("rep")
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
@@ -58,7 +72,7 @@ object ScaleSlope {
   private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
     val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
     val marker = new java.io.File(out, "._scale_ok")
-    val stamp = s"v2|$src|$factor" // v2: 12-char collision-free remap
+    val stamp = s"v3|$src|$factor" // v3: sign-flip-decorrelated emb replicas
     val ok = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!ok) {
@@ -83,7 +97,10 @@ object ScaleSlope {
       "d13_lsh_pairs" -> graft.SparkEntry.queries("d13_lsh_pairs"),
       "d15_corpus_dedup" -> graft.SparkEntry.queries("d15_corpus_dedup"),
       "e6_ivf_search" -> graft.SparkEntry.queries("e6_ivf_search"),
-      "e18_persisted_ivf" -> graft.SparkEntry.queries("e18_persisted_ivf"))
+      "e18_persisted_ivf" -> graft.SparkEntry.queries("e18_persisted_ivf"),
+      // the round-11 addition: semantic dedup with corpus-scaled bin count —
+      // the slope IS the SemDeDup linearity claim, measured
+      "d36_semantic_dedup" -> graft.SparkEntry.queries("d36_semantic_dedup"))
 
     // same syscall-shaped canary as Bench: stamps each scale's rows with the
     // host's health so a flapped sample is visibly flapped
