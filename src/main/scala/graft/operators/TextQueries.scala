@@ -401,16 +401,31 @@ object TextQueries {
     * carry-forward at once.
     *
     * Scale shape: the dedup is one anti-join of the BATCH against the
-    * prior cut's hash column (shuffles batch + hash column, never
-    * documents), the within-batch winner is a partial-agg'd min, and the
+    * prior cut's HASH CENSUS ([[graft.sources.HashCensus]] — the bucketed
+    * side table maintained per commit), so the probe reads one narrow
+    * pre-bucketed column and shuffles only the batch; the prior cut's
+    * DATA files are never re-scanned ([[D37CensusSpec]] pins that at the
+    * plan level). The within-batch winner is a partial-agg'd min, and the
     * snapshot read back is manifest-pruned to exactly v2's files.
     */
-  def d37IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.sources.SnapshotLog
+  /** (doc_id, source, h): the corpus under d30's canonical hash — the
+    * frame d37 splits into prior cut and incoming batch. Package-visible
+    * so [[D37CensusSpec]] can rebuild the exact probe plan.
+    */
+  private[operators] def d37CanonDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val canon = md5(trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " ")))
-    val docs = table(spark, sfDir, "documents")
+    table(spark, sfDir, "documents")
       .select(col("doc_id"), col("source"), canon.as("h"))
+  }
+
+  /** The census table name d37 maintains for `sfDir`. */
+  private[operators] def d37CensusName(sfDir: String): String =
+    "incdedup_census_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_").replace(".", "_")
+
+  def d37IncrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.{HashCensus, SnapshotLog}
+    val docs = d37CanonDocs(spark, sfDir)
     val prior = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
     val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
 
@@ -420,16 +435,25 @@ object TextQueries {
       val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
     }
     rec(dir)
+    val census = d37CensusName(sfDir)
+    HashCensus.drop(spark, census) // fresh run: snapshot dir was wiped too
     val path = s"file:$dir"
     val v1 = SnapshotLog.commit(spark, path, prior, Nil)
-    // dedupe the batch against the SNAPSHOT (not the source table): the
-    // prior cut is whatever v1 says it is — the reproducibility contract
-    val priorHashes = SnapshotLog.read(spark, path, v1).select("h").distinct()
-    val kept = batch.join(priorHashes, Seq("h"), "left_anti")
+    // census bootstrap from the v1 CUT (not the source table): the prior
+    // cut is whatever v1 says it is — the reproducibility contract. This
+    // one-time cost ∝ prior; every later batch pays ∝ census, and its
+    // maintenance ∝ kept rows.
+    HashCensus.append(spark, census,
+      SnapshotLog.read(spark, path, v1).select("h").distinct())
+    val kept = batch.join(HashCensus.probe(spark, census), Seq("h"), "left_anti")
       .groupBy("h").agg(min(struct(col("doc_id"), col("source"))).as("w"))
       .select(col("w.doc_id").as("doc_id"), col("w.source").as("source"), col("h"))
     val v2 = SnapshotLog.commit(spark, path, kept,
       SnapshotLog.manifest(spark, path, v1))
+    // per-commit census maintenance: the kept batch's hashes are disjoint
+    // from the census by construction (they survived the anti-join), so
+    // append-only keeps the census the exact distinct hash set of v2
+    HashCensus.append(spark, census, kept.select("h"))
 
     val nBatch = batch.groupBy("source").agg(count(lit(1)).as("n_batch"))
     SnapshotLog.read(spark, path, v2)
