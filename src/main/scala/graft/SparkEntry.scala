@@ -105,6 +105,7 @@ object SparkEntry {
     "m3_frame_sample" -> (M.m3FrameSample _),
     "m4_container_decode" -> (M.m4ContainerDecode _),
     "m5_pcm_window_energy" -> (M.m5PcmWindowEnergy _),
+    "m6_pixel_stats" -> (M.m6PixelStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
@@ -123,6 +124,7 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
+    "e29_trained_nprobe_recall" -> ((s, d) => V.e29TrainedNprobeRecall(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -166,6 +168,7 @@ object SparkEntry {
     "q49_null_safe_join" -> (R.q49NullSafeJoin _),
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "d37_incremental_dedup" -> (T.d37IncrementalDedup _),
+    "d38_bpe_merges" -> ((s, d) => T.d38BpeMerges(s, d)),
     "d32_source_overlap" -> (T.d32SourceOverlap _),
     "d33_split_assign" -> (T.d33SplitAssign _),
     "q41_datetime" -> (R.q41Datetime _),
@@ -824,6 +827,30 @@ object SparkEntry {
         | CAST(sum(s * s) AS BIGINT) AS sum_sq,
         | CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM samples GROUP BY doc_id, i // 8""".stripMargin,
+    // the m6 generative formula restated in IMAGE coordinates (y top-down):
+    // the Spark side recovered (x, y, BGR) from the BYTES (data offset,
+    // stride padding, signed-height row order), so hash equality proves the
+    // pixel-level decode, not an echo
+    "m6_pixel_stats" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS width,
+        |        CAST(1 + doc_id % 4 AS INT) AS height
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height, i % width AS x, i // width AS y
+        | FROM (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS i FROM dims) t),
+        |lums AS (
+        | SELECT doc_id, width, height, y,
+        |  ((doc_id + 3*x + 7*y) % 256)
+        |   + 2*((2*doc_id + 5*x + 11*y) % 256)
+        |   + 4*((3*doc_id + 13*x + 17*y) % 256) AS lum
+        | FROM px)
+        |SELECT doc_id, width, height, count(*) AS n_pixels,
+        | CAST(sum(lum) AS BIGINT) AS sum_lum,
+        | CAST(max(lum) AS BIGINT) AS max_lum,
+        | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
+        |FROM lums GROUP BY doc_id, width, height""".stripMargin,
     "d34_bigram_lm" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
@@ -1072,6 +1099,7 @@ object SparkEntry {
         |  sum(CASE WHEN v.is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_dropped
         |FROM v2 v JOIN nb ON nb.source = v.source
         |GROUP BY v.source""".stripMargin,
+    "d38_bpe_merges" -> d38OracleSql(),
     // c4: hours below the cutoff (first day's noon) are deleted directories;
     // the oracle counts the same hours from the data — an hour with no rows
     // never had a directory, so both sides count physically-existing hours
@@ -1158,6 +1186,7 @@ object SparkEntry {
     // full-corpus SQL verbatim is the order-independence oracle
     "st18_streaming_semantic_dedup" -> d36OracleSql,
     "e28_trained_nprobe" -> e28OracleSql,
+    "e29_trained_nprobe_recall" -> e29OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -1856,6 +1885,68 @@ object SparkEntry {
     * [[graft.operators.VectorQueries.kmeansCentroids]]. No leading WITH so
     * callers can prepend their own CTEs.
     */
+  /** duckdb mirror of [[graft.operators.TextQueries.d38BpeMerges]] — the
+    * same `budget` rounds generated as a CTE chain: weighted adjacent-pair
+    * counts, (count desc, pair asc) argmax via ORDER BY … LIMIT 1, greedy
+    * leftmost re-segmentation with the identical gaps-and-islands
+    * run-parity windows. Both engines must walk the same merge sequence —
+    * any divergence in counting, tie-break, or greedy application breaks
+    * every later row's hash.
+    */
+  private def d38OracleSql(budget: Int = 10): String = {
+    def round(i: Int): String = {
+      val prev = s"seg${i - 1}"
+      s"""p$i AS (
+         | SELECT sym AS a, nxt AS b, sum(freq) AS cnt FROM (
+         |  SELECT freq, sym,
+         |   lead(sym) OVER (PARTITION BY w_id ORDER BY pos) AS nxt
+         |  FROM $prev) t WHERE nxt IS NOT NULL GROUP BY sym, nxt),
+         |b$i AS MATERIALIZED (
+         | SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+         |x$i AS (
+         | SELECT s.w_id, s.freq, s.pos, s.sym, b.a, b.b, b.cnt,
+         |  lead(s.sym) OVER (PARTITION BY s.w_id ORDER BY s.pos) AS nxt,
+         |  s.pos - row_number() OVER (PARTITION BY s.w_id, s.sym
+         |                             ORDER BY s.pos) AS grp
+         | FROM $prev s CROSS JOIN b$i b),
+         |y$i AS (
+         | SELECT *, (sym = a AND nxt IS NOT NULL AND nxt = b) AS mtch,
+         |  row_number() OVER (PARTITION BY w_id, sym, grp ORDER BY pos) - 1
+         |   AS runoff
+         | FROM x$i),
+         |z$i AS (
+         | SELECT *, (mtch AND (a <> b OR runoff % 2 = 0)) AS active,
+         |  lag(mtch AND (a <> b OR runoff % 2 = 0))
+         |   OVER (PARTITION BY w_id ORDER BY pos) AS pactive
+         | FROM y$i),
+         |seg$i AS MATERIALIZED (
+         | SELECT w_id, freq,
+         |  row_number() OVER (PARTITION BY w_id ORDER BY pos) AS pos,
+         |  CASE WHEN active THEN a || b ELSE sym END AS sym
+         | FROM z$i WHERE NOT COALESCE(pactive, FALSE)),
+         |st$i AS (
+         | SELECT $i AS step, b.a, b.b, CAST(b.cnt AS BIGINT) AS cnt,
+         |  (SELECT CAST(sum(freq) AS BIGINT) FROM seg$i) AS n_tokens,
+         |  (SELECT count(DISTINCT sym) FROM seg$i) AS n_vocab
+         | FROM b$i b)""".stripMargin
+    }
+    val rounds = (1 to budget).map(round).mkString(",\n")
+    val union = (1 to budget).map(i => s"SELECT * FROM st$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       | FROM documents),
+       |words AS (SELECT w, count(*) AS freq FROM toks
+       |          WHERE len(w) > 0 GROUP BY w),
+       |seg0 AS MATERIALIZED (
+       | SELECT w_id, freq, CAST(pos AS INT) AS pos,
+       |  substr(w_id, CAST(pos AS INT), 1) AS sym
+       | FROM (SELECT w AS w_id, freq, unnest(range(1, len(w)+1)) AS pos
+       |       FROM words) t),
+       |$rounds
+       |$union""".stripMargin
+  }
+
   private def kmeansChainSql(iters: Int): String = {
     def updateCte(name: String, asg: String): String =
       s"""$name AS (
@@ -2014,6 +2105,84 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS npq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.e29TrainedNprobeRecall]] — the
+    * trained k-means chain's assignment RANKS swept over nprobe ∈ {1,2,4}
+    * (e28's candidate generation), candidates scored exact-cosine (e16's
+    * IVF-flat form), recall against the exact brute CTE.
+    */
+  private def e29OracleSql: String = {
+    val iters = 2
+    s"""WITH ${kmeansChainSql(iters)},
+       |ranked AS (
+       | SELECT e.vec_id, e.embedding, c.centroid_id,
+       |  row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+       |     AS DECIMAL(20,6)) DESC,
+       |    c.centroid_id ASC) AS rk
+       | FROM embeddings e, c$iters c),
+       |asg AS (SELECT vec_id AS neighbor_id, embedding, centroid_id AS bin
+       |        FROM ranked WHERE rk = 1),
+       |np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+       |probes AS (
+       | SELECT np.nprobe, r.vec_id AS query_id, r.embedding AS q_emb,
+       |  r.centroid_id AS bin
+       | FROM ranked r CROSS JOIN np
+       | WHERE r.vec_id < 10 AND r.rk <= np.nprobe),
+       |cand AS (
+       | SELECT p.nprobe, p.query_id, a.neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(p.q_emb)+1),
+       |     i -> CAST(p.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(p.q_emb,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM probes p JOIN asg a ON a.bin = p.bin
+       | WHERE a.neighbor_id <> p.query_id),
+       |topk AS (
+       | SELECT nprobe, query_id, neighbor_id FROM (
+       |  SELECT nprobe, query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY nprobe, query_id
+       |     ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM cand)
+       | WHERE rk <= 3),
+       |dots AS (
+       | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM embeddings q, embeddings n
+       | WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+       |brute AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       |  FROM dots) WHERE rank <= 3),
+       |hits AS (
+       | SELECT t.nprobe, count(*) AS sum_hits
+       | FROM topk t JOIN brute b
+       |   ON b.query_id = t.query_id AND b.neighbor_id = t.neighbor_id
+       | GROUP BY t.nprobe),
+       |nq AS (SELECT nprobe, count(DISTINCT query_id) AS n_queries
+       |       FROM probes GROUP BY nprobe),
+       |nc AS (SELECT nprobe, count(*) AS n_candidates FROM cand GROUP BY nprobe)
+       |SELECT nc.nprobe, nc.n_candidates,
+       | CAST(COALESCE(h.sum_hits, 0) AS BIGINT) AS sum_hits,
+       | CAST(COALESCE(h.sum_hits, 0) AS DOUBLE) / (nq.n_queries * 3)
+       |  AS avg_recall
+       |FROM nc
+       |LEFT JOIN hits h ON h.nprobe = nc.nprobe
+       |JOIN nq ON nq.nprobe = nc.nprobe""".stripMargin
   }
 
   /** duckdb mirror of

@@ -667,11 +667,15 @@ object DedupQueries {
     *
     * Scale shape: per batch, pair cost is |batch|·|touched bins' state| +
     * |batch|² (never state²; prior-prior pairs are excluded), and the
-    * state rewrite is a dynamic partition overwrite of exactly the
-    * touched bins — untouched bins keep their files. At scale the state
-    * table would version through [[graft.sources.SnapshotLog]] for
-    * exactly-once (st15's mechanism); the gate replay uses a fresh
-    * checkpoint + state dir per run.
+    * state rewrite is ONE batchId-keyed [[graft.sources.SnapshotLog]]
+    * commit of exactly the touched bins — untouched bins are carried by
+    * reference (the manifest path encodes each file's bin, so the
+    * touched/carried split is a string match, and the prior-state read
+    * opens only touched files). Exactly-once under foreachBatch's
+    * at-least-once replay: a replayed batchId no-ops on its live commit
+    * key, and a mid-commit crash leaves an orphan, never a torn state
+    * (st15's mechanism; [[St18ReplaySpec]] proves it by replaying). The
+    * gate run uses a fresh checkpoint + state dir per run.
     */
   def st18StreamingSemanticDedup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.25, iters: Int = 2): DataFrame = {
@@ -732,7 +736,7 @@ object DedupQueries {
       .parquet(s"file:$splitDir")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
         import bs.implicits._
         val batchBooks = bookRows.map(_.toDF("centroid_id", "c"))
@@ -741,22 +745,30 @@ object DedupQueries {
           .select(col("vec_id"), col("embedding"), col("bin"),
             normOf(col("embedding")).as("nrm"),
             lit(true).as("kept"), lit(1).as("src"))
-        val hasState = new java.io.File(stateDir).listFiles() != null &&
-          new java.io.File(stateDir).listFiles().exists(_.getName.startsWith("bin="))
+        val statePath = s"file:$stateDir"
+        val priorManifest = graft.sources.SnapshotLog
+          .latestVersion(bs, statePath)
+          .map(v => graft.sources.SnapshotLog.manifest(bs, statePath, v))
+          .getOrElse(Nil)
+        val touched = asgB.select(col("bin")).distinct()
+          .collect().map(_.getInt(0)).toSeq.sorted
+        // the manifest PATH carries each state file's bin (commit's
+        // partitionBy layout), so touched-vs-carried splits on a string
+        // match over the manifest — O(files), no data scan, and the prior
+        // read opens ONLY the touched bins' files
+        val touchedSeg = touched.map(b => s"/_bin=$b/").toSet
+        val (touchedFiles, carriedFiles) = priorManifest
+          .partition(f => touchedSeg.exists(f.contains))
         val prior =
-          if (!hasState) asgB.filter(lit(false))
-          else bs.read.option("basePath", s"file:$stateDir")
-            .parquet(s"file:$stateDir")
+          if (touchedFiles.isEmpty) asgB.filter(lit(false))
+          else bs.read.parquet(touchedFiles: _*)
             .select(col("vec_id"), col("embedding"),
               col("bin").cast("int").as("bin"), col("nrm"), col("kept"),
               lit(0).as("src"))
-        val touched = asgB.select(col("bin")).distinct()
-          .collect().map(_.getInt(0)).toSeq.sorted
         // all same-bin pairs EXCEPT prior-prior (their effects are already
-        // in the flags); the u = prior∪batch frame is localCheckpointed so
-        // the state dir can be overwritten while derived from itself
-        val u = prior.filter(col("bin").isin(touched: _*))
-          .unionByName(asgB).localCheckpoint(true)
+        // in the flags); u is localCheckpointed because pairs and the new
+        // state both consume it
+        val u = prior.unionByName(asgB).localCheckpoint(true)
         val pairs = u.select(col("bin"), col("vec_id").as("id_a"),
             col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
             col("src").as("src_a"))
@@ -773,12 +785,17 @@ object DedupQueries {
           .join(doomed.withColumn("rm", lit(1)), Seq("bin", "vec_id"), "left")
           .select(col("vec_id"), col("embedding"), col("nrm"),
             (col("kept") && col("rm").isNull).as("kept"), col("bin"))
-        val key = "spark.sql.sources.partitionOverwriteMode"
-        val prev = bs.conf.get(key, "static")
-        bs.conf.set(key, "dynamic")
-        try newState.repartition(col("bin")).write.mode("overwrite")
-          .partitionBy("bin").parquet(s"file:$stateDir")
-        finally bs.conf.set(key, prev)
+        // ONE atomic, batchId-keyed SnapshotLog commit per batch: the
+        // touched bins' rewritten state is the commit's new data (bin in
+        // the file path via partitionBy), untouched bins ride along BY
+        // REFERENCE. foreachBatch is at-least-once — a post-crash replay
+        // of this batchId finds its key live and no-ops, and a crash
+        // mid-commit leaves only an unreferenced orphan dir, never a
+        // half-rewritten state (st15's exactly-once mechanism, as the
+        // scaladoc promised).
+        graft.sources.SnapshotLog.commit(bs, statePath,
+          newState.repartition(col("bin")), carriedFiles,
+          commitKey = Some(s"batch-$batchId"), partitionBy = Some("bin"))
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -786,7 +803,10 @@ object DedupQueries {
       .start()
     q.awaitTermination()
 
-    spark.read.option("basePath", s"file:$stateDir").parquet(s"file:$stateDir")
+    val head = graft.sources.SnapshotLog
+      .latestVersion(spark, s"file:$stateDir")
+      .getOrElse(sys.error("st18: no state version committed"))
+    graft.sources.SnapshotLog.read(spark, s"file:$stateDir", head)
       .groupBy(col("bin").cast("int").as("bin"))
       .agg(count(lit(1)).as("n_vectors"),
         sum(when(!col("kept"), 1L).otherwise(0L)).as("n_removed"),

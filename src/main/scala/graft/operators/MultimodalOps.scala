@@ -295,6 +295,124 @@ object MultimodalOps {
   private def i32leOf(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
       ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+  private def u16leOf(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+
+  /** A 24-bit uncompressed BMP with a REAL pixel array: w = 2 + id%6,
+    * h = 1 + id%4, pixel (x, y) in IMAGE coordinates (y = 0 is the top
+    * row) carries BGR channels
+    *   B = (id + 3x + 7y) mod 256
+    *   G = (2id + 5x + 11y) mod 256
+    *   R = (3id + 13x + 17y) mod 256.
+    * Every BMP storage quirk the decoder must survive is exercised by id
+    * arithmetic: ids % 3 == 0 store TOP-DOWN (negative height), the rest
+    * bottom-up; rows pad to 4-byte boundaries (w ∈ 2..7 hits every
+    * padding); the pixel array starts at 54 + 4·(id%5), so a decoder
+    * ignoring the data-offset field reads garbage for 4 of 5 ids.
+    */
+  private[operators] def syntheticPixelBmp(id: Long): Array[Byte] = {
+    val w = (2 + id % 6).toInt
+    val h = (1 + id % 4).toInt
+    val topDown = id % 3 == 0
+    val gap = (4 * (id % 5)).toInt
+    val stride = (3 * w + 3) & ~3
+    val dataOffset = 54 + gap
+    val buf = java.nio.ByteBuffer.allocate(dataOffset + stride * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte)
+    buf.putInt(dataOffset + stride * h).putShort(0).putShort(0).putInt(dataOffset)
+    buf.putInt(40).putInt(w).putInt(if (topDown) -h else h)
+    buf.putShort(1).putShort(24)
+    buf.putInt(0).putInt(stride * h)
+    buf.putInt(2835).putInt(2835).putInt(0).putInt(0)
+    (0 until gap).foreach(_ => buf.put(0x55.toByte))
+    val storedRows = if (topDown) 0 until h else (h - 1) to 0 by -1
+    for (y <- storedRows) {
+      for (x <- 0 until w) {
+        buf.put(((id + 3 * x + 7 * y) % 256).toByte)
+        buf.put(((2 * id + 5 * x + 11 * y) % 256).toByte)
+        buf.put(((3 * id + 13 * x + 17 * y) % 256).toByte)
+      }
+      (3 * w until stride).foreach(_ => buf.put(0.toByte))
+    }
+    buf.array()
+  }
+
+  /** Decode a 24bpp uncompressed BMP's PIXEL ARRAY to per-pixel luminance
+    * in image order (top row first) — the de-stubbed pixel-level image op:
+    * honors the header's data offset, signed height (negative = top-down
+    * storage), and 4-byte row padding. Luminance is the all-integer
+    * channel-asymmetric B + 2G + 4R, so a decoder that swaps BGR/RGB or
+    * walks rows in the wrong order produces a different sum — the m6
+    * oracle restates the generative formula in image coordinates and
+    * nothing else ties fixture to output. Returns (width, height, lum).
+    */
+  private[operators] def bmpLuminance(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(payload.length >= 54 && payload(0) == 'B' && payload(1) == 'M',
+      s"doc $docId: not a BMP payload")
+    val dataOffset = i32leOf(payload, 10)
+    val w = i32leOf(payload, 18)
+    val hRaw = i32leOf(payload, 22)
+    val bpp = u16leOf(payload, 28)
+    val compression = i32leOf(payload, 30)
+    require(bpp == 24 && compression == 0,
+      s"doc $docId: unsupported BMP ($bpp bpp, compression $compression)")
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val stride = (3 * w + 3) & ~3
+    require(w > 0 && h > 0 && dataOffset >= 54 &&
+      dataOffset.toLong + stride.toLong * h <= payload.length,
+      s"doc $docId: pixel array out of bounds (w=$w h=$h off=$dataOffset)")
+    val lum = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val base = dataOffset + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val b = payload(base + 3 * x) & 0xff
+        val g = payload(base + 3 * x + 1) & 0xff
+        val r = payload(base + 3 * x + 2) & 0xff
+        lum(y * w + x) = b + 2 * g + 4 * r
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, lum)
+  }
+
+  /** m6 gate query: PIXEL-LEVEL IMAGE STATS — the image-side twin of m5
+    * (container + signal + PIXEL now all real on the image path): every
+    * document's BMP payload is decoded to per-pixel luminance in a
+    * partition-local pass (payload bytes never shuffle — only the int
+    * luminance arrays flow), then aggregated RELATIONALLY per image:
+    * pixel census, luminance sum/max, and a row-weighted sum that pins
+    * the decoder's row ORDER (bottom-up vs top-down) — not just its
+    * values. All-integer arithmetic; the oracle restates the generative
+    * formula over the same (x, y) grid.
+    *
+    * Scale shape: decode is mapPartitions (m2's contract); the aggregate
+    * is partial before its shuffle and keyed on doc_id — high cardinality,
+    * no skew; what shuffles is 4 longs per image, never pixels.
+    */
+  def m6PixelStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, lum) = bmpLuminance(id, syntheticPixelBmp(id))
+        (id, w, h, lum)
+      })
+      .toDF("doc_id", "width", "height", "lum")
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("i", "l")))
+      .groupBy("doc_id", "width", "height")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("l").cast("long")).as("sum_lum"),
+        max(col("l")).cast("long").as("max_lum"),
+        sum(((floor(col("i") / col("width")) + 1) * col("l")).cast("long"))
+          .as("ysum"))
+  }
 
   /** m5 gate query: PCM WINDOW ENERGY — the first signal-level (not just
     * container-level) audio operator: every document's 16-bit WAV payload

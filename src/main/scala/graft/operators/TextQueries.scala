@@ -716,4 +716,80 @@ object TextQueries {
       .select(col("doc_id"), col("rank"), col("term"),
         col("score_dec").cast("double").as("tfidf"))
   }
+
+  /** d38: BPE-MERGE TRAINING — the canonical missing text-analysis op for
+    * an LLM pipeline (d10 counted "BPE-ish" token classes; this trains
+    * ACTUAL merges): start from each distinct word as its character
+    * sequence, then `budget` rounds of (1) count adjacent symbol pairs
+    * frequency-weighted by word count, (2) pick the top pair (count desc,
+    * then pair lexicographic — fully deterministic), (3) re-segment every
+    * word by GREEDY leftmost non-overlapping application of the merge.
+    * Output: the merge trajectory — per step, the merged pair, its count,
+    * and the post-merge corpus census (freq-weighted token count + symbol
+    * vocabulary size), which hash-pins the pair statistics, the argmax
+    * tie-break, and the greedy re-segmentation at every round at once.
+    *
+    * Greedy leftmost application is the subtle half and it is RELATIONAL,
+    * not a fold: for a ≠ b every match (sym=a, next=b) is provably
+    * non-overlapping, and for a = b (a run of the same symbol) greedy
+    * pairing takes the even offsets within each maximal run — computed
+    * with the gaps-and-islands trick (pos − row_number per (word, sym)
+    * identifies runs). The DuckDB oracle restates the identical windowed
+    * formulation round by round, so both engines walk the same merge
+    * sequence or the hash check fails.
+    *
+    * Scale shape: after the one corpus-wide token count, EVERY round works
+    * on the distinct-word vocabulary (Zipf-bounded, orders below corpus
+    * size) — BPE training cost is ∝ vocabulary, not corpus, which is why
+    * real tokenizers train on word counts. Rounds iterate as d19-rule
+    * driver loops (localCheckpoint truncates lineage; the per-round driver
+    * collect is ONE argmax row + one stats row, bounded). Windows
+    * partition by word — high cardinality, no skew.
+    */
+  def d38BpeMerges(spark: SparkSession, sfDir: String,
+      budget: Int = 10): DataFrame = {
+    import spark.implicits._
+    val W = org.apache.spark.sql.expressions.Window
+    val wWin = W.partitionBy("w_id").orderBy("pos")
+    val words = table(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    var seg = words
+      .select(col("w").as("w_id"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
+      .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
+    for (step <- 1 to budget) {
+      val best = seg
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val marked = seg
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .withColumn("grp", col("pos") - row_number().over(
+          W.partitionBy("w_id", "sym").orderBy("pos")))
+        .withColumn("mtch",
+          col("sym") === a && col("nxt").isNotNull && col("nxt") === b)
+        .withColumn("runoff", row_number().over(
+          W.partitionBy("w_id", "sym", "grp").orderBy("pos")) - 1)
+        .withColumn("active",
+          col("mtch") && (lit(a != b) || pmod(col("runoff"), lit(2)) === 0))
+        .withColumn("pactive", lag(col("active"), 1).over(wWin))
+      seg = marked.filter(!coalesce(col("pactive"), lit(false)))
+        .select(col("w_id"), col("freq"),
+          row_number().over(wWin).as("pos"),
+          when(col("active"), lit(a + b)).otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+      val st = seg.agg(sum(col("freq")).as("nt"),
+        countDistinct(col("sym")).as("nv")).collect()(0)
+      out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
+    }
+    out.toSeq.toDF("step", "a", "b", "cnt", "n_tokens", "n_vocab")
+  }
 }

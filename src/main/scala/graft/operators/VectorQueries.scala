@@ -901,6 +901,77 @@ object VectorQueries {
         col("sim_sum").cast("double").as("npq_sim"))
   }
 
+  /** e29: RECALL ON THE TRAINED NPROBE PATH — e28 added the recall knob to
+    * the fully-trained index; this measures what turning it buys. e16's
+    * recall-vs-cost curve (nprobe ∈ {1,2,4}, recall@k against e2's exact
+    * brute-force top-k) re-run over the TRAINED coarse quantizer: probed
+    * bins come from [[kmeansCentroids]]' trained assignment (e28's
+    * candidate generation), candidates are scored EXACT (IVF-flat) like
+    * e16. Exact scoring is what makes the curve the knob's own signal:
+    * hits = |brute-top-k ∩ candidate set| (an exact-scored candidate
+    * superset can never lose a true neighbor), so recall is MONOTONE in
+    * nprobe by construction and nprobe = #bins anchors at recall 1.0 —
+    * the curve isolates candidate COVERAGE. The PQ-ADC ranking error on
+    * top of coverage is a separate, orthogonal axis (e12's two-stage
+    * refine exists exactly to absorb it; at gate geometry, K=4 codes are
+    * deliberately coarse and would drown the coverage signal in
+    * quantization noise).
+    *
+    * Plan shape: one trained-assignment scan serves corpus bins and query
+    * probe ranks; the (query × nprobe) probe table is ≤ 30 rows broadcast
+    * into the bin equi-join — the sweep multiplies only the probe side,
+    * never the corpus. Ground truth is e2 (its own oracled query).
+    */
+  def e29TrainedNprobeRecall(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, nprobes: Seq[Int] = Seq(1, 2, 4)): DataFrame = {
+    import spark.implicits._
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val coarseCents = kmeansCentroids(spark, sfDir, iters)
+    val assigned = assignTrained(emb, coarseCents)
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").as("bin"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(coarseCents))
+      .withColumn("sim_dec", trainedDotDec)
+      .withColumn("rk", row_number().over(wp))
+      .crossJoin(nprobes.toDF("nprobe"))
+      .filter(col("rk") <= col("nprobe"))
+      .select(col("nprobe"), col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), col("centroid_id").as("bin"))
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normOf(c: Column): Column = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val cand = assigned.join(broadcast(probes), "bin")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", (dotOf(col("q_emb"), col("embedding")) /
+        (normOf(col("q_emb")) * normOf(col("embedding"))))
+        .cast("decimal(20,6)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("nprobe", "query_id")
+      .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    val topk = cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("nprobe", "query_id", "neighbor_id")
+    val brute = e2KnnBrute(spark, sfDir, k).select("query_id", "neighbor_id")
+    val hits = topk.join(brute, Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("sum_hits"))
+    // denominator from the probe table (queries × k), not hardcoded — a
+    // non-default query set or k stays self-consistent (e16's rule)
+    val qCounts = probes.groupBy("nprobe")
+      .agg(countDistinct(col("query_id")).as("n_queries"))
+    cand.groupBy("nprobe").agg(count(lit(1)).as("n_candidates"))
+      .join(hits, Seq("nprobe"), "left")
+      .join(qCounts, Seq("nprobe"))
+      .na.fill(0L, Seq("sum_hits"))
+      .select(col("nprobe"), col("n_candidates"), col("sum_hits"),
+        (col("sum_hits").cast("double") /
+          (col("n_queries") * lit(k)).cast("double")).as("avg_recall"))
+  }
+
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
     * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
     * the demo seeds; production indexes search the codebook k-means actually

@@ -52,8 +52,19 @@ object HashCensus {
 
   /** Drop the census (managed table — files go with it). Gate queries that
     * rebuild their snapshot from scratch call this first so repeated runs
-    * in one JVM cannot cross-contaminate.
+    * cannot cross-contaminate. The warehouse LOCATION is removed even when
+    * the catalog has no such table: an in-memory catalog dies with its
+    * JVM but the warehouse directory survives, and a leftover location
+    * blocks the next run's table creation (LOCATION_ALREADY_EXISTS).
     */
-  def drop(spark: SparkSession, name: String): Unit =
+  def drop(spark: SparkSession, name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val dir = new java.io.File(warehouse, name.toLowerCase)
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    rec(dir)
+  }
 }

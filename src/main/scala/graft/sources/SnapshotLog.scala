@@ -129,7 +129,8 @@ object SnapshotLog {
     */
   def commit(spark: SparkSession, tablePath: String, newData: DataFrame,
       carried: Seq[String], commitKey: Option[String] = None,
-      lockStaleMs: Long = DefaultLockStaleMs): Int = {
+      lockStaleMs: Long = DefaultLockStaleMs,
+      partitionBy: Option[String] = None): Int = {
     val (fs, root) = fsFor(spark, tablePath)
     commitKey.flatMap(versionOfKey(fs, root, _)) match {
       case Some(v) => v // replayed batch: already live, nothing to do
@@ -137,11 +138,30 @@ object SnapshotLog {
         val v = listVersions(fs, root).foldLeft(0)(math.max) + 1
         val attempt = java.util.UUID.randomUUID().toString.take(8)
         val dataDir = new Path(root, f"data/commit-v$v%05d-$attempt")
-        newData.write.mode("error").parquet(dataDir.toString)
-        val fresh = fs.listStatus(dataDir).toSeq
-          .filter(st => st.isFile && st.getPath.getName.startsWith("part-") &&
+        // Optional partition-keyed layout: the key is DUPLICATED into a
+        // `_<col>=value` directory level (the original column stays in the
+        // file data, unlike a plain partitionBy which would strip it), so
+        // the MANIFEST PATH carries each file's key — a later commit can
+        // split carried vs replaced files on the key with pure string
+        // matching over the manifest, never a data scan. This is what lets
+        // a copy-on-write consumer (st18's touched-bin state) rewrite only
+        // the partitions a batch touches while carrying the rest by
+        // reference, at O(manifest) decision cost.
+        partitionBy match {
+          case Some(c) =>
+            newData.withColumn(s"_$c", newData(c))
+              .write.mode("error").partitionBy(s"_$c").parquet(dataDir.toString)
+          case None =>
+            newData.write.mode("error").parquet(dataDir.toString)
+        }
+        def listParquet(dir: Path): Seq[String] = {
+          val (files, dirs) = fs.listStatus(dir).toSeq.partition(_.isFile)
+          files.filter(st => st.getPath.getName.startsWith("part-") &&
             st.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.toString)
+            .map(_.getPath.toString) ++
+            dirs.flatMap(d => listParquet(d.getPath))
+        }
+        val fresh = listParquet(dataDir)
         val header = commitKey.map(KeyHeader + _).toSeq
         val lines = header ++ (carried ++ fresh).sorted
         fs.mkdirs(logDir(root))
