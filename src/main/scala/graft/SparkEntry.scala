@@ -125,6 +125,7 @@ object SparkEntry {
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
     "e29_trained_nprobe_recall" -> ((s, d) => V.e29TrainedNprobeRecall(s, d)),
+    "e30_trained_refine" -> ((s, d) => V.e30TrainedRefine(s, d)),
     "e16_nprobe" -> ((s, d) => D.e16NprobeRecall(s, d)),
     "e17_trained_ivfpq" -> ((s, d) => V.e17TrainedIvfPq(s, d)),
     "e19_filtered_ivf" -> ((s, d) => V.e19FilteredIvf(s, d)),
@@ -1187,6 +1188,7 @@ object SparkEntry {
     "st18_streaming_semantic_dedup" -> d36OracleSql,
     "e28_trained_nprobe" -> e28OracleSql,
     "e29_trained_nprobe_recall" -> e29OracleSql,
+    "e30_trained_refine" -> e30OracleSql,
     "e16_nprobe" -> e16OracleSql,
     // e19: e18's restatement with the label predicate applied inside the
     // probed bins and nprobe=2 probe sets (a_rk <= 2)
@@ -2105,6 +2107,98 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS npq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e30TrainedRefine]]
+    * — e28's trained ADC chain (nprobe=2) shortlisted to the top 10 per
+    * query, the shortlist exact-cosine re-ranked, both stages' recall@3
+    * against the exact brute CTE.
+    */
+  private def e30OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg0", s"c$iters")},
+       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
+       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id),
+       |probes AS (
+       | SELECT vec_id AS query_id, centroid_id AS bin FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+       |      AS DECIMAL(20,6)) DESC,
+       |     c.centroid_id ASC) AS rk
+       |  FROM embeddings e, c$iters c WHERE e.vec_id < 10) t WHERE rk <= 2),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s JOIN pc$iters c ON c.m = s.m WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT pr.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN probes pr ON pr.bin = c.bin
+       | JOIN qd q ON q.query_id = pr.query_id AND q.m = c.m
+       |  AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> pr.query_id
+       | GROUP BY pr.query_id, c.neighbor_id),
+       |short AS (
+       | SELECT query_id, neighbor_id, rk FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim_sum DESC, neighbor_id ASC) AS rk FROM scored)
+       | WHERE rk <= 10),
+       |adck AS (SELECT query_id, neighbor_id FROM short WHERE rk <= 3),
+       |rer AS (
+       | SELECT s.query_id, s.neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM short s
+       | JOIN embeddings q ON q.vec_id = s.query_id
+       | JOIN embeddings n ON n.vec_id = s.neighbor_id),
+       |refk AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |     ORDER BY sim_dec DESC, neighbor_id ASC) AS rk FROM rer)
+       | WHERE rk <= 3),
+       |dots AS (
+       | SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM embeddings q, embeddings n
+       | WHERE q.vec_id < 10 AND n.vec_id <> q.vec_id),
+       |brute AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       |  FROM dots) WHERE rank <= 3)
+       |SELECT 'adc' AS stage, CAST(count(*) AS BIGINT) AS sum_hits,
+       | CAST(count(*) AS DOUBLE) / 30 AS avg_recall
+       |FROM adck a JOIN brute b
+       | ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+       |UNION ALL
+       |SELECT 'refined', CAST(count(*) AS BIGINT),
+       | CAST(count(*) AS DOUBLE) / 30
+       |FROM refk r JOIN brute b
+       | ON b.query_id = r.query_id AND b.neighbor_id = r.neighbor_id""".stripMargin
   }
 
   /** duckdb mirror of

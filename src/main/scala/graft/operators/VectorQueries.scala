@@ -972,6 +972,87 @@ object VectorQueries {
           (col("n_queries") * lit(k)).cast("double")).as("avg_recall"))
   }
 
+  /** e30: TWO-STAGE REFINE ON THE TRAINED PATH — the partner measurement
+    * to e29. e29 proved the nprobe knob delivers candidate COVERAGE; this
+    * proves the PQ-ADC ranking noise on top of that coverage is
+    * RECOVERABLE: e28's trained ADC scoring shortlists the top
+    * `shortlist` candidates per query, the shortlist alone is re-ranked
+    * by exact cosine (e12's refine recipe on the trained index), and both
+    * stages' recall@k vs e2's brute top-k is reported side by side.
+    * Refined recall ≥ ADC recall is PROVABLE (refined hits =
+    * |brute ∩ shortlist| ⊇ |brute ∩ adc-top-k|, since any exact-scored
+    * vector outranking a brute-top-k member is itself brute-top-k) — the
+    * spec pins it; the gap between the rows is exactly what refinement
+    * buys at production serving cost: exact distances on R candidates per
+    * query instead of the whole probed set.
+    *
+    * Plan shape: e28's broadcast probe/ADC pipeline unchanged; the
+    * shortlist (Q·R rows) broadcasts into one corpus equi-join for the
+    * exact re-rank — refine cost is ∝ Q·R, independent of corpus size.
+    */
+  def e30TrainedRefine(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, nprobe: Int = 2, shortlist: Int = 10): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val sub = subspaces(emb)
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarseCents = kmeansCentroids(spark, sfDir, iters)
+    val coarse = assignTrained(emb, coarseCents)
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+    val codes = assignSub(sub, fine)
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
+      .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    val probes = emb.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(coarseCents))
+      .withColumn("sim_dec", trainedDotDec)
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("bin"))
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = sub.filter(col("vec_id") < 10)
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
+        dotc.as("qd"))
+    val wA = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    val short = codes.join(broadcast(probes), "bin")
+      .join(broadcast(qdots), Seq("query_id", "m", "centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rk", row_number().over(wA))
+      .filter(col("rk") <= shortlist)
+    val adcTopk = short.filter(col("rk") <= k).select("query_id", "neighbor_id")
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normOf(c: Column): Column = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    val refTopk = emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("n_emb"))
+      .join(broadcast(short.select("query_id", "neighbor_id")), "neighbor_id")
+      .join(broadcast(emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        "query_id")
+      .withColumn("sim_dec", (dotOf(col("q_emb"), col("n_emb")) /
+        (normOf(col("q_emb")) * normOf(col("n_emb")))).cast("decimal(20,6)"))
+      .withColumn("rk", row_number().over(wR))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id")
+    val brute = e2KnnBrute(spark, sfDir, k).select("query_id", "neighbor_id")
+    val nQ = probes.agg(countDistinct(col("query_id"))).collect()(0).getLong(0)
+    def stageRow(name: String, topk: DataFrame) =
+      topk.join(brute, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("sum_hits"))
+        .select(lit(name).as("stage"), col("sum_hits"),
+          (col("sum_hits").cast("double") / (nQ * k)).as("avg_recall"))
+    stageRow("adc", adcTopk).unionByName(stageRow("refined", refTopk))
+  }
+
   /** e17: the CLOSED training loop — train (e15's Lloyd rounds) → index →
     * search, one oracled pipeline. e14 demonstrated the IVF-PQ plan shape on
     * the demo seeds; production indexes search the codebook k-means actually

@@ -24,6 +24,19 @@ class Round11QueriesSpec extends SparkSpec {
     assert(rows.head._4 > 0.0, s"own-bin probe should find something: $rows")
   }
 
+  test("e30: exact re-ranking the ADC shortlist never loses recall") {
+    val rows = VectorQueries.e30TrainedRefine(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val (adcHits, adcRec) = rows("adc")
+    val (refHits, refRec) = rows("refined")
+    // refined hits = |brute ∩ shortlist| ⊇ |brute ∩ adc-top-k|: any
+    // exact-scored vector outranking a brute-top-k member is itself
+    // brute-top-k, so re-ranking can only surface true neighbors the ADC
+    // ordering buried — never bury found ones
+    assert(refHits >= adcHits, s"refine lost recall: $rows")
+    assert(adcRec >= 0.0 && refRec <= 1.0)
+  }
+
   test("m6: luminance stats match the generative formula, including row order") {
     val rows = MultimodalOps.m6PixelStats(spark, sfDir).collect()
     assert(rows.nonEmpty)
