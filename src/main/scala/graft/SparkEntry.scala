@@ -170,6 +170,7 @@ object SparkEntry {
     "d30_canonical_dedup" -> (T.d30CanonicalDedup _),
     "d37_incremental_dedup" -> (T.d37IncrementalDedup _),
     "d38_bpe_merges" -> ((s, d) => T.d38BpeMerges(s, d)),
+    "d39_bpe_tokenize" -> ((s, d) => T.d39BpeTokenize(s, d)),
     "d32_source_overlap" -> (T.d32SourceOverlap _),
     "d33_split_assign" -> (T.d33SplitAssign _),
     "q41_datetime" -> (R.q41Datetime _),
@@ -1101,6 +1102,7 @@ object SparkEntry {
         |FROM v2 v JOIN nb ON nb.source = v.source
         |GROUP BY v.source""".stripMargin,
     "d38_bpe_merges" -> d38OracleSql(),
+    "d39_bpe_tokenize" -> d39OracleSql(),
     // c4: hours below the cutoff (first day's noon) are deleted directories;
     // the oracle counts the same hours from the data — an hour with no rows
     // never had a directory, so both sides count physically-existing hours
@@ -1895,7 +1897,32 @@ object SparkEntry {
     * any divergence in counting, tie-break, or greedy application breaks
     * every later row's hash.
     */
-  private def d38OracleSql(budget: Int = 10): String = {
+  private def d38OracleSql(budget: Int = 10): String =
+    s"""WITH ${d38ChainCtes(budget)}
+       |${(1 to budget).map(i => s"SELECT * FROM st$i").mkString("\nUNION ALL ")}""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.TextQueries.d39BpeTokenize]] —
+    * the d38 chain's final segmentation applied back to the corpus token
+    * stream (join fan-out = tokenization), censused per source.
+    */
+  private def d39OracleSql(budget: Int = 10): String =
+    s"""WITH ${d38ChainCtes(budget)},
+       |ctoks AS (
+       | SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       | FROM documents)
+       |SELECT c.source, count(*) AS n_pieces,
+       | count(DISTINCT s.sym) AS n_distinct_pieces,
+       | CAST(sum(len(s.sym)) AS BIGINT) AS sum_piece_chars
+       |FROM ctoks c JOIN seg$budget s ON s.w_id = c.w
+       |WHERE len(c.w) > 0
+       |GROUP BY c.source""".stripMargin
+
+  /** The shared d38/d39 CTE chain: char-split vocabulary seg0 through
+    * `budget` merge rounds (seg$budget = the trained segmentation), plus
+    * per-round st$i trajectory rows. No leading WITH, trailing comma
+    * omitted — callers append their final SELECT.
+    */
+  private def d38ChainCtes(budget: Int): String = {
     def round(i: Int): String = {
       val prev = s"seg${i - 1}"
       s"""p$i AS (
@@ -1933,9 +1960,7 @@ object SparkEntry {
          | FROM b$i b)""".stripMargin
     }
     val rounds = (1 to budget).map(round).mkString(",\n")
-    val union = (1 to budget).map(i => s"SELECT * FROM st$i")
-      .mkString("\nUNION ALL ")
-    s"""WITH toks AS (
+    s"""toks AS (
        | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
        | FROM documents),
        |words AS (SELECT w, count(*) AS freq FROM toks
@@ -1945,8 +1970,7 @@ object SparkEntry {
        |  substr(w_id, CAST(pos AS INT), 1) AS sym
        | FROM (SELECT w AS w_id, freq, unnest(range(1, len(w)+1)) AS pos
        |       FROM words) t),
-       |$rounds
-       |$union""".stripMargin
+       |$rounds""".stripMargin
   }
 
   private def kmeansChainSql(iters: Int): String = {

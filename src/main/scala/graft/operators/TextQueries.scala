@@ -749,6 +749,17 @@ object TextQueries {
   def d38BpeMerges(spark: SparkSession, sfDir: String,
       budget: Int = 10): DataFrame = {
     import spark.implicits._
+    bpeTrain(spark, sfDir, budget)._1
+      .toDF("step", "a", "b", "cnt", "n_tokens", "n_vocab")
+  }
+
+  /** The d38 trainer, returning both the merge trajectory and the FINAL
+    * per-word segmentation frame (w_id, freq, pos, sym) — d39 tokenizes
+    * the corpus with the latter.
+    */
+  private def bpeTrain(spark: SparkSession, sfDir: String, budget: Int)
+      : (Seq[(Int, String, String, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame) = {
     val W = org.apache.spark.sql.expressions.Window
     val wWin = W.partitionBy("w_id").orderBy("pos")
     val words = table(spark, sfDir, "documents")
@@ -790,6 +801,50 @@ object TextQueries {
         countDistinct(col("sym")).as("nv")).collect()(0)
       out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
     }
-    out.toSeq.toDF("step", "a", "b", "cnt", "n_tokens", "n_vocab")
+    (out.toSeq, seg)
+  }
+
+  /** d39: BPE TOKENIZE-APPLY — the serving half of d38 (train → apply,
+    * the text twin of e24 → e25): the corpus is re-tokenized with the
+    * trained merges and censused per source. At-scale shape: training
+    * already segmented every DISTINCT word, so application is one
+    * broadcast join of the corpus token stream against the
+    * vocabulary-sized segmentation table — the fan-out IS the
+    * tokenization (each word token explodes into its pieces); no
+    * per-document re-derivation, no corpus-side window. Output per
+    * source: piece count, distinct piece vocabulary, and summed piece
+    * chars (= total non-space chars, a conservation check the oracle
+    * recomputes independently).
+    */
+  def d39BpeTokenize(spark: SparkSession, sfDir: String,
+      budget: Int = 10): DataFrame = {
+    // serving measures serving (the memoTrained rule): the trained
+    // segmentation persists behind a corpus fingerprint; d38 itself stays
+    // un-memoized because it IS the training demonstration
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/parity/trained-bpe$budget-$sfTag")
+      .getAbsoluteFile
+    val marker = new java.io.File(dir, "._trained_ok")
+    val idRow = table(spark, sfDir, "documents")
+      .selectExpr("count(*) AS n",
+        "coalesce(bit_xor(xxhash64(doc_id, text)), 0L) AS fp").collect()(0)
+    val stamp = s"$budget|${idRow.getLong(0)}|${idRow.getLong(1)}"
+    val valid = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!valid) {
+      bpeTrain(spark, sfDir, budget)._2.write.mode("overwrite")
+        .parquet(s"file:$dir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    val seg = spark.read.parquet(s"file:$dir")
+    val ctoks = table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    ctoks.join(broadcast(seg.select(col("w_id").as("w"), col("sym"))), "w")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("sym")).as("n_distinct_pieces"),
+        sum(length(col("sym"))).as("sum_piece_chars"))
   }
 }

@@ -60,6 +60,25 @@ class Round11QueriesSpec extends SparkSpec {
     }
   }
 
+  test("d39: tokenization conserves characters and merges shrink the piece stream") {
+    import org.apache.spark.sql.functions._
+    val rows = TextQueries.d39BpeTokenize(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // character conservation: BPE re-segments, never rewrites — summed
+    // piece chars per source must equal the corpus' own non-space chars
+    val expect = RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("source"),
+        length(regexp_replace(col("text"), "\\s+", "")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("chars"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) == expect(r.getString(0)),
+        s"${r.getString(0)}: pieces dropped or duplicated characters")
+      // merges happened: strictly fewer pieces than characters
+      assert(r.getLong(1) < expect(r.getString(0)))
+    }
+  }
+
   test("m6 decoder survives a hand-laid bottom-up BMP with padding and data-offset gap") {
     // 2x2, 24bpp, stride 8 (2 pad bytes), data offset 58 (4-byte gap),
     // POSITIVE height = bottom-up: stored row 0 is IMAGE row 1
