@@ -109,6 +109,8 @@ object SparkEntry {
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
+    "d40_semantic_dedup_imi" ->
+      ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
     "st18_streaming_semantic_dedup" -> ((s, d) => D.st18StreamingSemanticDedup(s, d)),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
     "st16_streaming_quarantine" -> (IP.st16StreamingQuarantine _),
@@ -1185,6 +1187,7 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "d36_semantic_dedup" -> d36OracleSql,
+    "d40_semantic_dedup_imi" -> d40OracleSql,
     // the incrementally-deduped state must equal the batch answer: d36's
     // full-corpus SQL verbatim is the order-independence oracle
     "st18_streaming_semantic_dedup" -> d36OracleSql,
@@ -1874,6 +1877,12 @@ object SparkEntry {
     * e15 and e17 oracles.
     */
   private def kmeansAssignCte(name: String, cents: String): String =
+    assignCteFrom(name, cents, "embeddings")
+
+  /** [[kmeansAssignCte]] generalized to any (vec_id, embedding) source
+    * relation — the IMI oracle assigns HALF-vector slices with it.
+    */
+  private def assignCteFrom(name: String, cents: String, src: String): String =
     s"""$name AS (
        | SELECT vec_id, embedding, centroid_id FROM (
        |  SELECT e.vec_id, e.embedding, c.centroid_id,
@@ -1882,7 +1891,7 @@ object SparkEntry {
        |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
        |      AS DECIMAL(20,6)) DESC,
        |     c.centroid_id ASC) AS rk
-       |  FROM embeddings e, $cents c) t WHERE rk = 1)""".stripMargin
+       |  FROM $src e, $cents c) t WHERE rk = 1)""".stripMargin
 
   /** The k-means training CTE chain (c0 demo seeds → `iters` assign/update
     * rounds → trained centroids in CTE `c<iters>`) — duckdb mirror of
@@ -1973,7 +1982,15 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
-  private def kmeansChainSql(iters: Int): String = {
+  private def kmeansChainSql(iters: Int): String =
+    kmeansChainSqlFrom("", "embeddings", iters, 4)
+
+  /** The Lloyd chain generalized: CTE names prefixed `$px`, vectors drawn
+    * from `$src`, `k` seed centroids — the IMI oracle trains one chain
+    * per half-vector slice with it (prefixes l/r).
+    */
+  private def kmeansChainSqlFrom(px: String, src: String, iters: Int,
+      k: Int): String = {
     def updateCte(name: String, asg: String): String =
       s"""$name AS (
          | SELECT centroid_id, list(CAST(sum_v AS DOUBLE) / cnt ORDER BY pos) AS c
@@ -1986,12 +2003,13 @@ object SparkEntry {
          |  GROUP BY centroid_id, pos) m
          | GROUP BY centroid_id)""".stripMargin
     val rounds = (0 until iters).flatMap { t =>
-      Seq(kmeansAssignCte(s"a$t", s"c$t"), updateCte(s"c${t + 1}", s"a$t"))
+      Seq(assignCteFrom(s"${px}a$t", s"${px}c$t", src),
+        updateCte(s"${px}c${t + 1}", s"${px}a$t"))
     }.mkString(",\n")
-    s"""c0 AS (
+    s"""${px}c0 AS (
        | SELECT CAST(vec_id AS INT) AS centroid_id,
        |  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       | FROM embeddings WHERE vec_id < 4),
+       | FROM $src WHERE vec_id < $k),
        |$rounds""".stripMargin
   }
 
@@ -2352,26 +2370,62 @@ object SparkEntry {
     s"""WITH ${kmeansChainSql(iters)},
        |${kmeansAssignCte("casg", s"c$iters")},
        |bins AS (SELECT vec_id, embedding, centroid_id AS bin FROM casg),
-       |pairs AS (
-       | SELECT a.bin, a.vec_id AS id_a, b.vec_id AS id_b,
-       |  CAST(
-       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
-       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
-       |   (sqrt(list_aggregate(list_transform(a.embedding,
-       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
-       |    sqrt(list_aggregate(list_transform(b.embedding,
-       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
-       |  AS DECIMAL(20,6)) AS sim_dec
-       | FROM bins a JOIN bins b ON a.bin = b.bin AND a.vec_id < b.vec_id),
-       |removed AS (
-       | SELECT DISTINCT bin, id_b AS vec_id FROM pairs WHERE sim_dec >= 0.25)
-       |SELECT b.bin, count(*) AS n_vectors,
-       | CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |  AS n_removed,
-       | CAST(sum(CASE WHEN r.vec_id IS NULL THEN b.vec_id END) AS BIGINT)
-       |  AS sum_survivor_ids
-       |FROM bins b LEFT JOIN removed r ON r.bin = b.bin AND r.vec_id = b.vec_id
-       |GROUP BY b.bin""".stripMargin
+       |$semDedupTailSql""".stripMargin
+  }
+
+  /** The d36/d40 shared tail: within-bin pairwise decimal cosine over a
+    * CTE named `bins` (vec_id, embedding, bin), keep-smallest-id removal,
+    * per-bin census. No leading WITH/comma.
+    */
+  private def semDedupTailSql: String =
+    """pairs AS (
+      | SELECT a.bin, a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(
+      |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
+      |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+      |   (sqrt(list_aggregate(list_transform(a.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+      |    sqrt(list_aggregate(list_transform(b.embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+      |  AS DECIMAL(20,6)) AS sim_dec
+      | FROM bins a JOIN bins b ON a.bin = b.bin AND a.vec_id < b.vec_id),
+      |removed AS (
+      | SELECT DISTINCT bin, id_b AS vec_id FROM pairs WHERE sim_dec >= 0.25)
+      |SELECT b.bin, count(*) AS n_vectors,
+      | CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |  AS n_removed,
+      | CAST(sum(CASE WHEN r.vec_id IS NULL THEN b.vec_id END) AS BIGINT)
+      |  AS sum_survivor_ids
+      |FROM bins b LEFT JOIN removed r ON r.bin = b.bin AND r.vec_id = b.vec_id
+      |GROUP BY b.bin""".stripMargin
+
+  /** duckdb mirror of d36's IMI (k > 4) binning, forced to gate scale by
+    * d40 (k = 16 ⇒ kSide = 4): the vector splits into halves, each half
+    * trains its OWN Lloyd chain (the kmeans chain over a sliced source),
+    * bin = left cell · kSide + right cell, then the d36 tail verbatim.
+    * This is the oracle for the SCALE path — the slope run times it, this
+    * proves it computes the same dedup semantics.
+    */
+  private def d40OracleSql: String = {
+    val iters = 2
+    val kSide = 4
+    s"""WITH lh AS (
+       | SELECT vec_id, list_slice(embedding, 1, len(embedding) // 2)
+       |  AS embedding FROM embeddings),
+       |rh AS (
+       | SELECT vec_id, list_slice(embedding, len(embedding) // 2 + 1,
+       |  len(embedding)) AS embedding FROM embeddings),
+       |${kmeansChainSqlFrom("l", "lh", iters, kSide)},
+       |${kmeansChainSqlFrom("r", "rh", iters, kSide)},
+       |${assignCteFrom("lasg", s"lc$iters", "lh")},
+       |${assignCteFrom("rasg", s"rc$iters", "rh")},
+       |bins AS (
+       | SELECT e.vec_id, e.embedding,
+       |  CAST(l.centroid_id * $kSide + r.centroid_id AS INT) AS bin
+       | FROM embeddings e
+       | JOIN lasg l ON l.vec_id = e.vec_id
+       | JOIN rasg r ON r.vec_id = e.vec_id),
+       |$semDedupTailSql""".stripMargin
   }
 
   private def e15OracleSql: String = {

@@ -838,12 +838,15 @@ object DedupQueries {
     * the corpus.
     */
   def d36SemanticDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.25, iters: Int = 2): DataFrame = {
+      threshold: Double = 0.25, iters: Int = 2,
+      forceK: Option[Int] = None): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val k = VectorQueries.semK(emb.count())
+    // forceK exists for d40: the IMI (k > 4) binning oracled AT GATE SCALE
+    // instead of trusting the slope run's timing alone
+    val k = forceK.getOrElse(VectorQueries.semK(emb.count()))
     val (books, kSide) = VectorQueries.semBinning(spark, sfDir, iters, k)
     // per-VECTOR norms ride the bin rows, so each pair evaluates one dot,
     // not dot + two 64-dim norm reductions — same IEEE expression per

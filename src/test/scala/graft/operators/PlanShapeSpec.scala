@@ -138,6 +138,23 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("d39: tokenization joins by broadcast against the vocabulary-sized segmentation") {
+    val p = plan("d39_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("d40/e29/e30: trained-path candidates come from hash equi-joins, never a cartesian") {
+    // (crossJoins against broadcast K-row constant/probe tables plan as
+    // BroadcastNestedLoopJoin — the accepted tiny-side pattern; an
+    // unbroadcast CartesianProduct is the scale-killer this pins out)
+    Seq("d40_semantic_dedup_imi", "e29_trained_nprobe_recall",
+      "e30_trained_refine").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
+
   test("d36: within-bin pairs come from a bin equi-join, never a cartesian") {
     val p = plan("d36_semantic_dedup")
     // the only non-equi joins allowed are the K-row codebook broadcast

@@ -57,4 +57,47 @@ class ScaleSlopeSpec extends SparkSpec {
     assert(base > 0)
     assert(big == factor * base, s"expected ${factor}x$base, got $big")
   }
+
+  test("embedding replicas: sign flip preserves within-replica dots EXACTLY and decorrelates across replicas") {
+    import org.apache.spark.sql.functions._
+    // the property the d36 slope's meaning depends on: a per-replica ±1
+    // diagonal is orthogonal, so replica r's similarity structure is the
+    // original's, bit-for-bit — while cross-replica images of the SAME
+    // vector stop being near-duplicates (else the slope would measure a
+    // factor-way duplicate explosion, a data property, not the engine)
+    val out = Files.createTempDirectory("graft-scalespec-emb").toString
+    ScaleSlope.replicateEmb(spark, sfDir, out, 2)
+    val emb = spark.read.parquet(s"$out/embeddings.parquet")
+    val span = emb.count() / 2
+    def dotCol(a: String, b: String) =
+      aggregate(zip_with(col(a), col(b),
+        (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    // within-replica: dot(v_i, v_j) identical in replica 0 and replica 1
+    // for the first 20 ids — exact equality, not approximate
+    val r0 = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("i"), col("embedding").as("e0"))
+    val r1 = emb.filter(col("vec_id") >= span && col("vec_id") < span + 20)
+      .select((col("vec_id") - span).as("i"), col("embedding").as("e1"))
+    val paired = r0.crossJoin(r0.select(col("i").as("j"), col("e0").as("f0")))
+      .filter(col("i") < col("j"))
+      .join(r1, "i")
+      .join(r1.select(col("i").as("j"), col("e1").as("f1")), "j")
+      .select(dotCol("e0", "f0").as("d0"), dotCol("e1", "f1").as("d1"),
+        dotCol("e0", "e1").as("cross"),
+        sqrt(dotCol("e0", "e0")).as("n0"), sqrt(dotCol("e1", "e1")).as("n1"))
+      .collect()
+    assert(paired.nonEmpty)
+    paired.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1),
+        s"within-replica dot not preserved: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+    }
+    // cross-replica: the same vector's two images are far from duplicates
+    // (cosine well below the d36 threshold 0.25 on average; individual
+    // vectors vary, so assert the mean)
+    val crossCos = paired.map(r => math.abs(r.getDouble(2)) /
+      (r.getDouble(3) * r.getDouble(4)))
+    assert(crossCos.sum / crossCos.length < 0.25,
+      s"cross-replica images still correlated: mean ${crossCos.sum / crossCos.length}")
+  }
 }
