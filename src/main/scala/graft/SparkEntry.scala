@@ -108,10 +108,11 @@ object SparkEntry {
     "m6_pixel_stats" -> (M.m6PixelStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
-    "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d)),
+    "d36_semantic_dedup" -> ((s, d) => D.d36SemanticDedup(s, d, requireFlatOracle = true)),
     "d40_semantic_dedup_imi" ->
       ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
-    "st18_streaming_semantic_dedup" -> ((s, d) => D.st18StreamingSemanticDedup(s, d)),
+    "st18_streaming_semantic_dedup" ->
+      ((s, d) => D.st18StreamingSemanticDedup(s, d, requireFlatOracle = true)),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
     "st16_streaming_quarantine" -> (IP.st16StreamingQuarantine _),
     "d16_char_entropy" -> (T.d16CharEntropy _),

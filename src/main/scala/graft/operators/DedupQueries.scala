@@ -678,7 +678,8 @@ object DedupQueries {
     * gate run uses a fresh checkpoint + state dir per run.
     */
   def st18StreamingSemanticDedup(spark: SparkSession, sfDir: String,
-      threshold: Double = 0.25, iters: Int = 2): DataFrame = {
+      threshold: Double = 0.25, iters: Int = 2,
+      requireFlatOracle: Boolean = false): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -713,6 +714,10 @@ object DedupQueries {
     // the tiny frames on its own session (no cross-session plan mixing, no
     // per-batch re-training)
     val k = VectorQueries.semK(nVecs)
+    // same flat-oracle growth guard as d36: the gate restates flat k=4
+    if (requireFlatOracle) require(k <= 4,
+      s"st18 gate fixture outgrew the flat-k oracle: semK=$k > 4 " +
+        s"(corpus > ${4 * VectorQueries.SemTargetBin} vectors)")
     val (books, kSide) = VectorQueries.semBinning(spark, sfDir, iters, k)
     val bookRows = books.map(_.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
@@ -839,7 +844,8 @@ object DedupQueries {
     */
   def d36SemanticDedup(spark: SparkSession, sfDir: String,
       threshold: Double = 0.25, iters: Int = 2,
-      forceK: Option[Int] = None): DataFrame = {
+      forceK: Option[Int] = None,
+      requireFlatOracle: Boolean = false): DataFrame = {
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
@@ -847,6 +853,15 @@ object DedupQueries {
     // forceK exists for d40: the IMI (k > 4) binning oracled AT GATE SCALE
     // instead of trusting the slope run's timing alone
     val k = forceK.getOrElse(VectorQueries.semK(emb.count()))
+    // The gate's DuckDB oracle restates the FLAT k=4 chain; a fixture that
+    // grows past 4*SemTargetBin vectors would silently flip this side to
+    // the IMI path and fail as an inscrutable hash mismatch. Fail with the
+    // cause instead (ScaleSlope's big replica corpora pass false here —
+    // k > 4 is exactly what they measure).
+    if (requireFlatOracle) require(k <= 4,
+      s"d36 gate fixture outgrew the flat-k oracle: semK=$k > 4 " +
+        s"(corpus > ${4 * VectorQueries.SemTargetBin} vectors); " +
+        "regenerate the oracle for the IMI path or shrink the fixture")
     val (books, kSide) = VectorQueries.semBinning(spark, sfDir, iters, k)
     // per-VECTOR norms ride the bin rows, so each pair evaluates one dot,
     // not dot + two 64-dim norm reductions — same IEEE expression per

@@ -772,14 +772,22 @@ object TextQueries {
       .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
       .localCheckpoint(true)
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
-    for (step <- 1 to budget) {
-      val best = seg
+    var step = 1
+    var exhausted = false
+    while (step <= budget && !exhausted) {
+      // headOption, not (0): a small vocabulary can run out of adjacent
+      // pairs (every word reduced to a single token) before the merge
+      // budget — stop training cleanly instead of indexing an empty array
+      val bestOpt = seg
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
         .filter(col("nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("nxt").as("b"))
         .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()(0)
+        .limit(1).collect().headOption
+      if (bestOpt.isEmpty) exhausted = true
+      else {
+      val best = bestOpt.get
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       val marked = seg
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
@@ -800,6 +808,8 @@ object TextQueries {
       val st = seg.agg(sum(col("freq")).as("nt"),
         countDistinct(col("sym")).as("nv")).collect()(0)
       out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
+      step += 1
+      }
     }
     (out.toSeq, seg)
   }

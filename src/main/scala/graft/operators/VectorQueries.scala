@@ -580,14 +580,19 @@ object VectorQueries {
     if (k <= 4) (Seq(kmeansCentroids(spark, sfDir, iters, k)), k)
     else {
       val kSide = math.ceil(math.sqrt(k.toDouble)).toInt
-      val halfW = size(col("embedding")) / 2
+      // floor-int left width + remainder right width, so an ODD dimension
+      // keeps its last element (size/2 is a double Divide that slice would
+      // truncate-cast, silently dropping element d for d = 2m+1 — and
+      // breaking parity with the oracle's len(e)//2 + slice-to-len halves)
+      val halfW = floor(size(col("embedding")) / 2).cast("int")
+      val restW = size(col("embedding")) - halfW
       val emb = table(spark, sfDir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      val books = Seq("semL" -> lit(1), "semR" -> (halfW + 1)).map {
-        case (name, start) =>
+      val books = Seq(("semL", lit(1), halfW), ("semR", halfW + 1, restW)).map {
+        case (name, start, len) =>
           memoTrained(spark, sfDir, name, s"$iters|$kSide") {
             lloydTrain(emb.select(col("vec_id"),
-              slice(col("embedding"), start, halfW).as("embedding")),
+              slice(col("embedding"), start, len).as("embedding")),
               iters, kSide)
           }
       }
@@ -611,10 +616,13 @@ object VectorQueries {
         assignTrained(emb, flat)
           .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"))
       case Seq(left, right) =>
-        val halfW = size(col("embedding")) / 2
+        // same floor-int split as semBinning: odd dims keep the last
+        // element in the RIGHT half instead of silently dropping it
+        val halfW = floor(size(col("embedding")) / 2).cast("int")
         emb.select(col("vec_id"), col("embedding"),
             slice(col("embedding"), lit(1), halfW).as("h0"),
-            slice(col("embedding"), halfW + 1, halfW).as("h1"))
+            slice(col("embedding"), halfW + 1,
+              size(col("embedding")) - halfW).as("h1"))
           .crossJoin(broadcast(left))
           .withColumn("sim_dec", dotDec(col("h0"), col("c")))
           .groupBy("vec_id")

@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Bucketed (pre-shuffled) tables: the co-located-join path for repeated
@@ -16,6 +17,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BucketedTables {
 
+  /** The warehouse location of `table`, resolved through the Hadoop
+    * FileSystem of the warehouse URI — never java.io.File, which would
+    * silently target the local disk when the warehouse is hdfs:/s3a:-style
+    * (the default-FS leak MockFsSpec polices).
+    */
+  private def tableDir(spark: SparkSession, table: String): (FileSystem, Path) = {
+    val warehouse = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (fs, new Path(warehouse, table.toLowerCase))
+  }
+
   /** Write `df` as a bucketed+sorted managed parquet table. Re-runs from a
     * fresh session must converge: an in-memory catalog forgets the table
     * between JVMs while its warehouse directory survives, and CREATE on a
@@ -24,13 +36,8 @@ object BucketedTables {
   def save(df: DataFrame, table: String, bucketCol: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val dir = new java.io.File(warehouse, table.toLowerCase)
-    def rec(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-    }
-    if (dir.exists()) rec(dir)
+    val (fs, dir) = tableDir(spark, table)
+    if (fs.exists(dir)) fs.delete(dir, true)
     df.write
       .format("parquet")
       .mode("overwrite")
@@ -59,27 +66,33 @@ object BucketedTables {
   def saveOrReuse(df: DataFrame, table: String, bucketCol: String,
       buckets: Int): Unit = {
     val spark = df.sparkSession
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val dir = new java.io.File(warehouse, table.toLowerCase)
-    val marker = new java.io.File(dir, "._bucketed_ok")
+    val (fs, dir) = tableDir(spark, table)
+    val marker = new Path(dir, "._bucketed_ok")
     val idRow = df.selectExpr("count(*) AS n",
       "coalesce(bit_xor(xxhash64(*)), 0L) AS fp").collect()(0)
     val stamp = s"$bucketCol|$buckets|${idRow.getLong(0)}|${idRow.getLong(1)}"
-    val markerValid = marker.isFile &&
-      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    val markerValid = readMarker(fs, marker).contains(stamp)
     if (!markerValid) {
       save(df, table, bucketCol, buckets)
-      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
     } else if (!spark.catalog.tableExists(table)) {
       spark.sql(
         s"""CREATE TABLE $table (${df.schema.toDDL})
            |USING parquet
            |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol)
            |INTO $buckets BUCKETS
-           |LOCATION '${dir.getAbsolutePath}'""".stripMargin)
+           |LOCATION '$dir'""".stripMargin)
     }
   }
+
+  private def readMarker(fs: FileSystem, marker: Path): Option[String] =
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
 
   /** Join two same-bucketed tables on their bucket key — plans shuffle-free
     * (SortMergeJoin over the bucketed scans).

@@ -57,14 +57,18 @@ object HashCensus {
     * JVM but the warehouse directory survives, and a leftover location
     * blocks the next run's table creation (LOCATION_ALREADY_EXISTS).
     */
-  def drop(spark: SparkSession, name: String): Unit = {
+  def drop(spark: SparkSession, name: String,
+      warehouseDir: Option[String] = None): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS $name")
-    val warehouse = new java.net.URI(
-      spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val dir = new java.io.File(warehouse, name.toLowerCase)
-    def rec(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-    }
-    rec(dir)
+    // resolve the warehouse through the Hadoop FileSystem of its OWN URI —
+    // a java.io.File recursion would silently no-op (and leak the table
+    // location) the moment the warehouse is hdfs:/s3a:-style rather than
+    // file:, which is exactly the default-FS leak MockFsSpec polices.
+    // `warehouseDir` override exists for tests: the session's warehouse
+    // conf is static, so the mockfs: case passes its own.
+    val warehouse = new org.apache.hadoop.fs.Path(
+      warehouseDir.getOrElse(spark.conf.get("spark.sql.warehouse.dir")))
+    val fs = warehouse.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(warehouse, name.toLowerCase), true)
   }
 }

@@ -178,10 +178,27 @@ object SnapshotLog {
         // is broken and re-claimed so the slot cannot wedge forever.
         val lock = new Path(logDir(root), f"v$v%05d.lock")
         if (!atomicClaim(fs, lock)) {
-          val stale = !fs.exists(versionFile(root, v)) &&
-            fs.getFileStatus(lock).getModificationTime <
-              System.currentTimeMillis() - lockStaleMs
-          val reclaimed = stale && { fs.delete(lock, false); atomicClaim(fs, lock) }
+          // Stale-lock break must itself be race-free: delete-then-create
+          // would let breaker B delete breaker A's freshly re-created lock
+          // and BOTH would publish — the very overwrite hazard the lock
+          // exists to stop. Instead the stale lock is RENAMED to an
+          // attempt-unique tombstone: rename is atomic, so of N concurrent
+          // breakers exactly one wins it; everyone then funnels back
+          // through the exclusive create, which again admits exactly one.
+          val mayReclaim =
+            try {
+              !fs.exists(versionFile(root, v)) &&
+              fs.getFileStatus(lock).getModificationTime <
+                System.currentTimeMillis() - lockStaleMs &&
+              fs.rename(lock, new Path(logDir(root), f".v$v%05d-$attempt.lock-broken"))
+            } catch {
+              // lock vanished between our failed claim and the stat — a
+              // concurrent breaker already renamed it away; the slot may
+              // be free again, so fall through to one more claim attempt
+              // (the exclusive create stays the single arbiter).
+              case _: java.io.FileNotFoundException => true
+            }
+          val reclaimed = mayReclaim && atomicClaim(fs, lock)
           if (!reclaimed)
             throw new IllegalStateException(
               s"concurrent commit of v$v at $tablePath (slot lock held)")
@@ -235,10 +252,13 @@ object SnapshotLog {
     // Age-gate on the NEWEST FILE inside the dir, not the directory entry:
     // object stores synthesize zero/meaningless mtimes for "directories",
     // so a live writer's in-flight staged dir could look ancient and get
-    // swept mid-write. File mtimes are real everywhere. A dir with no files
-    // yet (listing raced the writer's first create) is skipped outright —
-    // empty orphans cost nothing and a later vacuum reclaims them once
-    // their files land and age out.
+    // swept mid-write. File mtimes are real everywhere. A dir with NO
+    // files falls back to the directory entry's own mtime: a truly torn
+    // attempt (crash right after mkdir) would otherwise never age out — a
+    // slow permanent leak. The object-store zero-mtime caveat is harmless
+    // for that fallback (an empty dir holds no data to lose), and a live
+    // local writer's freshly created dir has a fresh mtime so stays under
+    // the age gate.
     // plain listStatus recursion, not fs.listFiles(_, true): the located-
     // status fast path assumes file: URIs on local-delegating schemes
     def newestFileMtime(dir: Path): Option[Long] = {
@@ -249,7 +269,7 @@ object SnapshotLog {
     fs.listStatus(dataRoot).toSeq
       .filter(st => st.isDirectory &&
         !referencedDirs.contains(st.getPath.getName) &&
-        newestFileMtime(st.getPath).exists(_ < cutoff))
+        newestFileMtime(st.getPath).getOrElse(st.getModificationTime) < cutoff)
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 

@@ -93,21 +93,39 @@ class MockFsSpec extends SparkSpec {
     assert(SnapshotLog.commit(spark, path, Seq(9L).toDF("id"),
       SnapshotLog.manifest(spark, path, v2), commitKey = Some("b1")) == v2)
     // orphan sweep walks the mockfs listing, not java.io. The age gate reads
-    // FILE mtimes (object-store dir mtimes are synthetic), so the torn dir
-    // needs a file to age by — and an EMPTY dir (a writer's first create may
-    // be in flight) is never swept.
+    // FILE mtimes (object-store dir mtimes are synthetic) for non-empty
+    // dirs; a truly EMPTY dir (crash right after mkdir) falls back to the
+    // directory's own mtime so it cannot leak forever.
     val torn = new java.io.File(dir, "data/commit-v00003-torn")
     torn.mkdirs()
     Files.write(new java.io.File(torn, "part-stray.parquet").toPath,
       Array[Byte](1, 2, 3))
     val empty = new java.io.File(dir, "data/commit-v00004-inflight")
     empty.mkdirs()
+    // a realistic age gate protects BOTH the fresh torn dir and a possibly
+    // in-flight empty dir
+    assert(SnapshotLog.vacuumOrphans(spark, path, 60 * 60 * 1000L).isEmpty)
+    Thread.sleep(5) // let both mtimes fall strictly behind the 0-age cutoff
     val swept = SnapshotLog.vacuumOrphans(spark, path, 0L)
-    assert(swept.size == 1 && swept.head.contains("commit-v00003-torn"))
+    assert(swept.size == 2, swept)
     assert(!torn.exists())
-    assert(empty.exists(), "an empty (possibly in-flight) dir must survive vacuum")
+    assert(!empty.exists(), "an aged-out empty orphan dir must be reclaimed")
     assert(SnapshotLog.read(spark, path, v1).as[Long].collect().toSet ==
       Set(1L, 2L, 3L))
+  }
+
+  test("HashCensus.drop: warehouse location removed through the path's own FS") {
+    // the census table location must be deleted via the WAREHOUSE URI's
+    // FileSystem — the pre-fix java.io.File recursion would silently no-op
+    // on a mockfs: warehouse and leak the location (blocking the next run's
+    // saveAsTable with LOCATION_ALREADY_EXISTS)
+    val wh = Files.createTempDirectory("graft-mockfs-wh")
+    val tableDir = Paths.get(wh.toString, "census_probe")
+    Files.createDirectories(tableDir)
+    Files.write(tableDir.resolve("part-000.parquet"), Array[Byte](1, 2, 3))
+    HashCensus.drop(spark, "census_probe", warehouseDir = Some(s"mockfs:$wh"))
+    assert(!java.nio.file.Files.exists(tableDir),
+      "census location must be removed via the mockfs FileSystem")
   }
 
   test("MutationOps.upsertLatest: bucket-pruned merge over mockfs:") {
