@@ -12,6 +12,12 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Oracle-gate mode: queries whose DuckDB restatement only covers one
+    // algorithmic path (d36/st18 flat k=4) fail loudly here if the fixture
+    // outgrows that path, instead of as a bare hash mismatch. Bench does
+    // NOT set this — at sf0.1 the same queries legitimately take the IMI
+    // path (see SparkEntry.oracleGate).
+    spark.conf.set("graft.oracle.gate", "true")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

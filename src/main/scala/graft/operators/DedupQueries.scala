@@ -688,7 +688,7 @@ object DedupQueries {
       .getAbsoluteFile.toString
     val marker = new java.io.File(splitDir, "._split_ok")
     val nVecs = emb.count()
-    val stamp = s"$sfDir|$nVecs"
+    val stamp = s"$sfDir|$nVecs|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
     val markerValid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {

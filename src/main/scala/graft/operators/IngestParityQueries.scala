@@ -116,7 +116,13 @@ object IngestParityQueries {
       // valid marker on a partial tree.
       val n = events.count()
       val marker = new java.io.File(raw, "._export_ok")
-      val stamp = s"$sfDir|$firstHourOnly|$n"
+      // stamp includes the source parquet's (size, mtime): a driver-side
+      // testdata regeneration with the SAME row count must still invalidate
+      // the export (r13 incident: a regen plus an events-reader type change
+      // left a tree whose ts text the reader parsed as all-NULL, behind a
+      // count-only marker that still matched)
+      val src = new java.io.File(s"$sfDir/events.parquet")
+      val stamp = s"$sfDir|$firstHourOnly|$n|${src.length()}|${src.lastModified()}"
       val markerValid = marker.isFile &&
         new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
       if (!markerValid) {
@@ -132,6 +138,15 @@ object IngestParityQueries {
         val written = new java.io.File(raw).listFiles()
         require(written != null && written.exists(_.getName.startsWith("year=")),
           s"parity TSV export produced no partition dirs under $raw")
+        // round-trip guard: the reader contract must parse the writer's text
+        // (a TimestampNTZ column once slipped through the writer under
+        // timestampNTZFormat's different default, nulling every ts on read)
+        val parsedNullTs = spark.read.schema(eventsSchema)
+          .options(CsvOptions.toReaderOptions(CsvOptions()))
+          .csv(s"file:$raw/year=*/month=*/day=*/hour=*")
+          .filter(col("ts").isNull).count()
+        require(parsedNullTs == 0,
+          s"parity TSV export: $parsedNullTs rows have unparseable ts under $raw")
         java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
       }
       (s"file:$raw", s"file:$landing")

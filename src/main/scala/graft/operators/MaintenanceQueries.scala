@@ -367,7 +367,7 @@ object MaintenanceQueries {
     val cfg = cfgFor(s"file:$dir")
     val n = base.count()
     val marker = new java.io.File(dir, "._fixture_ok")
-    val stamp = s"$sfDir|$n"
+    val stamp = s"$sfDir|$n|${RelationalQueries.sourceStamp(sfDir, "events")}"
     val markerValid = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {

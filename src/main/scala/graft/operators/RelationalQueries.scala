@@ -27,15 +27,36 @@ object RelationalQueries {
     if (name == "events") eventsTable(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark has no
-    * native type for — read it as long ns and truncate to TimestampType µs
-    * (integer `div`: ns epoch values exceed 2^53, float division would lose
-    * precision). Matches duckdb's ns->µs truncation, so oracles agree.
+  /** (size, mtime) fingerprint of a source parquet, for memo-marker stamps:
+    * the driver regenerates `/root/testdata` between rounds, sometimes
+    * preserving row counts — a count-only stamp then serves stale derived
+    * fixtures. Cheap (two stat calls), catches every regeneration.
+    */
+  def sourceStamp(sfDir: String, name: String): String = {
+    val f = new java.io.File(s"$sfDir/$name.parquet")
+    s"${f.length()}:${f.lastModified()}"
+  }
+
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (no native Spark type — read as long ns
+    * via the legacy conf and truncate to µs with integer `div`; ns epoch
+    * values exceed 2^53 so float division would lose precision) vs plain
+    * TIMESTAMP(MICROS) (read natively). Adapt to whichever the file carries
+    * so both oracle paths (duckdb truncates ns->µs too) agree.
     */
   def eventsTable(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // naive µs timestamps: reinterpret as instants in the session tz
+        // (UTC, GraftSession.scala) — same wall-clock values duckdb sees,
+        // but typed TIMESTAMP so unix_micros()/Timestamp encoders work.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   /** Exact decimal sum of a double expr, returned as double. */

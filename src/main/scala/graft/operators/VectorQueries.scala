@@ -1247,7 +1247,8 @@ object VectorQueries {
     val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(splitDir, "._split_ok")
-    val stamp = s"$sfDir|${emb.count()}"
+    val stamp =
+      s"$sfDir|${emb.count()}|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
     val markerValid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {

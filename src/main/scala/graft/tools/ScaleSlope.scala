@@ -72,7 +72,11 @@ object ScaleSlope {
   private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
     val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
     val marker = new java.io.File(out, "._scale_ok")
-    val stamp = s"v3|$src|$factor" // v3: sign-flip-decorrelated emb replicas
+    // v3: sign-flip-decorrelated emb replicas; sourceStamp: rebuild replicas
+    // when the driver regenerates the base testdata
+    val stamp = s"v3|$src|$factor|" +
+      graft.operators.RelationalQueries.sourceStamp(src, "documents") + "|" +
+      graft.operators.RelationalQueries.sourceStamp(src, "embeddings")
     val ok = marker.isFile &&
       new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!ok) {
