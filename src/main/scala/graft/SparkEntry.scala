@@ -1,8 +1,8 @@
 package graft
 
-import graft.operators.{DedupQueries => D, IngestParityQueries => IP,
-  MaintenanceQueries, MultimodalOps => M, RelationalQueries => R,
-  TextQueries => T, VectorQueries => V}
+import graft.operators.{CorpusPipeline => X, DedupQueries => D,
+  IngestParityQueries => IP, MaintenanceQueries, MultimodalOps => M,
+  RelationalQueries => R, TextQueries => T, VectorQueries => V}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -122,6 +122,8 @@ object SparkEntry {
       ((s, d) => D.d36SemanticDedup(s, d, requireFlatOracle = oracleGate(s))),
     "d40_semantic_dedup_imi" ->
       ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
+    "x1_corpus_pipeline" ->
+      ((s, d) => X.x1CorpusPipeline(s, d, requireFlatOracle = oracleGate(s))),
     "st18_streaming_semantic_dedup" ->
       ((s, d) => D.st18StreamingSemanticDedup(s, d, requireFlatOracle = oracleGate(s))),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
@@ -1199,6 +1201,7 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "d36_semantic_dedup" -> d36OracleSql,
+    "x1_corpus_pipeline" -> x1OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
     // the incrementally-deduped state must equal the batch answer: d36's
     // full-corpus SQL verbatim is the order-independence oracle
@@ -2377,6 +2380,104 @@ object SparkEntry {
     * the trained-assignment CTE chain feeding within-bin pairwise cosine
     * (e5's decimal formula) and the pairwise keep-smallest-id rule.
     */
+  /** duckdb mirror of [[graft.operators.CorpusPipeline.x1CorpusPipeline]] —
+    * the WHOLE corpus-build chain as one WITH cascade: d27+d14 filter,
+    * d1 exact keep, the d13 LSH chain re-rooted on the survivor corpus
+    * (`lshCandCtesFrom`), the d36 flat-k semantic chain restricted to
+    * survivors, d25 decontamination, d33 split, d23 packing, per-split
+    * census. `snapshot_version` is the constant 1 the engine's fresh
+    * SnapshotLog commit must produce.
+    */
+  private def x1OracleSql: String = {
+    val iters = 2
+    s"""WITH scored AS (
+       | SELECT doc_id, text, source,
+       |  CAST(-2.0 AS DOUBLE) + CAST(0.004 AS DOUBLE) * length(text)
+       |   - CAST(0.05 AS DOUBLE) * len(string_split_regex(trim(text), '\\s+'))
+       |   + CAST(0.02 AS DOUBLE) * length(regexp_replace(text, '[^aeiou]', '', 'g'))
+       |   - CAST(0.8 AS DOUBLE) * length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+       |   AS logit,
+       |  CAST((length(lower(text)) - length(replace(lower(text), 'the', ''))) / 3 AS BIGINT)
+       |   + CAST((length(lower(text)) - length(replace(lower(text), 'and', ''))) / 3 AS BIGINT)
+       |   + CAST((length(lower(text)) - length(replace(lower(text), 'ing', ''))) / 3 AS BIGINT) AS tri_en,
+       |  CAST((length(lower(text)) - length(replace(lower(text), 'dat', ''))) / 3 AS BIGINT)
+       |   + CAST((length(lower(text)) - length(replace(lower(text), 'tab', ''))) / 3 AS BIGINT)
+       |   + CAST((length(lower(text)) - length(replace(lower(text), 'row', ''))) / 3 AS BIGINT) AS tri_data
+       | FROM documents),
+       |filt AS (
+       | SELECT doc_id, text FROM scored
+       | WHERE logit > -2.0 AND tri_data <= 5 * tri_en),
+       |exact_keep AS (
+       | SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+       |surv1 AS (
+       | SELECT f.doc_id, f.text FROM filt f JOIN exact_keep k USING (doc_id)),
+       |${lshCandCtesFrom("surv1")},
+       |$lshPairsCte,
+       |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
+       |surv2 AS (
+       | SELECT s.doc_id, s.text FROM surv1 s
+       | WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = s.doc_id)),
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg", s"c$iters")},
+       |bins AS (
+       | SELECT vec_id, embedding, centroid_id AS bin FROM casg
+       | WHERE vec_id IN (SELECT doc_id FROM surv2)),
+       |spairs AS (
+       | SELECT a.bin, a.vec_id AS id_a, b.vec_id AS id_b,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM bins a JOIN bins b ON a.bin = b.bin AND a.vec_id < b.vec_id),
+       |sremoved AS (
+       | SELECT DISTINCT id_b AS doc_id FROM spairs WHERE sim_dec >= 0.25),
+       |surv3 AS (
+       | SELECT s.doc_id, s.text FROM surv2 s
+       | WHERE NOT EXISTS (SELECT 1 FROM sremoved r WHERE r.doc_id = s.doc_id)),
+       |toks3 AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM surv3),
+       |sh5 AS (
+       | SELECT DISTINCT doc_id,
+       |  CAST('0x' || substr(md5(
+       |    array_to_string(list_slice(t, i, i + 4), ' ')), 1, 15)
+       |   AS BIGINT) AS h
+       | FROM (SELECT doc_id, t, unnest(range(1, len(t) - 3)) AS i
+       |       FROM toks3 WHERE len(t) >= 5) u),
+       |evh AS (SELECT DISTINCT h FROM sh5 WHERE doc_id % 40 = 0),
+       |contaminated AS (
+       | SELECT s.doc_id FROM sh5 s JOIN evh e ON s.h = e.h
+       | WHERE s.doc_id % 40 <> 0
+       | GROUP BY s.doc_id HAVING count(*) >= 3),
+       |surv4 AS (
+       | SELECT s.doc_id, s.text FROM surv3 s
+       | WHERE s.doc_id % 40 <> 0
+       |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s.doc_id)),
+       |sp AS (
+       | SELECT doc_id,
+       |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h60,
+       |  len(string_split_regex(trim(text), '\\s+')) AS n,
+       |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
+       |       THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90
+       |       THEN 'valid' ELSE 'test' END AS split
+       | FROM surv4),
+       |pk AS (
+       | SELECT *, sum(n) OVER (PARTITION BY split ORDER BY doc_id
+       |                        ROWS UNBOUNDED PRECEDING) AS cum
+       | FROM sp)
+       |SELECT split, count(*) AS n_docs,
+       | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
+       | CAST(sum(n) AS BIGINT) AS tot_tokens,
+       | CAST(count(DISTINCT (cum - n) // 2048) AS BIGINT) AS n_bins,
+       | bit_xor(h60) AS census_hash,
+       | 1 AS snapshot_version
+       |FROM pk GROUP BY split""".stripMargin
+  }
+
   private def d36OracleSql: String = {
     val iters = 2
     s"""WITH ${kmeansChainSql(iters)},
@@ -2800,7 +2901,12 @@ object SparkEntry {
     * [[graft.operators.DedupQueries.d13LshPairs]]'s candidate generation
     * (used by the d13/d15/d19 oracles).
     */
-  private def lshCandCtes: String = {
+  private def lshCandCtes: String = lshCandCtesFrom("documents")
+
+  /** [[lshCandCtes]] over an arbitrary (doc_id, text) relation — x1 runs
+    * the LSH chain on its filtered survivor corpus instead of `documents`.
+    */
+  private def lshCandCtesFrom(src: String): String = {
     val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
       case ((a, b), i) =>
         s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
@@ -2813,7 +2919,7 @@ object SparkEntry {
        |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
        |                                     i, i + 2), ' ')))
        |   ELSE [text] END AS sh
-       | FROM documents),
+       | FROM $src),
        |hs AS (
        | SELECT doc_id,
        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h

