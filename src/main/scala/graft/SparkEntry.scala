@@ -140,6 +140,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
+    "e31_pq_k256" -> ((s, d) => V.e31PqK256(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
     "e29_trained_nprobe_recall" -> ((s, d) => V.e29TrainedNprobeRecall(s, d)),
     "e30_trained_refine" -> ((s, d) => V.e30TrainedRefine(s, d)),
@@ -1201,6 +1202,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> e25OracleSql,
     "e26_trained_ivfpq_full" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
+    "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,
     "x1_corpus_pipeline" -> x1OracleSql,
     "d41_imi_cobin_recall" -> d41OracleSql,

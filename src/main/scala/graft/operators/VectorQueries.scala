@@ -814,6 +814,19 @@ object VectorQueries {
       iters: Int = 2, kCode: Int = 64): DataFrame =
     e25TrainedPqSearch(spark, sfDir, k, iters, kCode)
 
+  /** e31: THE REAL PQ GEOMETRY — e25's trained ADC serving at K=256
+    * sub-centroids per subspace, the production codebook width (e27 proved
+    * K=64). Nothing in the serving plan changes with K: codes stay one
+    * (neighbor, m, code) row, the query table grows to Q·M·K = 10·8·256 =
+    * 20480 broadcastable rows, and no expression enumerates K. With
+    * codebooks memoized the K-scaled Lloyd training lands once at build
+    * time; this query's bench time sitting next to e25's is the
+    * serving-flat-in-K claim pinned at the geometry it was made for.
+    */
+  def e31PqK256(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, kCode: Int = 256): DataFrame =
+    e25TrainedPqSearch(spark, sfDir, k, iters, kCode)
+
   /** e26: FULLY-TRAINED IVF-PQ — the production composition with every
     * quantizer trained: e15's Lloyd rounds train the coarse centroids
     * (candidate pruning), e24's per-subspace Lloyd trains the fine

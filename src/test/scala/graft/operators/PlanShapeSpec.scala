@@ -189,4 +189,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("e31: K=256 PQ serves with the identical plan shape as K=64 — " +
+      "nothing in the plan scales with K") {
+    val p = plan("e31_pq_k256")
+    // same pins as e27: the production codebook width changes data volume
+    // in two broadcasts, never the plan
+    assert("Window \\[".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
