@@ -116,6 +116,7 @@ object SparkEntry {
     "m4_container_decode" -> (M.m4ContainerDecode _),
     "m5_pcm_window_energy" -> (M.m5PcmWindowEnergy _),
     "m6_pixel_stats" -> (M.m6PixelStats _),
+    "m7_png_stats" -> (M.m7PngStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" ->
@@ -865,6 +866,26 @@ object SparkEntry {
         |  ((doc_id + 3*x + 7*y) % 256)
         |   + 2*((2*doc_id + 5*x + 11*y) % 256)
         |   + 4*((3*doc_id + 13*x + 17*y) % 256) AS lum
+        | FROM px)
+        |SELECT doc_id, width, height, count(*) AS n_pixels,
+        | CAST(sum(lum) AS BIGINT) AS sum_lum,
+        | CAST(max(lum) AS BIGINT) AS max_lum,
+        | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
+        |FROM lums GROUP BY doc_id, width, height""".stripMargin,
+    "m7_png_stats" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS width,
+        |        CAST(2 + doc_id % 3 AS INT) AS height
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height, i % width AS x, i // width AS y
+        | FROM (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS i FROM dims) t),
+        |lums AS (
+        | SELECT doc_id, width, height, y,
+        |  ((3*doc_id + 11*x + 13*y) % 256)
+        |   + 2*((2*doc_id + 7*x + 5*y) % 256)
+        |   + 4*((doc_id + 5*x + 3*y) % 256) AS lum
         | FROM px)
         |SELECT doc_id, width, height, count(*) AS n_pixels,
         | CAST(sum(lum) AS BIGINT) AS sum_lum,

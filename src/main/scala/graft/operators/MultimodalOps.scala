@@ -9,10 +9,14 @@ import org.apache.spark.sql.types._
   * typed metadata, plus a partition-batched decode/feature-extract operator.
   *
   * The Spark-side plumbing (schema, batching, partitioning, output shape) is
-  * real and tested; the codec itself is pluggable. This container has no
-  * image/audio libraries, so [[FakeDecoder]] is a clearly-marked
-  * deterministic stand-in — swap in a real JNI/library decoder (or a Python
-  * `mapInPandas` stage on a PySpark cluster) without touching the pipeline.
+  * real and tested; the codec is pluggable. Three tiers exist: [[FakeDecoder]]
+  * (clearly-marked deterministic stand-in, kept for the m2 contract),
+  * [[HeaderDecoder]] (real pure-JVM BMP/RIFF container parsing), and the m6/m7
+  * pixel paths — m6 decodes BMP pixel arrays by hand, m7 round-trips genuine
+  * zlib-compressed PNGs through `javax.imageio` (ships with the JDK; no
+  * external library). A JNI/library codec for formats the JDK lacks (JPEG
+  * works the same way; video needs ffmpeg) slots in without touching the
+  * pipeline.
   *
   * Scale notes: decode runs per-partition with one decoder instance per task
   * (`mapPartitions`, not a per-row UDF) — amortizes codec init, keeps memory
@@ -379,6 +383,92 @@ object MultimodalOps {
       y += 1
     }
     (w, h, lum)
+  }
+
+  /** Deterministic REAL PNG fixture: the generative pixel field rendered
+    * into a `BufferedImage` and encoded by `javax.imageio`'s pure-Java PNG
+    * writer — a genuine zlib-compressed, chunked PNG container, not header
+    * arithmetic. Coefficients differ from the BMP fixture's so m6/m7
+    * results cannot be confused.
+    */
+  private[operators] def syntheticPng(id: Long): Array[Byte] = {
+    val w = (3 + id % 5).toInt
+    val h = (2 + id % 3).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id + 5 * x + 3 * y) % 256).toInt
+      val g = ((2 * id + 7 * x + 5 * y) % 256).toInt
+      val b = ((3 * id + 11 * x + 13 * y) % 256).toInt
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", bos),
+      s"doc $id: no PNG writer available")
+    bos.toByteArray
+  }
+
+  /** Decode a PNG payload's pixels to per-pixel luminance in image order —
+    * the real-codec counterpart of [[bmpLuminance]]: `javax.imageio`
+    * inflates the IDAT stream, un-filters scanlines, and hands back the
+    * raster; the channel-asymmetric B + 2G + 4R luminance then catches any
+    * channel-order or row-order mistake against the oracle's generative
+    * restatement. Magic-checked and null-checked so a corrupt payload
+    * fails the task loudly.
+    */
+  private[operators] def pngLuminance(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(payload.length >= 8 && (payload(0) & 0xff) == 0x89 &&
+      payload(1) == 'P' && payload(2) == 'N' && payload(3) == 'G',
+      s"doc $docId: not a PNG payload")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: PNG decode failed")
+    val w = img.getWidth
+    val h = img.getHeight
+    val lum = new Array[Int](w * h)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
+      lum(i) = b + 2 * g + 4 * r
+      i += 1
+    }
+    (w, h, lum)
+  }
+
+  /** m7 gate query: REAL PNG DECODE — the m-family's last seam closed with
+    * a real library codec: each document id renders to a genuine PNG
+    * (zlib/IDAT, not header math), `javax.imageio` decodes it back, and
+    * the same relational pixel-stats shape as m6 follows. Hash equality
+    * with the oracle's generative restatement proves the ENCODE→DECODE
+    * round trip reproduced every pixel — the codec is the only link
+    * between fixture parameters and output.
+    *
+    * Scale shape: identical to m6 — fixture build + decode are one
+    * partition-local `mapPartitions` pass (codec state per task, payloads
+    * never shuffle), stats are partial-agg'd on the high-cardinality
+    * doc_id key.
+    */
+  def m7PngStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, lum) = pngLuminance(id, syntheticPng(id))
+        (id, w, h, lum)
+      })
+      .toDF("doc_id", "width", "height", "lum")
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("i", "l")))
+      .groupBy("doc_id", "width", "height")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("l").cast("long")).as("sum_lum"),
+        max(col("l")).cast("long").as("max_lum"),
+        sum(((floor(col("i") / col("width")) + 1) * col("l")).cast("long"))
+          .as("ysum"))
   }
 
   /** m6 gate query: PIXEL-LEVEL IMAGE STATS — the image-side twin of m5

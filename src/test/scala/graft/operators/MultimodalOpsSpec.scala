@@ -152,4 +152,38 @@ class MultimodalOpsSpec extends SparkSpec {
       assert(w0.getLong(4) == s.map(math.abs).max, s"doc $id peak")
     }
   }
+
+  test("m7: the PNG encode→decode round trip reproduces every pixel") {
+    // payload really is a PNG container (magic + IHDR), and the decoded
+    // luminance stats match the generative formula in image row order
+    val png = MultimodalOps.syntheticPng(5L)
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' &&
+      png(3) == 'G')
+    assert(new String(png.slice(12, 16), "US-ASCII") == "IHDR")
+    val rows = MultimodalOps.m7PngStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val w = (3 + id % 5).toInt
+      val h = (2 + id % 3).toInt
+      def lum(x: Int, y: Int): Long =
+        ((3 * id + 11 * x + 13 * y) % 256) +
+          2 * ((2 * id + 7 * x + 5 * y) % 256) +
+          4 * ((id + 5 * x + 3 * y) % 256)
+      val all = for (y <- 0 until h; x <- 0 until w) yield (y, lum(x, y))
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id dims")
+      assert(r.getLong(3) == w.toLong * h, s"doc $id n_pixels")
+      assert(r.getLong(4) == all.map(_._2).sum, s"doc $id sum_lum")
+      assert(r.getLong(5) == all.map(_._2).max, s"doc $id max_lum")
+      assert(r.getLong(6) == all.map { case (y, l) => (y + 1) * l }.sum,
+        s"doc $id ysum (row order)")
+    }
+  }
+
+  test("m7 decoder rejects non-PNG payloads loudly") {
+    val bad = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.pngLuminance(0L, bad)
+    }
+  }
 }
