@@ -753,13 +753,34 @@ object TextQueries {
       .toDF("step", "a", "b", "cnt", "n_tokens", "n_vocab")
   }
 
-  /** The d38 trainer, returning both the merge trajectory and the FINAL
-    * per-word segmentation frame (w_id, freq, pos, sym) — d39 tokenizes
-    * the corpus with the latter.
+  /** The d38 trainer, returning the merge trajectory, the FINAL per-word
+    * segmentation frame (w_id, freq, pos, sym) — d39 tokenizes the corpus
+    * with it — and the per-round AFFECTED-WORD counts (the incremental-
+    * maintenance contract `D38IncrementalSpec` pins).
+    *
+    * INCREMENTAL DESIGN (round 11 trained over the full vocabulary every
+    * round; a 32k-merge budget made that ~64k full-vocab window passes):
+    * after ONE corpus-wide window builds the per-word adjacent-pair index,
+    * every round touches only the words that CONTAIN the merged pair —
+    *   - argmax reads a delta-maintained global (a, b) → weighted-count
+    *     frame (no recount, no window);
+    *   - the greedy-leftmost rewrite (identical gaps-and-islands windows)
+    *     runs over the affected words ONLY;
+    *   - pair totals, the per-word pair index, the per-symbol row counts
+    *     (distinct-vocab census) and the weighted token count are updated
+    *     by subtracting the affected words' old contributions and adding
+    *     their new ones — plain unions + small aggregations, no window;
+    *   - the full `seg`/index frames are refreshed by a broadcast
+    *     anti-join + union (narrow — no shuffle or sort ever touches the
+    *     unaffected vocabulary again).
+    * Per-round cost is therefore ∝ words-containing-the-pair (Zipf head
+    * early, tail fast), not ∝ vocabulary. Checkpoints are LAZY
+    * (materialize inside the next action that reads them) so a round costs
+    * a bounded handful of small jobs.
     */
-  private def bpeTrain(spark: SparkSession, sfDir: String, budget: Int)
+  private[operators] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int)
       : (Seq[(Int, String, String, Long, Long, Long)],
-         org.apache.spark.sql.DataFrame) = {
+         org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val W = org.apache.spark.sql.expressions.Window
     val wWin = W.partitionBy("w_id").orderBy("pos")
     val words = table(spark, sfDir, "documents")
@@ -771,25 +792,41 @@ object TextQueries {
         posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
       .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
       .localCheckpoint(true)
+    // per-word adjacent-pair index (w_id, freq, a, b, n): the ONE
+    // corpus-wide window; delta-maintained from here on
+    def pairsOf(s: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = s
+      .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("w_id"), col("freq"), col("sym").as("a"), col("nxt").as("b"))
+      .agg(count(lit(1)).as("n"))
+    var pairIdx = pairsOf(seg).localCheckpoint(true)
+    var totals = pairIdx.groupBy("a", "b")
+      .agg(sum(col("freq") * col("n")).as("cnt")).localCheckpoint(true)
+    var symRefs = seg.groupBy("sym").agg(count(lit(1)).as("nr"))
+      .localCheckpoint(true)
+    var nTokens = seg.agg(sum(col("freq"))).collect()(0).getLong(0)
+
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
+    val affCounts = scala.collection.mutable.ArrayBuffer[Long]()
     var step = 1
     var exhausted = false
     while (step <= budget && !exhausted) {
       // headOption, not (0): a small vocabulary can run out of adjacent
       // pairs (every word reduced to a single token) before the merge
       // budget — stop training cleanly instead of indexing an empty array
-      val bestOpt = seg
-        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("a"), col("nxt").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
+      val bestOpt = totals
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
         .limit(1).collect().headOption
       if (bestOpt.isEmpty) exhausted = true
       else {
       val best = bestOpt.get
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      val marked = seg
+      val affected = pairIdx.filter(col("a") === a && col("b") === b)
+        .select("w_id").distinct().localCheckpoint(true)
+      affCounts += affected.count()
+      val segAff = seg.join(broadcast(affected), "w_id").localCheckpoint()
+      // the identical greedy-leftmost rewrite, over affected words ONLY
+      val marked = segAff
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
         .withColumn("grp", col("pos") - row_number().over(
           W.partitionBy("w_id", "sym").orderBy("pos")))
@@ -800,18 +837,44 @@ object TextQueries {
         .withColumn("active",
           col("mtch") && (lit(a != b) || pmod(col("runoff"), lit(2)) === 0))
         .withColumn("pactive", lag(col("active"), 1).over(wWin))
-      seg = marked.filter(!coalesce(col("pactive"), lit(false)))
+      val newSegAff = marked.filter(!coalesce(col("pactive"), lit(false)))
         .select(col("w_id"), col("freq"),
           row_number().over(wWin).as("pos"),
           when(col("active"), lit(a + b)).otherwise(col("sym")).as("sym"))
-        .localCheckpoint(true)
-      val st = seg.agg(sum(col("freq")).as("nt"),
-        countDistinct(col("sym")).as("nv")).collect()(0)
-      out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
+        .localCheckpoint()
+      val newIdx = pairsOf(newSegAff).localCheckpoint()
+      // delta maintenance: subtract affected words' old contributions,
+      // add their rewritten ones; zero-count pairs drop out (the merged
+      // pair itself always does — greedy pairing leaves no (a,b)
+      // adjacency behind, runs included)
+      totals = totals
+        .union(pairIdx.join(broadcast(affected), "w_id")
+          .groupBy("a", "b").agg((-sum(col("freq") * col("n"))).as("cnt")))
+        .union(newIdx.groupBy("a", "b")
+          .agg(sum(col("freq") * col("n")).as("cnt")))
+        .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") > 0)
+        .localCheckpoint()
+      symRefs = symRefs
+        .union(segAff.groupBy("sym").agg((-count(lit(1))).as("nr")))
+        .union(newSegAff.groupBy("sym").agg(count(lit(1)).as("nr")))
+        .groupBy("sym").agg(sum(col("nr")).as("nr"))
+        .filter(col("nr") > 0)
+        .localCheckpoint()
+      val sums = segAff.agg(sum(col("freq")).as("s"))
+        .unionAll(newSegAff.agg(sum(col("freq")).as("s")))
+        .collect()
+      nTokens = nTokens - sums(0).getLong(0) + sums(1).getLong(0)
+      val nVocab = symRefs.count()
+      pairIdx = pairIdx.join(broadcast(affected), Seq("w_id"), "left_anti")
+        .union(newIdx).localCheckpoint()
+      seg = seg.join(broadcast(affected), Seq("w_id"), "left_anti")
+        .union(newSegAff).localCheckpoint()
+      out += ((step, a, b, cnt, nTokens, nVocab))
       step += 1
       }
     }
-    (out.toSeq, seg)
+    (out.toSeq, seg, affCounts.toSeq)
   }
 
   /** d39: BPE TOKENIZE-APPLY — the serving half of d38 (train → apply,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-slope experiment for the dedup/ANN families (SURVEY §9 dossier
-  * evidence): measures d13/d15/e6/e18/d36 wall time at sf0.01, sf0.1, and
+  * evidence): measures d13/d15/e6/e18/d36/st18 wall time at sf0.01, sf0.1, and
   * REPLICA-SCALED corpora at 10x and 100x sf0.1 built under target/scale/.
   * A ~linear time-vs-rows slope validates the cost models with data, not
   * prose; superlinear growth would expose a hidden all-pairs/skew term.
@@ -104,7 +104,13 @@ object ScaleSlope {
       "e18_persisted_ivf" -> graft.SparkEntry.queries("e18_persisted_ivf"),
       // the round-11 addition: semantic dedup with corpus-scaled bin count —
       // the slope IS the SemDeDup linearity claim, measured
-      "d36_semantic_dedup" -> graft.SparkEntry.queries("d36_semantic_dedup"))
+      "d36_semantic_dedup" -> graft.SparkEntry.queries("d36_semantic_dedup"),
+      // round-13: the STREAMING twin measured too — 4-microbatch replay,
+      // per-batch trained binning + same-bin pair join + touched-bin
+      // SnapshotLog commits; its slope must track d36's, not inherit it
+      // by argument (state is wiped per run, so each rep replays fully)
+      "st18_streaming_semantic_dedup" ->
+        graft.SparkEntry.queries("st18_streaming_semantic_dedup"))
 
     // same syscall-shaped canary as Bench: stamps each scale's rows with the
     // host's health so a flapped sample is visibly flapped
