@@ -762,23 +762,54 @@ object TextQueries {
     * round; a 32k-merge budget made that ~64k full-vocab window passes):
     * after ONE corpus-wide window builds the per-word adjacent-pair index,
     * every round touches only the words that CONTAIN the merged pair —
-    *   - argmax reads a delta-maintained global (a, b) → weighted-count
-    *     frame (no recount, no window);
+    *   - the argmax reads DRIVER-HELD pair totals (the same kind of
+    *     aggregate statistic the old trainer collected once per round as
+    *     its argmax row, held across rounds) — zero Spark jobs to pick a
+    *     merge; the maps are bounded by the distinct-pair / symbol
+    *     vocabulary, never corpus rows;
     *   - the greedy-leftmost rewrite (identical gaps-and-islands windows)
     *     runs over the affected words ONLY;
-    *   - pair totals, the per-word pair index, the per-symbol row counts
-    *     (distinct-vocab census) and the weighted token count are updated
-    *     by subtracting the affected words' old contributions and adding
-    *     their new ones — plain unions + small aggregations, no window;
+    *   - pair totals, the per-symbol row counts (distinct-vocab census),
+    *     the weighted token count, and the affected-word count all update
+    *     from ONE small tagged delta collect per round (the affected
+    *     words' old contributions subtracted, their new ones added);
     *   - the full `seg`/index frames are refreshed by a broadcast
     *     anti-join + union (narrow — no shuffle or sort ever touches the
     *     unaffected vocabulary again).
     * Per-round cost is therefore ∝ words-containing-the-pair (Zipf head
-    * early, tail fast), not ∝ vocabulary. Checkpoints are LAZY
-    * (materialize inside the next action that reads them) so a round costs
-    * a bounded handful of small jobs.
+    * early, tail fast), not ∝ vocabulary: four bounded Spark jobs
+    * (affected ids, rewrite, new-pair index, delta collect) plus two
+    * narrow frame refreshes.
     */
-  private[operators] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int)
+  /** Vocabulary size above which [[bpeTrainIncremental]] pays off: below
+    * it, a full-vocabulary window per round is a couple of tiny tasks and
+    * the incremental path's extra per-round jobs cost more than they save
+    * (measured at the 245-word gate fixture: classic 25 s vs incremental
+    * 46 s for 50 merges); above it, the classic path re-sorts the whole
+    * vocabulary every round while the incremental one touches only the
+    * words containing the merged pair. The same cost-based dispatch idea
+    * as broadcast-vs-shuffle join selection.
+    */
+  private[operators] val IncrementalVocabThreshold = 50000L
+
+  private[operators] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int,
+      forceIncremental: Option[Boolean] = None)
+      : (Seq[(Int, String, String, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val nWords = table(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).select("w").distinct().count()
+    if (forceIncremental.getOrElse(nWords >= IncrementalVocabThreshold))
+      bpeTrainIncremental(spark, sfDir, budget)
+    else bpeTrainClassic(spark, sfDir, budget)
+  }
+
+  /** The classic trainer: one full-vocabulary window pass per round —
+    * optimal below [[IncrementalVocabThreshold]] where the whole
+    * segmentation frame is a few tasks. Returns no affected counts (every
+    * round touches every word by construction).
+    */
+  private def bpeTrainClassic(spark: SparkSession, sfDir: String, budget: Int)
       : (Seq[(Int, String, String, Long, Long, Long)],
          org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val W = org.apache.spark.sql.expressions.Window
@@ -792,6 +823,62 @@ object TextQueries {
         posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
       .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
       .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
+    var step = 1
+    var exhausted = false
+    while (step <= budget && !exhausted) {
+      // headOption, not (0): a small vocabulary can run out of adjacent
+      // pairs (every word reduced to a single token) before the merge
+      // budget — stop training cleanly instead of indexing an empty array
+      val bestOpt = seg
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .filter(col("nxt").isNotNull)
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect().headOption
+      if (bestOpt.isEmpty) exhausted = true
+      else {
+      val best = bestOpt.get
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      val marked = seg
+        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .withColumn("grp", col("pos") - row_number().over(
+          W.partitionBy("w_id", "sym").orderBy("pos")))
+        .withColumn("mtch",
+          col("sym") === a && col("nxt").isNotNull && col("nxt") === b)
+        .withColumn("runoff", row_number().over(
+          W.partitionBy("w_id", "sym", "grp").orderBy("pos")) - 1)
+        .withColumn("active",
+          col("mtch") && (lit(a != b) || pmod(col("runoff"), lit(2)) === 0))
+        .withColumn("pactive", lag(col("active"), 1).over(wWin))
+      seg = marked.filter(!coalesce(col("pactive"), lit(false)))
+        .select(col("w_id"), col("freq"),
+          row_number().over(wWin).as("pos"),
+          when(col("active"), lit(a + b)).otherwise(col("sym")).as("sym"))
+        .localCheckpoint(true)
+      val st = seg.agg(sum(col("freq")).as("nt"),
+        countDistinct(col("sym")).as("nv")).collect()(0)
+      out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
+      step += 1
+      }
+    }
+    (out.toSeq, seg, Seq.empty)
+  }
+
+  private def bpeTrainIncremental(spark: SparkSession, sfDir: String, budget: Int)
+      : (Seq[(Int, String, String, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wWin = W.partitionBy("w_id").orderBy("pos")
+    val words = table(spark, sfDir, "documents")
+      .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+    val seg0 = words
+      .select(col("w").as("w_id"), col("freq"),
+        posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
+      .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
     // per-word adjacent-pair index (w_id, freq, a, b, n): the ONE
     // corpus-wide window; delta-maintained from here on
     def pairsOf(s: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = s
@@ -799,32 +886,62 @@ object TextQueries {
       .filter(col("nxt").isNotNull)
       .groupBy(col("w_id"), col("freq"), col("sym").as("a"), col("nxt").as("b"))
       .agg(count(lit(1)).as("n"))
-    var pairIdx = pairsOf(seg).localCheckpoint(true)
-    var totals = pairIdx.groupBy("a", "b")
-      .agg(sum(col("freq") * col("n")).as("cnt")).localCheckpoint(true)
-    var symRefs = seg.groupBy("sym").agg(count(lit(1)).as("nr"))
-      .localCheckpoint(true)
-    var nTokens = seg.agg(sum(col("freq"))).collect()(0).getLong(0)
+    // ONE fused state frame carries both the segmentation rows
+    // (kind='seg': c1=sym, v=pos) and the pair-index rows (kind='idx':
+    // c1=a, c2=b, v=n) so each round refreshes/checkpoints a single frame
+    def fuse(seg: org.apache.spark.sql.DataFrame,
+        idx: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      seg.select(lit("seg").as("kind"), col("w_id"), col("freq"),
+          col("sym").as("c1"), lit("").as("c2"), col("pos").cast("long").as("v"))
+        .unionAll(idx.select(lit("idx").as("kind"), col("w_id"), col("freq"),
+          col("a").as("c1"), col("b").as("c2"), col("n").as("v")))
+    def segOf(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      state.filter(col("kind") === "seg")
+        .select(col("w_id"), col("freq"), col("v").cast("int").as("pos"),
+          col("c1").as("sym"))
+    def idxOf(state: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      state.filter(col("kind") === "idx")
+        .select(col("w_id"), col("freq"), col("c1").as("a"), col("c2").as("b"),
+          col("v").as("n"))
+    var state = fuse(seg0, pairsOf(seg0)).coalesce(8).localCheckpoint(true)
+
+    // Driver-held TRAINING STATISTICS (pair totals, per-symbol row counts,
+    // weighted token count) — the same kind of aggregate the old trainer
+    // collected once per round as its argmax row, held across rounds so a
+    // round needs NO Spark job to pick its merge. Bounded by the distinct
+    // adjacent-pair / symbol vocabulary (never corpus rows); delta-updated
+    // from the affected words' old-vs-new contributions, which arrive in
+    // ONE small tagged collect per round.
+    val totals = scala.collection.mutable.Map[(String, String), Long]()
+    val symRefs = scala.collection.mutable.Map[String, Long]()
+    var nTokens = 0L
+    state.groupBy("kind", "c1", "c2")
+      .agg(sum(col("freq") * col("v")).as("fv"), count(lit(1)).as("nr"),
+        sum(col("freq")).as("fs"))
+      .collect().foreach { r =>
+        if (r.getString(0) == "idx")
+          totals((r.getString(1), r.getString(2))) = r.getLong(3)
+        else {
+          symRefs(r.getString(1)) = symRefs.getOrElse(r.getString(1), 0L) + r.getLong(4)
+          nTokens += r.getLong(5)
+        }
+      }
 
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
     val affCounts = scala.collection.mutable.ArrayBuffer[Long]()
     var step = 1
     var exhausted = false
     while (step <= budget && !exhausted) {
-      // headOption, not (0): a small vocabulary can run out of adjacent
-      // pairs (every word reduced to a single token) before the merge
-      // budget — stop training cleanly instead of indexing an empty array
-      val bestOpt = totals
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().headOption
-      if (bestOpt.isEmpty) exhausted = true
+      // argmax from the driver-held totals: (count desc, pair lexicographic
+      // asc) — identical tie order to the old relational orderBy
+      if (!totals.exists(_._2 > 0)) exhausted = true
       else {
-      val best = bestOpt.get
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      val affected = pairIdx.filter(col("a") === a && col("b") === b)
+      val ((a, b), cnt) = totals.iterator.filter(_._2 > 0)
+        .minBy { case ((pa, pb), c) => (-c, pa, pb) }
+      val affected = state.filter(col("kind") === "idx" &&
+          col("c1") === a && col("c2") === b)
         .select("w_id").distinct().localCheckpoint(true)
-      affCounts += affected.count()
-      val segAff = seg.join(broadcast(affected), "w_id").localCheckpoint()
+      val segAff = segOf(state).join(broadcast(affected), "w_id")
       // the identical greedy-leftmost rewrite, over affected words ONLY
       val marked = segAff
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
@@ -837,46 +954,84 @@ object TextQueries {
         .withColumn("active",
           col("mtch") && (lit(a != b) || pmod(col("runoff"), lit(2)) === 0))
         .withColumn("pactive", lag(col("active"), 1).over(wWin))
+      // eager: the rewrite feeds several delta branches plus the state
+      // refresh — one checkpoint job beats re-running the window per
+      // consumer branch (measured 46 s vs 64 s at budget=50)
       val newSegAff = marked.filter(!coalesce(col("pactive"), lit(false)))
         .select(col("w_id"), col("freq"),
           row_number().over(wWin).as("pos"),
           when(col("active"), lit(a + b)).otherwise(col("sym")).as("sym"))
-        .localCheckpoint()
-      val newIdx = pairsOf(newSegAff).localCheckpoint()
-      // delta maintenance: subtract affected words' old contributions,
-      // add their rewritten ones; zero-count pairs drop out (the merged
-      // pair itself always does — greedy pairing leaves no (a,b)
-      // adjacency behind, runs included)
-      totals = totals
-        .union(pairIdx.join(broadcast(affected), "w_id")
-          .groupBy("a", "b").agg((-sum(col("freq") * col("n"))).as("cnt")))
-        .union(newIdx.groupBy("a", "b")
-          .agg(sum(col("freq") * col("n")).as("cnt")))
-        .groupBy("a", "b").agg(sum(col("cnt")).as("cnt"))
-        .filter(col("cnt") > 0)
-        .localCheckpoint()
-      symRefs = symRefs
-        .union(segAff.groupBy("sym").agg((-count(lit(1))).as("nr")))
-        .union(newSegAff.groupBy("sym").agg(count(lit(1)).as("nr")))
-        .groupBy("sym").agg(sum(col("nr")).as("nr"))
-        .filter(col("nr") > 0)
-        .localCheckpoint()
-      val sums = segAff.agg(sum(col("freq")).as("s"))
-        .unionAll(newSegAff.agg(sum(col("freq")).as("s")))
+        .localCheckpoint(true)
+      val newIdx = pairsOf(newSegAff).localCheckpoint(true)
+      // ONE tagged delta collect: pair-total deltas, symbol row deltas,
+      // the weighted-token delta and the affected-word count, applied to
+      // the driver statistics
+      val oldIdxAff = idxOf(state).join(broadcast(affected), "w_id")
+      val deltas =
+        oldIdxAff.groupBy("a", "b")
+          .agg((-sum(col("freq") * col("n"))).as("d"))
+          .select(lit("pair").as("kind"), col("a").as("k1"), col("b").as("k2"), col("d"))
+        .unionAll(newIdx.groupBy("a", "b")
+          .agg(sum(col("freq") * col("n")).as("d"))
+          .select(lit("pair").as("kind"), col("a").as("k1"), col("b").as("k2"), col("d")))
+        .unionAll(segAff.groupBy("sym").agg((-count(lit(1))).as("d"))
+          .select(lit("sym").as("kind"), col("sym").as("k1"), lit("").as("k2"), col("d")))
+        .unionAll(newSegAff.groupBy("sym").agg(count(lit(1)).as("d"))
+          .select(lit("sym").as("kind"), col("sym").as("k1"), lit("").as("k2"), col("d")))
+        .unionAll(segAff.agg((-sum(col("freq"))).as("d"))
+          .select(lit("tok").as("kind"), lit("").as("k1"), lit("").as("k2"), col("d")))
+        .unionAll(newSegAff.agg(sum(col("freq")).as("d"))
+          .select(lit("tok").as("kind"), lit("").as("k1"), lit("").as("k2"), col("d")))
+        .unionAll(affected.agg(count(lit(1)).as("d"))
+          .select(lit("aff").as("kind"), lit("").as("k1"), lit("").as("k2"), col("d")))
         .collect()
-      nTokens = nTokens - sums(0).getLong(0) + sums(1).getLong(0)
-      val nVocab = symRefs.count()
-      pairIdx = pairIdx.join(broadcast(affected), Seq("w_id"), "left_anti")
-        .union(newIdx).localCheckpoint()
-      seg = seg.join(broadcast(affected), Seq("w_id"), "left_anti")
-        .union(newSegAff).localCheckpoint()
-      out += ((step, a, b, cnt, nTokens, nVocab))
+      var nAff = 0L
+      deltas.foreach { r =>
+        val d = if (r.isNullAt(3)) 0L else r.getLong(3)
+        r.getString(0) match {
+          case "pair" =>
+            val k = (r.getString(1), r.getString(2))
+            val nv = totals.getOrElse(k, 0L) + d
+            if (nv > 0) totals(k) = nv else totals.remove(k)
+          case "sym" =>
+            val nv = symRefs.getOrElse(r.getString(1), 0L) + d
+            if (nv > 0) symRefs(r.getString(1)) = nv else symRefs.remove(r.getString(1))
+          case "tok" => nTokens += d
+          case _ => nAff = d
+        }
+      }
+      affCounts += nAff
+      if (sys.env.contains("GRAFT_BPE_DEBUG"))
+        System.err.println(f"[bpe-round] step=$step pair=($a,$b) cnt=$cnt " +
+          f"aff=$nAff t=${System.nanoTime() / 1e9}%.1f")
+      // Refresh the fused state: broadcast anti-join + union — narrow, no
+      // shuffle or sort ever touches the unaffected vocabulary again. Two
+      // traps here, both measured:
+      //  - union CONCATENATES partition lists, so coalesce first or the
+      //    frame gains partitions every round;
+      //  - localCheckpoint PRESERVES the origin plan's size estimate, and
+      //    each round's join estimation MULTIPLIES the children's BigInt
+      //    sizes — the digit count doubles per round and by round ~26
+      //    Catalyst stats estimation alone ran minutes per query (jstack:
+      //    BigInteger.multiplyToomCook3 under SizeInBytesOnlyStats-
+      //    PlanVisitor). Rebasing the checkpointed rows through an
+      //    external-RDD leaf resets the estimate to a constant; every
+      //    join in the loop carries an explicit broadcast hint, so the
+      //    lost size information changes no plan.
+      // unionByName, NOT positional union: the using-syntax anti-join
+      // reorders `w_id` to the front of its output, and a positional union
+      // would silently mash kind/w_id across the two sides (total row
+      // count survives; every rewritten word's rows become unfindable)
+      val refreshed = state.join(broadcast(affected), Seq("w_id"), "left_anti")
+        .unionByName(fuse(newSegAff, newIdx))
+        .coalesce(8).localCheckpoint(true)
+      state = spark.createDataFrame(refreshed.rdd, refreshed.schema)
+      out += ((step, a, b, cnt, nTokens, symRefs.size.toLong))
       step += 1
       }
     }
-    (out.toSeq, seg, affCounts.toSeq)
+    (out.toSeq, segOf(state), affCounts.toSeq)
   }
-
   /** d39: BPE TOKENIZE-APPLY — the serving half of d38 (train → apply,
     * the text twin of e24 → e25): the corpus is re-tokenized with the
     * trained merges and censused per source. At-scale shape: training

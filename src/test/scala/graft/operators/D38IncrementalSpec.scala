@@ -22,10 +22,23 @@ class D38IncrementalSpec extends SparkSpec {
     out.result()
   }
 
+  test("d38: the incremental and classic trainers walk the identical " +
+      "merge trajectory and produce the identical segmentation") {
+    val budget = 6
+    val (ti, segI, _) =
+      TextQueries.bpeTrain(spark, sfDir, budget, forceIncremental = Some(true))
+    val (tc, segC, _) =
+      TextQueries.bpeTrain(spark, sfDir, budget, forceIncremental = Some(false))
+    assert(ti == tc, "trajectories diverge between the two training paths")
+    assert(segI.exceptAll(segC).isEmpty && segC.exceptAll(segI).isEmpty,
+      "final segmentations diverge between the two training paths")
+  }
+
   test("d38: each round touches exactly the words containing its pair, " +
       "and the trajectory matches a driver-side replay") {
     val budget = 6
-    val (traj, _, affCounts) = TextQueries.bpeTrain(spark, sfDir, budget)
+    val (traj, _, affCounts) =
+      TextQueries.bpeTrain(spark, sfDir, budget, forceIncremental = Some(true))
     assert(traj.nonEmpty && traj.size == affCounts.size)
 
     // independent reference: collected word counts + sequential replay
