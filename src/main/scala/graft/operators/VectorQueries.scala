@@ -481,7 +481,14 @@ object VectorQueries {
   private def memoTrained(spark: SparkSession, sfDir: String, name: String,
       params: String)(train: => DataFrame): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val dir = new java.io.File(s"target/parity/trained-$name-$sfTag")
+    // params belong in the DIRECTORY key, not just the stamp: consumers of
+    // the same artifact family at different geometries (e25 K=4 / e27 K=64
+    // / e31 K=256 all name "pqbooks"; d36 k=4 vs d41 k=16 both "kmeans")
+    // would otherwise share one slot and re-train + overwrite it on every
+    // alternation — every gate run paid every training again (measured:
+    // e31 26 s/run instead of its ~2 s warm serving)
+    val pTag = params.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/parity/trained-$name-$pTag-$sfTag")
       .getAbsoluteFile
     val marker = new java.io.File(dir, "._trained_ok")
     val idRow = table(spark, sfDir, "embeddings")
