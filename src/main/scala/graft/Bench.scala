@@ -42,11 +42,31 @@ object Bench {
     */
   private val NormCeiling = 0.8
 
+  /** The adjudicated best-ever canary norm on this host class, from the
+    * certified r11 run (BASELINE.md honest-history table). Compiled in
+    * because EVERY file-based anchor is erasable: the r10 fix persisted the
+    * anchor under `target/`, a `clean` wiped it before the r13 run, the
+    * detector silently reset to the fresh (degraded) norm and stamped
+    * `host_degraded: false` on a visibly degraded run. The compiled
+    * constant is the floor the anchor can never fall through; the file
+    * below only ever LOWERS it if a healthier steady is observed.
+    */
+  private val HistoricalAnchor = 0.358
+
+  /** A fresh norm more than this factor above the recorded anchor means the
+    * whole run sits on a degraded host even if it clears the absolute
+    * ceiling (r13: fresh 0.542 vs anchor 0.358 = 1.51x, recorded totals
+    * ~2.2x steady across untouched queries — degraded, not borderline).
+    */
+  private val DegradedFactor = 1.25
+
   /** Best canary norm ever observed on this host, persisted across runs so a
     * run that starts mid-flap still compares its probes against the healthy
-    * steady rather than self-certifying.
+    * steady rather than self-certifying. Lives at the REPO ROOT
+    * (git-ignored), not under `target/`, so clean builds and testdata
+    * regeneration cannot erase it (the r13 failure mode).
     */
-  private val NormFile = java.nio.file.Paths.get("target/bench-canary-norm.txt")
+  private val NormFile = java.nio.file.Paths.get(".bench-anchor")
 
   private def readBestNorm(): Option[Double] =
     try {
@@ -57,10 +77,8 @@ object Bench {
     } catch { case _: Throwable => None }
 
   private def writeBestNorm(n: Double): Unit =
-    try {
-      java.nio.file.Files.createDirectories(NormFile.getParent)
-      java.nio.file.Files.writeString(NormFile, f"$n%.4f%n")
-    } catch { case _: Throwable => () }
+    try java.nio.file.Files.writeString(NormFile, f"$n%.4f%n")
+    catch { case _: Throwable => () }
 
   /** Syscall-heavy fixed workload: 48 tasks each writing one small parquet
     * file, then list + read-back + delete. ~0.3s steady; an order of
@@ -102,15 +120,28 @@ object Bench {
     val freshNorm = (1 to 3).map(_ => canary(spark)).min
     // Anchor against the best norm ever seen on this host: a run that starts
     // during a SUSTAINED flap would otherwise adopt the degraded number as
-    // "normal" and no probe could ever trip (round-9 failure mode).
-    val norm = readBestNorm().fold(freshNorm)(math.min(_, freshNorm))
+    // "normal" and no probe could ever trip (round-9 failure mode). The
+    // recorded anchor floors at the compiled historical constant so no file
+    // wipe can ever reset the detector to a degraded baseline (r13 mode).
+    val recordedAnchor =
+      math.min(HistoricalAnchor, readBestNorm().getOrElse(Double.MaxValue))
+    val norm = math.min(recordedAnchor, freshNorm)
     writeBestNorm(norm)
-    // The ceiling check must be ABSOLUTE (not inside a max with the
-    // relative term): on a first run the anchor IS the fresh norm, and a
-    // relative-only test can never trip.
-    val hostDegraded = freshNorm > NormCeiling || freshNorm > FlapFactor * norm
+    // Degradation is judged against the RECORDED anchor (never against the
+    // fresh norm itself — that is self-certification) with an absolute
+    // ceiling backstop for a hypothetical first-ever run on a new host.
+    val hostDegraded =
+      freshNorm > NormCeiling || freshNorm > DegradedFactor * recordedAnchor
+    // Severe degradation (the whole run 3x+ off steady): retries cannot
+    // recover a clean number and only multiply wall-clock. MILD degradation
+    // (1.25-3x) keeps the retry loop — the host may recover mid-run and
+    // min-of-reps then lands real steadies even though the run as a whole
+    // stays stamped host_degraded.
+    val severelyDegraded =
+      freshNorm > NormCeiling || freshNorm > FlapFactor * recordedAnchor
     System.err.println(
-      f"[bench] canary fresh ${freshNorm}%.3fs, anchored norm ${norm}%.3fs" +
+      f"[bench] canary fresh ${freshNorm}%.3fs, anchored norm ${norm}%.3fs," +
+        f" recorded anchor ${recordedAnchor}%.3fs" +
         (if (hostDegraded) " — HOST DEGRADED, numbers are upper bounds" else ""))
     var worstProbe = freshNorm
     var flapRetries = 0
@@ -144,13 +175,13 @@ object Bench {
         var best = Map.empty[String, Double]
         var attempt = 0
         var clean = false
-        // On a host that is degraded for the WHOLE run (fresh norm already
-        // far above the persisted anchor) segment retries cannot recover a
+        // On a host that is SEVERELY degraded for the whole run (fresh norm
+        // 3x+ above the recorded anchor) segment retries cannot recover a
         // clean number — they only multiply wall-clock. Run each segment
         // once, stamp host_degraded + flap_residual, and let the driver
         // re-run the bench in a healthy window.
-        val attemptCap = if (hostDegraded) 1 else MaxAttempts
-        if (hostDegraded) residualFlap = true
+        val attemptCap = if (severelyDegraded) 1 else MaxAttempts
+        if (severelyDegraded) residualFlap = true
         while (!clean && attempt < attemptCap) {
           attempt += 1
           segment.foreach { case (name, fn) =>
@@ -193,6 +224,7 @@ object Bench {
     val failedJson = failed.toSeq.sorted.map(n => s""""$n"""")
       .mkString("[", ",", "]")
     val flap = f""""canary_norm":$norm%.3f,"canary_fresh":$freshNorm%.3f,""" +
+      f""""canary_anchor":$recordedAnchor%.3f,""" +
       f""""canary_worst":$worstProbe%.3f,""" +
       s""""flap_retries":$flapRetries,"flap_residual":$residualFlap,""" +
       s""""host_degraded":$hostDegraded,"failed":$failedJson"""
