@@ -2413,9 +2413,39 @@ object SparkEntry {
     * census. `snapshot_version` is the constant 1 the engine's fresh
     * SnapshotLog commit must produce.
     */
-  private def x1OracleSql: String = {
+  /** Rewrite every CTE definition in `sql` to `AS MATERIALIZED`: DuckDB
+    * inlines CTEs by default, and in a deep multi-reference chain like
+    * x1's each re-reference re-computes its ENTIRE upstream — measured
+    * 10+ minutes for the x1 oracle at sf0.001 inlined vs 0.6 s
+    * materialized, with identical results. Applied only to the composed-
+    * pipeline oracle; the single-operator oracles are shallow enough not
+    * to need it.
+    */
+  private def materializeCtes(sql: String): String =
+    sql.replaceAll("(?m)^(\\s*,?\\s*)([a-zA-Z_][a-zA-Z0-9_]*) AS \\(",
+      "$1$2 AS MATERIALIZED (")
+
+  private def x1OracleSql: String = materializeCtes(x1OracleSqlInlined)
+
+  private def x1OracleSqlInlined: String = {
     val iters = 2
-    s"""WITH scored AS (
+    s"""WITH sal AS (
+       | SELECT doc_id, source,
+       |  text || ' contact user' || CAST(h % 1000 AS VARCHAR)
+       |   || '@example.com call +1-555-'
+       |   || lpad(CAST(h % 10000 AS VARCHAR), 4, '0')
+       |   || ' from 10.0.' || CAST(h % 256 AS VARCHAR) || '.7' AS raw
+       | FROM (SELECT doc_id, source, text,
+       |        CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+       |       FROM documents) s0),
+       |red AS (
+       | SELECT doc_id, source,
+       |  regexp_replace(regexp_replace(regexp_replace(raw,
+       |    '\\+1-555-[0-9]{4}', '<PHONE>', 'g'),
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |    '10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g') AS text
+       | FROM sal),
+       |scored AS (
        | SELECT doc_id, text, source,
        |  CAST(-2.0 AS DOUBLE) + CAST(0.004 AS DOUBLE) * length(text)
        |   - CAST(0.05 AS DOUBLE) * len(string_split_regex(trim(text), '\\s+'))
@@ -2428,19 +2458,50 @@ object SparkEntry {
        |  CAST((length(lower(text)) - length(replace(lower(text), 'dat', ''))) / 3 AS BIGINT)
        |   + CAST((length(lower(text)) - length(replace(lower(text), 'tab', ''))) / 3 AS BIGINT)
        |   + CAST((length(lower(text)) - length(replace(lower(text), 'row', ''))) / 3 AS BIGINT) AS tri_data
-       | FROM documents),
+       | FROM red),
        |filt AS (
-       | SELECT doc_id, text FROM scored
+       | SELECT doc_id, text, source FROM scored
        | WHERE logit > -2.0 AND tri_data <= 5 * tri_en),
+       |ftoks AS (
+       | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM filt),
+       |funi AS (
+       | SELECT token AS w, count(*) AS uc FROM (
+       |  SELECT unnest(t) AS token FROM ftoks) x GROUP BY 1),
+       |fvocab AS (SELECT count(*) AS v FROM funi),
+       |fp0 AS (
+       | SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       | FROM ftoks WHERE len(t) >= 2),
+       |fpl AS (
+       | SELECT doc_id, t[CAST(i AS INT)] AS prev, t[CAST(i + 1 AS INT)] AS w
+       | FROM fp0),
+       |fbig AS (SELECT prev, w, count(*) AS bc FROM fpl GROUP BY 1, 2),
+       |fsc AS (
+       | SELECT p.doc_id,
+       |  CAST(CAST(b.bc + 1 AS DOUBLE) / CAST(u.uc + v.v AS DOUBLE)
+       |   AS DECIMAL(20,10)) AS pr,
+       |  v.v AS v
+       | FROM fpl p
+       | JOIN fbig b ON b.prev = p.prev AND b.w = p.w
+       | JOIN funi u ON u.w = p.prev
+       | CROSS JOIN fvocab v),
+       |disfluent AS (
+       | SELECT doc_id FROM (
+       |  SELECT doc_id, CAST(sum(pr) AS DOUBLE) / count(*) AS avg_p,
+       |   max(v) AS v
+       |  FROM fsc GROUP BY doc_id) g
+       | WHERE avg_p * v < 2.8),
+       |surv0 AS (
+       | SELECT f.doc_id, f.text, f.source FROM filt f
+       | WHERE NOT EXISTS (SELECT 1 FROM disfluent d WHERE d.doc_id = f.doc_id)),
        |exact_keep AS (
-       | SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+       | SELECT min(doc_id) AS doc_id FROM surv0 GROUP BY md5(text)),
        |surv1 AS (
-       | SELECT f.doc_id, f.text FROM filt f JOIN exact_keep k USING (doc_id)),
+       | SELECT f.doc_id, f.text, f.source FROM surv0 f JOIN exact_keep k USING (doc_id)),
        |${lshCandCtesFrom("surv1")},
        |$lshPairsCte,
        |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
        |surv2 AS (
-       | SELECT s.doc_id, s.text FROM surv1 s
+       | SELECT s.doc_id, s.text, s.source FROM surv1 s
        | WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = s.doc_id)),
        |${kmeansChainSql(iters)},
        |${kmeansAssignCte("casg", s"c$iters")},
@@ -2461,7 +2522,7 @@ object SparkEntry {
        |sremoved AS (
        | SELECT DISTINCT id_b AS doc_id FROM spairs WHERE sim_dec >= 0.25),
        |surv3 AS (
-       | SELECT s.doc_id, s.text FROM surv2 s
+       | SELECT s.doc_id, s.text, s.source FROM surv2 s
        | WHERE NOT EXISTS (SELECT 1 FROM sremoved r WHERE r.doc_id = s.doc_id)),
        |toks3 AS (
        | SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM surv3),
@@ -2478,11 +2539,11 @@ object SparkEntry {
        | WHERE s.doc_id % 40 <> 0
        | GROUP BY s.doc_id HAVING count(*) >= 3),
        |surv4 AS (
-       | SELECT s.doc_id, s.text FROM surv3 s
+       | SELECT s.doc_id, s.text, s.source FROM surv3 s
        | WHERE s.doc_id % 40 <> 0
        |  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = s.doc_id)),
        |sp AS (
-       | SELECT doc_id,
+       | SELECT doc_id, source,
        |  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h60,
        |  len(string_split_regex(trim(text), '\\s+')) AS n,
        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
@@ -2491,13 +2552,14 @@ object SparkEntry {
        |       THEN 'valid' ELSE 'test' END AS split
        | FROM surv4),
        |pk AS (
-       | SELECT *, sum(n) OVER (PARTITION BY split ORDER BY doc_id
+       | SELECT *, sum(n) OVER (PARTITION BY split, source ORDER BY doc_id
        |                        ROWS UNBOUNDED PRECEDING) AS cum
        | FROM sp)
        |SELECT split, count(*) AS n_docs,
        | CAST(sum(doc_id) AS BIGINT) AS sum_ids,
        | CAST(sum(n) AS BIGINT) AS tot_tokens,
-       | CAST(count(DISTINCT (cum - n) // 2048) AS BIGINT) AS n_bins,
+       | CAST(count(DISTINCT source || '|' || CAST((cum - n) // 2048 AS VARCHAR))
+       |  AS BIGINT) AS n_bins,
        | bit_xor(h60) AS census_hash,
        | 1 AS snapshot_version
        |FROM pk GROUP BY split""".stripMargin

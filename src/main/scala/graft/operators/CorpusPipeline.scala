@@ -12,30 +12,47 @@ import RelationalQueries.table
   * analogue of the reference's composed workflow,
   * `workflow.yaml:14-95`, which chains probe → ingest → poll):
   *
-  *   hive ingest (S1/S2) → quality+langid filter (d27/d14) → exact dedup
-  *   (d1) → MinHash-LSH near-dup removal (d13/d15) → semantic dedup (d36)
-  *   → eval-decontamination (d25) → split assignment (d33) → sequence
-  *   packing (d23) → SnapshotLog commit → per-split census.
+  *   hive ingest (S1/S2) → PII redaction (d24) → quality+langid filter
+  *   (d27/d14) → bigram-LM fluency filter (d34) → exact dedup (d1) →
+  *   MinHash-LSH near-dup removal (d13/d15) → semantic dedup (d36) →
+  *   eval-decontamination (d25) → split assignment (d33) → per-(split,
+  *   source) sequence packing (d23) → SnapshotLog commit → per-split
+  *   census.
   *
   * Output: one row per split — doc count, id checksum, token total, packed
   * bin count, a content census hash (bit_xor of per-doc h60), and the
   * committed snapshot version. Every upstream stage feeds every number, so
-  * the oracle hash pins the COMPOSITION, not just the stages.
+  * the oracle hash pins the COMPOSITION, not just the stages. In
+  * particular the census hashes REDACTED text: reordering the scrub after
+  * hashing, or dropping it, flips every census hash — placement is pinned,
+  * not asserted.
   *
   * Scale shape (the point of composing, beyond proof):
   *  - The corpus lands hive-partitioned and is scanned ONCE into a
   *    persisted survivor frame that carries its token array; tokenize —
   *    the scan-dominant cost at 100 TB — is paid once and shared by the
-  *    LSH shingles, the decontamination 5-grams, and the packing token
-  *    counts (`X1PipelineSpec` pins the single tokenize).
-  *  - Each dedup stage shrinks the corpus BEFORE the next pays its cost:
-  *    LSH shingles only quality survivors, semantic pairing only
-  *    LSH survivors, decontamination only semantic survivors.
+  *    fluency bigrams, the LSH shingles, the decontamination 5-grams, and
+  *    the packing token counts (`X1PipelineSpec` pins the single
+  *    tokenize).
+  *  - PII redaction runs INSIDE the one scan (row-local regex rewrite,
+  *    zero shuffle) and BEFORE any content hash, so every downstream
+  *    fingerprint/dedup key sees scrubbed text — the ordering a real
+  *    pipeline must guarantee (a hash of unscrubbed text is itself a
+  *    retention liability).
+  *  - Each filter/dedup stage shrinks the corpus BEFORE the next pays its
+  *    cost: fluency scores only quality survivors, LSH shingles only
+  *    fluency survivors, semantic pairing only LSH survivors,
+  *    decontamination only semantic survivors.
   *  - Semantic binning reuses the corpus-trained memoized codebooks
   *    (train once, serve many — d36's production shape); assignment runs
   *    only over survivor embeddings.
-  *  - No stage collects row data to the driver; the only driver-side values
-  *    are the SnapshotLog commit's manifest bookkeeping.
+  *  - Packing windows per (split, source) — d23's stratum discipline:
+  *    strata are the parallel unit (swap `source` for the file/partition
+  *    id at 100 TB), so no prefix-sum task ever sees more than one
+  *    stratum. A split-only key would put ~80% of the corpus through ONE
+  *    task (r13 wrong #2).
+  *  - No stage collects row data to the driver; the only driver-side
+  *    values are the SnapshotLog commit's manifest bookkeeping.
   */
 object CorpusPipeline {
 
@@ -46,23 +63,88 @@ object CorpusPipeline {
     ((length(low) - length(replace(low, lit(pat), lit("")))) / lit(pat.length))
       .cast("long")
 
+  /** Fluency floor: keep documents whose Laplace-smoothed mean bigram
+    * probability (d34's statistic, trained on the quality-survivor corpus)
+    * clears `FluencyFloor / V` — the unseen-bigram probability is ~1/V, so
+    * the rule reads "bigrams on average ≥2.8× the novel-pair floor".
+    * Corpus-adaptive (V rides along), deterministic (avg_p's exact-decimal
+    * sum → double division is the d34-oracle-proven cross-engine-identical
+    * value; V is an integer), and it does real work at gate scale
+    * (measured: drops ~5% of survivors at sf0.001 and sf0.01).
+    */
+  private val FluencyFloor = 2.8
+
+  /** Stage R's redaction expression over a raw `text` column: the scrub
+    * every corpus runs BEFORE anything fingerprints the text. The
+    * synthetic corpus carries no PII, so each document is salted with one
+    * email/phone/IP derived from its CONTENT hash (h60 of the raw text —
+    * duplicates get the same salt, so the dedup stages keep their real
+    * work; a doc_id salt would make every document unique and neuter
+    * d1/LSH), then the d24 regex families redact to typed placeholders.
+    * Row-local, zero shuffle; runs inside the one corpus scan.
+    */
+  private def redactExpr: Column = {
+    val rawH = h60(col("text"))
+    val salted = concat(col("text"),
+      lit(" contact user"), pmod(rawH, lit(1000L)).cast("string"),
+      lit("@example.com"),
+      lit(" call +1-555-"),
+      lpad(pmod(rawH, lit(10000L)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(rawH, lit(256L)).cast("string"), lit(".7"))
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val ipRe = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(salted, phoneRe, "<PHONE>"),
+        emailRe, "<EMAIL>"),
+      ipRe, "<IP>")
+  }
+
+  /** Stage R applied standalone to a (doc_id, text, ...) frame — the spec
+    * probes redaction output through this so its assertions exercise the
+    * exact expression the pipeline runs.
+    */
+  private[operators] def redactProbe(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), redactExpr.as("text"))
+
   def x1CorpusPipeline(spark: SparkSession, sfDir: String,
       requireFlatOracle: Boolean = false): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val census = x1Census(spark, sfDir, requireFlatOracle)
+    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
+    val census = x1Census(spark, sfDir, requireFlatOracle, caches)
 
     // ---- Stage C: SnapshotLog commit — the manifest the next pipeline run
     // would consume. Fresh state dir per run => deterministic version 1;
     // the output re-READS the committed snapshot, so the gate hash proves
-    // the commit round-trip, not just the pre-commit frame.
+    // the commit round-trip, not just the pre-commit frame. The snapshot
+    // location is a TABLE path: address and wipe it through the Hadoop
+    // FileSystem of its scheme (HashCensus.drop's rule), never
+    // java.io.File — the same code must work against a non-file:
+    // warehouse (MockFsSpec drives that).
     val snapDir = new java.io.File(s"target/parity/x1-snap-$sfTag")
       .getAbsoluteFile
-    def wipe(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(wipe); f.delete(); ()
-    }
-    wipe(snapDir)
-    val v = SnapshotLog.commit(spark, s"file:$snapDir", census, Seq.empty)
-    SnapshotLog.read(spark, s"file:$snapDir", v)
+    val out = freshCommitAndRead(spark, s"file:$snapDir", census)
+    // the commit's action materialized the census — the persisted stage
+    // frames are dead weight from here; unpersist so repeated invocations
+    // in a long-lived session don't accumulate CacheManager entries
+    caches.foreach(_.unpersist(false))
+    out
+  }
+
+  /** Wipe-then-commit-then-read of a snapshot TABLE location, all through
+    * the Hadoop FileSystem of the path's own scheme — x1's commit stage,
+    * factored out so `MockFsSpec` can drive it against a non-`file:`
+    * scheme (a java.io wipe would silently no-op there and the stale
+    * state would bump the committed version past the deterministic 1).
+    */
+  private[graft] def freshCommitAndRead(spark: SparkSession, path: String,
+      df: DataFrame): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    val v = SnapshotLog.commit(spark, path, df, Seq.empty)
+    SnapshotLog.read(spark, path, v)
       .withColumn("snapshot_version", lit(v))
   }
 
@@ -70,9 +152,13 @@ object CorpusPipeline {
     * the frame `X1PipelineSpec` plan-pins; [[x1CorpusPipeline]] commits it.
     * Runs two eager side-steps (the hive landing write — the ingest under
     * test — and the codebook memo/probe) but never executes the census DAG.
+    * Persisted intermediate frames are appended to `caches` so the caller
+    * can unpersist them once the census has materialized.
     */
   private[operators] def x1Census(spark: SparkSession, sfDir: String,
-      requireFlatOracle: Boolean = false): DataFrame = {
+      requireFlatOracle: Boolean = false,
+      caches: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
     // ---- Stage S (S1/S2): hive ingest — land the corpus partitioned by
@@ -88,33 +174,67 @@ object CorpusPipeline {
       .parquet(s"file:$landing")
     val docs = spark.read.parquet(s"file:$landing")
 
-    // ---- Stage F: learned quality score (d27's frozen logistic margin,
-    // operating point -2.0) AND the d14 chargram junk gate (drop docs whose
-    // data-ish trigram mass swamps the english-ish mass 5:1). The surviving
-    // frame carries its token array: ONE tokenize for LSH shingles,
-    // decontamination 5-grams, and packing token counts alike.
+    // ---- Stage R (d24): PII redaction — see [[redactProbe]]. Downstream
+    // sees ONLY the redacted text — every census hash below pins this
+    // placement.
+    val red = redactExpr
+
+    // ---- Stage F (d27+d14): learned quality score (frozen logistic
+    // margin, operating point -2.0) AND the chargram junk gate (drop docs
+    // whose data-ish trigram mass swamps the english-ish mass 5:1), over
+    // the REDACTED text. The surviving frame carries its token array: ONE
+    // tokenize for the fluency bigrams, LSH shingles, decontamination
+    // 5-grams, and packing token counts alike.
     val low = lower(col("text"))
     val triEn = occ(low, "the") + occ(low, "and") + occ(low, "ing")
     val triData = occ(low, "dat") + occ(low, "tab") + occ(low, "row")
-    // token array staged BEFORE the filter so the logit's token count and
-    // every downstream consumer share the one regex tokenize
     val logit = lit(-2.0) + lit(0.004) * length(col("text")) -
       lit(0.05) * size(col("t")) +
       lit(0.02) * cclass(col("text"), "count", "aeiou") -
       lit(0.8) * cclass(col("text"), "count", ".!?,;:")
     val filt = docs
+      .select(col("doc_id"), red.as("text"), col("source"))
       .select(col("doc_id"), col("text"), col("source"),
         tokens(col("text")).as("t"))
       .filter(logit > lit(-2.0) && triData <= triEn * lit(5L))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += filt
+
+    // ---- Stage F2 (d34): bigram-LM fluency filter — train the Laplace-
+    // smoothed bigram model ON the quality survivors (shared token
+    // array), score each survivor by its mean bigram probability, and
+    // drop the least fluent (avg_p·V < FluencyFloor; bigram-less docs
+    // pass — no evidence either way). Counts shuffle tokens, never text.
+    val prs = filt
+      .select(col("doc_id"), explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("prev"), col("bg.1").as("w"))
+    val uni = filt.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("uc"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val big = prs.groupBy("prev", "w").agg(count(lit(1)).as("bc"))
+    val disfluent = prs
+      .join(big, Seq("prev", "w"))
+      .join(uni.withColumnRenamed("w", "prev").withColumnRenamed("uc", "pc"),
+        Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("pr",
+        ((col("bc") + 1).cast("double") / (col("pc") + col("v")).cast("double"))
+          .cast("decimal(20,10)"))
+      .groupBy("doc_id", "v")
+      .agg((sum(col("pr")).cast("double") / count(lit(1))).as("avg_p"))
+      .filter(col("avg_p") * col("v") < lit(FluencyFloor))
+      .select("doc_id")
+    val surv0 = filt.join(disfluent, Seq("doc_id"), "left_anti")
 
     // ---- Stage D1: exact dedup — keep the smallest doc_id per content
     // hash (d1's rule; partial-agg'd, shuffle carries one row per hash).
-    val exactKeep = filt
+    val exactKeep = surv0
       .groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val surv1 = filt.join(exactKeep, Seq("doc_id"), "left_semi")
+    val surv1 = surv0.join(exactKeep, Seq("doc_id"), "left_semi")
 
     // ---- Stage D2: MinHash-LSH near-dup removal (d13's banded pipeline
     // over the SURVIVOR corpus — shingling is row-local, so the subset run
@@ -125,6 +245,7 @@ object CorpusPipeline {
     // the verification join (shingledDocs's discipline, scoped to x1)
     val shingled = DedupQueries.shingleFrameFrom(sh1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += shingled
     val lshLosers = DedupQueries.lshVerifiedPairsFrom(shingled)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
@@ -180,6 +301,7 @@ object CorpusPipeline {
       .select(col("doc_id"), h60(col("g")).as("h"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += sh5
     val evalSh = sh5.filter(pmod(col("doc_id"), lit(40L)) === 0)
       .select(col("h")).distinct()
     val contaminated = sh5.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
@@ -193,14 +315,18 @@ object CorpusPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
 
     // ---- Stage P: split assignment (d33's content-keyed buckets) + d23's
-    // 2048-token sequence packing per split + per-split census. The census
-    // hash (bit_xor of per-doc h60) pins the exact survivor SET.
+    // 2048-token sequence packing per (split, source) stratum + per-split
+    // census. The census hash (bit_xor of per-doc h60) pins the exact
+    // survivor SET — of REDACTED text. Bins are per-stratum, so the
+    // per-split bin count counts distinct (source, bin) pairs; the window
+    // key has corpus-proportional cardinality (strata ∝ sources), never
+    // the 3-partition split-only key.
     val b = pmod(h60(col("text")), lit(100L))
     val assigned = surv4.select(
-      col("doc_id"), col("text"), size(col("t")).as("n"),
+      col("doc_id"), col("text"), col("source"), size(col("t")).as("n"),
       when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("split").orderBy("doc_id")
+      .partitionBy("split", "source").orderBy("doc_id")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     assigned
       .withColumn("h60", h60(col("text")))
@@ -210,7 +336,7 @@ object CorpusPipeline {
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("sum_ids"),
         sum(col("n")).as("tot_tokens"),
-        countDistinct(col("bin")).as("n_bins"),
+        countDistinct(concat_ws("|", col("source"), col("bin"))).as("n_bins"),
         expr("bit_xor(h60)").as("census_hash"))
   }
 }

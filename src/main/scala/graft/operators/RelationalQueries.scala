@@ -27,14 +27,71 @@ object RelationalQueries {
     if (name == "events") eventsTable(spark, sfDir)
     else spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** (size, mtime) fingerprint of a source parquet, for memo-marker stamps:
-    * the driver regenerates `/root/testdata` between rounds, sometimes
-    * preserving row counts — a count-only stamp then serves stale derived
-    * fixtures. Cheap (two stat calls), catches every regeneration.
+  /** Cheap fingerprint of a source parquet (file OR directory dataset), for
+    * memo-marker stamps: the driver regenerates `/root/testdata` between
+    * rounds, sometimes preserving row counts — a count-only stamp then
+    * serves stale derived fixtures. Three guards, all driver-side syscalls
+    * (no Spark job):
+    *  - per-leaf (name, size, mtime) CRC — a directory dataset's top-level
+    *    length/mtime only reflects directory ENTRIES, so leaves must be
+    *    walked;
+    *  - a tail-bytes CRC of each parquet leaf (the footer carries row-group
+    *    statistics) — catches a same-size regeneration landing within one
+    *    mtime granularity tick, the residual hole of a stat-only stamp.
     */
   def sourceStamp(sfDir: String, name: String): String = {
-    val f = new java.io.File(s"$sfDir/$name.parquet")
-    s"${f.length()}:${f.lastModified()}"
+    val root = new java.io.File(s"$sfDir/$name.parquet")
+    def leaves(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          .sortBy(_.getName).toSeq.flatMap(leaves)
+      else Seq(f)
+    val crc = new java.util.zip.CRC32()
+    var total = 0L
+    leaves(root).foreach { f =>
+      total += f.length()
+      crc.update(s"${f.getName}:${f.length()}:${f.lastModified()}|"
+        .getBytes("UTF-8"))
+      if (f.isFile && f.length() > 0 && f.getName.endsWith(".parquet")) {
+        val n = math.min(4096L, f.length()).toInt
+        val raf = new java.io.RandomAccessFile(f, "r")
+        try {
+          raf.seek(f.length() - n)
+          val buf = new Array[Byte](n)
+          raf.readFully(buf)
+          crc.update(buf)
+        } finally raf.close()
+      }
+    }
+    s"$total:${crc.getValue}"
+  }
+
+  /** Per-JVM cached content fingerprint ("n|bit_xor-of-xxhash64") of a
+    * source table: the STRONG stamp memoized artifacts validate against.
+    * The xxhash64 corpus scan runs at most once per (table, on-disk state)
+    * per JVM — [[sourceStamp]] (syscall-cheap) decides whether the cached
+    * scan is still current, so the 8+ consumers of one trained artifact
+    * stop paying a full fingerprint pass each (r12 advice #8 / r13 wrong
+    * #4).
+    */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  def corpusFingerprint(spark: SparkSession, sfDir: String, name: String,
+      hashCols: String): String = {
+    val stamp = sourceStamp(sfDir, name)
+    val key = s"$sfDir|$name|$hashCols"
+    val cached = fpCache.get(key)
+    if (cached != null && cached._1 == stamp) cached._2
+    else {
+      val r = table(spark, sfDir, name)
+        .selectExpr("count(*) AS n",
+          s"coalesce(bit_xor(xxhash64($hashCols)), 0L) AS fp")
+        .collect()(0)
+      val fp = s"${r.getLong(0)}|${r.getLong(1)}"
+      fpCache.put(key, (stamp, fp))
+      fp
+    }
   }
 
   /** The events table's `ts` physical type has varied across testdata

@@ -790,9 +790,9 @@ object TextQueries {
     * words containing the merged pair. The same cost-based dispatch idea
     * as broadcast-vs-shuffle join selection.
     */
-  private[operators] val IncrementalVocabThreshold = 50000L
+  private[graft] val IncrementalVocabThreshold = 50000L
 
-  private[operators] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int,
+  private[graft] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int,
       forceIncremental: Option[Boolean] = None)
       : (Seq[(Int, String, String, Long, Long, Long)],
          org.apache.spark.sql.DataFrame, Seq[Long]) = {
@@ -866,6 +866,24 @@ object TextQueries {
     (out.toSeq, seg, Seq.empty)
   }
 
+  /** Unsigned lexicographic compare of two strings' UTF-8 encodings — the
+    * binary collation Spark and DuckDB sort strings by. Agrees with
+    * `String.compareTo` on BMP-only text; differs (correctly) when
+    * supplementary characters meet BMP chars above U+E000.
+    */
+  private[operators] def utf8Compare(x: String, y: String): Int = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   private def bpeTrainIncremental(spark: SparkSession, sfDir: String, budget: Int)
       : (Seq[(Int, String, String, Long, Long, Long)],
          org.apache.spark.sql.DataFrame, Seq[Long]) = {
@@ -933,11 +951,24 @@ object TextQueries {
     var exhausted = false
     while (step <= budget && !exhausted) {
       // argmax from the driver-held totals: (count desc, pair lexicographic
-      // asc) — identical tie order to the old relational orderBy
+      // asc) — identical tie order to the old relational orderBy. The
+      // lexicographic leg compares UTF-8 BYTES unsigned, not JVM chars:
+      // Spark's string orderBy (and DuckDB's) use binary UTF-8 collation,
+      // which diverges from UTF-16 code-unit compare on supplementary
+      // characters — a JVM-ordered tie-break could pick a different merge
+      // than the classic trainer on a non-BMP corpus.
       if (!totals.exists(_._2 > 0)) exhausted = true
       else {
       val ((a, b), cnt) = totals.iterator.filter(_._2 > 0)
-        .minBy { case ((pa, pb), c) => (-c, pa, pb) }
+        .reduceLeft { (x, y) =>
+          val cmp =
+            if (x._2 != y._2) java.lang.Long.compare(y._2, x._2)
+            else {
+              val ca = utf8Compare(x._1._1, y._1._1)
+              if (ca != 0) ca else utf8Compare(x._1._2, y._1._2)
+            }
+          if (cmp <= 0) x else y
+        }
       val affected = state.filter(col("kind") === "idx" &&
           col("c1") === a && col("c2") === b)
         .select("w_id").distinct().localCheckpoint(true)
@@ -1053,10 +1084,10 @@ object TextQueries {
     val dir = new java.io.File(s"target/parity/trained-bpe$budget-$sfTag")
       .getAbsoluteFile
     val marker = new java.io.File(dir, "._trained_ok")
-    val idRow = table(spark, sfDir, "documents")
-      .selectExpr("count(*) AS n",
-        "coalesce(bit_xor(xxhash64(doc_id, text)), 0L) AS fp").collect()(0)
-    val stamp = s"$budget|${idRow.getLong(0)}|${idRow.getLong(1)}"
+    // content fingerprint, cached per JVM behind a syscall-cheap sourceStamp
+    // (the memoTrained rule): one xxhash corpus scan per on-disk state
+    val stamp = s"$budget|${RelationalQueries.corpusFingerprint(
+      spark, sfDir, "documents", "doc_id, text")}"
     val valid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!valid) {

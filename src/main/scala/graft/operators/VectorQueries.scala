@@ -491,11 +491,10 @@ object VectorQueries {
     val dir = new java.io.File(s"target/parity/trained-$name-$pTag-$sfTag")
       .getAbsoluteFile
     val marker = new java.io.File(dir, "._trained_ok")
-    val idRow = table(spark, sfDir, "embeddings")
-      .selectExpr("count(*) AS n",
-        "coalesce(bit_xor(xxhash64(vec_id, embedding)), 0L) AS fp")
-      .collect()(0)
-    val stamp = s"$params|${idRow.getLong(0)}|${idRow.getLong(1)}"
+    // content fingerprint, cached per JVM behind a syscall-cheap sourceStamp
+    // so only the FIRST memo consumer per on-disk state pays the xxhash scan
+    val stamp = s"$params|${RelationalQueries.corpusFingerprint(
+      spark, sfDir, "embeddings", "vec_id, embedding")}"
     val valid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!valid) {
@@ -718,6 +717,25 @@ object VectorQueries {
       pqTrainedCodebooksUncached(spark, sfDir, iters, kCode)
     }
 
+  /** The corpus PQ CODE TABLE (vec_id, m, centroid_id) — in production the
+    * codes ARE the index (they persist next to the inverted lists, e18's
+    * discipline), so serving queries must read them, not recompute them:
+    * re-encoding is N·M·K sub-dots per run, 64× e25's encode work at K=256,
+    * and r13's e31 benched 6.4 s of exactly that against a serving plan
+    * that is O(1) in K (r13 wrong #3). Memoized per (corpus fingerprint,
+    * iters, K) like the codebooks themselves; e24/e25/e26/e27/e28/e30/e31
+    * all serve from this table, so their bench times measure the
+    * broadcast-join + partial-agg serving path.
+    */
+  private[operators] def pqCodes(spark: SparkSession, sfDir: String,
+      iters: Int = 2, kCode: Int = PqK): DataFrame =
+    memoTrained(spark, sfDir, "pqcodes", s"$iters|$kCode") {
+      val emb = table(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      assignSub(subspaces(emb), pqTrainedCodebooks(spark, sfDir, iters, kCode))
+        .select(col("vec_id"), col("m"), col("centroid_id"))
+    }
+
   private def pqTrainedCodebooksUncached(spark: SparkSession, sfDir: String,
       iters: Int, kCode: Int): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -752,11 +770,9 @@ object VectorQueries {
     * through the hash.
     */
   def e24TrainedPq(spark: SparkSession, sfDir: String, iters: Int = 2): DataFrame = {
-    val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = subspaces(emb)
     val cents = pqTrainedCodebooks(spark, sfDir, iters)
     val norm = sqrt(aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x))
-    assignSub(sub, cents)
+    pqCodes(spark, sfDir, iters)
       .groupBy("m", "centroid_id")
       .agg(count(lit(1)).as("n_assigned"),
         sum(col("vec_id")).as("sum_vec_ids"))
@@ -782,13 +798,14 @@ object VectorQueries {
   def e25TrainedPqSearch(spark: SparkSession, sfDir: String,
       k: Int = 3, iters: Int = 2, kCode: Int = PqK): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = subspaces(emb)
     val cents = pqTrainedCodebooks(spark, sfDir, iters, kCode)
-    val codes = assignSub(sub, cents)
+    // serving reads the persisted code table — only the QUERY batch is
+    // sub-sliced and encoded per run (Q·M rows), never the corpus
+    val codes = pqCodes(spark, sfDir, iters, kCode)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
-    val qdots = sub.filter(col("vec_id") < 10)
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
       .join(broadcast(cents), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
         dotc.as("qd"))
@@ -851,16 +868,15 @@ object VectorQueries {
   def e26TrainedIvfPqFull(spark: SparkSession, sfDir: String,
       k: Int = 3, iters: Int = 2): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = subspaces(emb)
     val fine = pqTrainedCodebooks(spark, sfDir, iters)
     val coarse = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
       .select(col("vec_id"), col("centroid_id").as("bin"))
-    val codes = assignSub(sub, fine)
+    val codes = pqCodes(spark, sfDir, iters)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
       .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
-    val qdots = sub.filter(col("vec_id") < 10)
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
       .join(broadcast(fine), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
         dotc.as("qd"))
@@ -894,12 +910,11 @@ object VectorQueries {
   def e28TrainedNprobe(spark: SparkSession, sfDir: String, k: Int = 3,
       iters: Int = 2, nprobe: Int = 2): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = subspaces(emb)
     val fine = pqTrainedCodebooks(spark, sfDir, iters)
     val coarseCents = kmeansCentroids(spark, sfDir, iters)
     val coarse = assignTrained(emb, coarseCents)
       .select(col("vec_id"), col("centroid_id").as("bin"))
-    val codes = assignSub(sub, fine)
+    val codes = pqCodes(spark, sfDir, iters)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
       .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     val wp = org.apache.spark.sql.expressions.Window
@@ -912,7 +927,7 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("centroid_id").as("bin"))
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
-    val qdots = sub.filter(col("vec_id") < 10)
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
       .join(broadcast(fine), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
         dotc.as("qd"))
@@ -1082,12 +1097,11 @@ object VectorQueries {
   def e30TrainedRefine(spark: SparkSession, sfDir: String, k: Int = 3,
       iters: Int = 2, nprobe: Int = 2, shortlist: Int = 10): DataFrame = {
     val emb = table(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
-    val sub = subspaces(emb)
     val fine = pqTrainedCodebooks(spark, sfDir, iters)
     val coarseCents = kmeansCentroids(spark, sfDir, iters)
     val coarse = assignTrained(emb, coarseCents)
       .select(col("vec_id"), col("centroid_id").as("bin"))
-    val codes = assignSub(sub, fine)
+    val codes = pqCodes(spark, sfDir, iters)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("centroid_id"))
       .join(coarse.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
     val wp = org.apache.spark.sql.expressions.Window
@@ -1100,7 +1114,7 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("centroid_id").as("bin"))
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
-    val qdots = sub.filter(col("vec_id") < 10)
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
       .join(broadcast(fine), "m")
       .select(col("vec_id").as("query_id"), col("m"), col("centroid_id"),
         dotc.as("qd"))

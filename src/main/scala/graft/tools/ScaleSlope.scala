@@ -69,6 +69,46 @@ object ScaleSlope {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** VOCABULARY-scaled corpus for the d38 BPE-dispatch crossover: same doc
+    * count and token count as the source, but every token occurrence in
+    * doc-group g (= doc_id / groupSize) is remapped to a 12-hex hash of
+    * (token, g) — word TYPES multiply by the group count while corpus
+    * bytes stay flat. This is the right instrument for the dispatch
+    * question: classic BPE's per-round cost is ∝ distinct-word vocabulary
+    * (the full-segmentation window), incremental's is ∝ words containing
+    * the merged pair — so the crossover lives on the VOCAB axis, which
+    * the x10/x100 corpus replicas barely move (this testdata generation
+    * has 31 word types at sf0.1; x100 reaches ~3.1k, never the 50k
+    * threshold).
+    */
+  private[graft] def replicateVocab(spark: SparkSession, src: String,
+      out: String, groupSize: Int): Unit = {
+    spark.read.parquet(s"$src/documents.parquet")
+      .withColumn("text",
+        array_join(transform(split(col("text"), " "),
+          t => substring(md5(concat(t, lit("|"),
+            (col("doc_id") / groupSize).cast("long").cast("string"))), 1, 12)),
+          " "))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def ensureVocabScaled(spark: SparkSession, src: String,
+      groupSize: Int): String = {
+    val out = new java.io.File(s"target/scale/bpe-g$groupSize").getAbsoluteFile
+    val marker = new java.io.File(out, "._scale_ok")
+    val stamp = s"v1|$src|$groupSize|" +
+      graft.operators.RelationalQueries.sourceStamp(src, "documents")
+    val ok = marker.isFile &&
+      new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      out.mkdirs()
+      replicateVocab(spark, src, out.toString, groupSize)
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    out.toString
+  }
+
   private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
     val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
     val marker = new java.io.File(out, "._scale_ok")
@@ -123,9 +163,15 @@ object ScaleSlope {
     }
     canary() // warm
 
+    // section selection (default both): GRAFT_SLOPE_SECTIONS=slope,d38 —
+    // the d38 crossover alone takes minutes and iterating on it should not
+    // re-pay the four-scale slope sweep (and vice versa)
+    val sections = sys.env.getOrElse("GRAFT_SLOPE_SECTIONS", "slope,d38")
+      .split(",").map(_.trim).toSet
+
     println(f"${"scale"}%-8s ${"rows(doc/emb)"}%-16s ${"canary"}%-7s " +
       queries.map(_._1).map(n => f"$n%-18s").mkString)
-    val samples = scales.map { case (label, dir) =>
+    val samples = (if (sections("slope")) scales else Nil).map { case (label, dir) =>
       // isolate scales: the dedup queries persist per-corpus shingle caches;
       // carrying four scales' caches at once evicts/thashes the largest
       // scale (measured: d13 x100 192s with all caches resident vs ~30s
@@ -164,11 +210,61 @@ object ScaleSlope {
         .map { case (n, t) => f""""$n":$t%.3f""" }.mkString(",")
       s"""{"scale":"$label","docs":$nd,"embs":$ne,"canary":${f"$c%.3f"},"sec":{$qs}}"""
     }.mkString("[", ",", "]")
-    val json = s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes}}"""
-    val out = java.nio.file.Paths.get("target/scaleslope.json")
-    java.nio.file.Files.createDirectories(out.getParent)
-    java.nio.file.Files.writeString(out, json + "\n")
-    println(json)
+
+    // ---- d38 BPE-dispatch crossover: classic (full-vocab window per
+    // round) vs incremental (affected words only) at budget 50, on
+    // vocabulary-scaled corpora (see replicateVocab — the x-replicas
+    // cannot move the vocab axis past the dispatch threshold on this
+    // testdata generation). Each row: vocabulary, wall seconds per path,
+    // and the incremental path's per-round affected-word stats — the
+    // "cost ∝ affected words" evidence, next to the vocab the classic
+    // path re-windows every round.
+    val bpeBudget = 50
+    val bpeRows = (if (sections("d38")) Seq(50, 16, 3, 1) else Nil).map { g =>
+      spark.catalog.clearCache()
+      val dir = ensureVocabScaled(spark, base, g)
+      val vocab = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0).select("w").distinct().count()
+      val c0 = canary()
+      def time(force: Boolean): (Double, Seq[Long]) = {
+        val t0 = System.nanoTime()
+        val (_, _, aff) = graft.operators.TextQueries
+          .bpeTrain(spark, dir, bpeBudget, forceIncremental = Some(force))
+        ((System.nanoTime() - t0) / 1e9, aff)
+      }
+      val (tInc, aff) = time(force = true)
+      val (tCls, _) = time(force = false)
+      val affStats =
+        if (aff.isEmpty) """"aff_mean":null,"aff_max":null"""
+        else f""""aff_mean":${aff.sum.toDouble / aff.size}%.1f,"aff_max":${aff.max}"""
+      println(f"[d38] g=$g vocab=$vocab classic=${tCls}%.1fs " +
+        f"incremental=${tInc}%.1fs aff=${aff.take(10).mkString(",")}...")
+      s"""{"group":$g,"vocab":$vocab,"canary":${f"$c0%.3f"},""" +
+        f""""classic_sec":$tCls%.2f,"incremental_sec":$tInc%.2f,""" +
+        s"""$affStats,"aff_counts":${aff.mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
+
+    val crossoverJson =
+      s""""d38_crossover":{"budget":$bpeBudget,""" +
+        s""""threshold":${graft.operators.TextQueries.IncrementalVocabThreshold},""" +
+        s""""rows":$bpeRows}"""
+    // a partial run (one section) must not clobber the other section's
+    // recorded artifact: the full gate file only rewrites when the slope
+    // sweep ran; a d38-only iteration lands in its own file
+    if (sections("slope")) {
+      val json =
+        s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes},$crossoverJson}"""
+      val out = java.nio.file.Paths.get("target/scaleslope.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, json + "\n")
+      println(json)
+    } else {
+      val out = java.nio.file.Paths.get("target/bpecrossover.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, s"{$crossoverJson}\n")
+      println(s"{$crossoverJson}")
+    }
     spark.stop()
   }
 }

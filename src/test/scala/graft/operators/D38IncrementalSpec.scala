@@ -64,8 +64,17 @@ class D38IncrementalSpec extends SparkSpec {
           allPairs(k) = allPairs.getOrElse(k, 0L) + f
         }
       }
+      // UTF-8 byte-wise tie order (Spark/DuckDB binary collation), NOT JVM
+      // String ordering — so this replay would actually catch an engine
+      // that regressed to UTF-16 code-unit tie-breaks on a non-BMP corpus
       val expBest = allPairs.toSeq
-        .sortBy { case ((pa, pb), c) => (-c, pa, pb) }.head
+        .sortWith { case (((pa, pb), c), ((qa, qb), d)) =>
+          if (c != d) c > d
+          else {
+            val ca = TextQueries.utf8Compare(pa, qa)
+            if (ca != 0) ca < 0 else TextQueries.utf8Compare(pb, qb) < 0
+          }
+        }.head
       assert((a, b) == expBest._1, s"step $step argmax pair")
       // expected pair count and affected set BEFORE this round's merge
       val containing = segs.filter { case (_, (_, s)) =>

@@ -65,10 +65,55 @@ class X1PipelineSpec extends SparkSpec {
   }
 
   test("x1: every dedup stage only ever removes documents") {
-    // monotone shrinkage: quality filter ⊇ exact ⊇ LSH ⊇ semantic ⊇ decon —
-    // restated through the census total vs the filter stage's own count
+    // monotone shrinkage: redaction never drops, then quality ⊇ fluency ⊇
+    // exact ⊇ LSH ⊇ semantic ⊇ decon — restated through the census total
+    // vs the source corpus count
     val docs = RelationalQueries.table(spark, sfDir, "documents")
     val total = census.agg(sum(col("n_docs"))).collect()(0).getLong(0)
     assert(total <= docs.count())
+  }
+
+  test("x1: no window in the plan has an O(1)-cardinality partition key") {
+    // the packing prefix-sum must stratify per (split, source) — a
+    // split-only key has exactly 3 partitions and serializes ~80% of the
+    // corpus through one task at scale (the r13 finding). Every WindowExec
+    // in the census plan must carry >=2 partition keys.
+    // (string-form pin: the AQE root hides the WindowExec node from
+    // collect; the plan string prints every `Window [exprs],
+    // [partitionSpec], [orderSpec]` regardless)
+    val specs = """Window \[[^\]]*\], \[([^\]]*)\], \[""".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(specs.nonEmpty, s"expected the packing window in the census plan:\n$plan")
+    specs.foreach { s =>
+      assert(s.split(",").length >= 2,
+        s"window partitions on [$s] — an O(1)-cardinality key that " +
+          "serializes the prefix-sum at scale")
+    }
+  }
+
+  test("x1: PII redaction lands before every content fingerprint") {
+    // the scrub feeds downstream hashing: every surviving document's text
+    // must carry the typed placeholders (the content-salted PII is gone),
+    // and the census hash is therefore a hash of REDACTED text. Restate a
+    // tiny probe: no surviving doc in the committed snapshot may match the
+    // raw PII patterns, and every one carries all three placeholders.
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val landing = new java.io.File(
+      s"target/parity/x1-landing-$sfTag").getAbsoluteFile
+    // force the pipeline (and its landing write) if not already run
+    census.collect()
+    val landed = spark.read.parquet(s"file:$landing")
+    // recompute stage R exactly as the pipeline does and probe its output
+    val redacted = CorpusPipeline.redactProbe(landed)
+    val bad = redacted.filter(
+      col("text").rlike("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}") ||
+      col("text").rlike("\\+1-555-[0-9]{4}") ||
+      col("text").rlike("10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}")).count()
+    assert(bad == 0, s"$bad documents still carry unredacted PII patterns")
+    val missing = redacted.filter(!col("text").contains("<EMAIL>") ||
+      !col("text").contains("<PHONE>") || !col("text").contains("<IP>")).count()
+    assert(missing == 0,
+      s"$missing documents lost their typed placeholders — the salt or " +
+        "redaction stage is broken")
   }
 }

@@ -128,6 +128,27 @@ class MockFsSpec extends SparkSpec {
       "census location must be removed via the mockfs FileSystem")
   }
 
+  test("x1 snapshot commit: wipe + fresh commit resolve through the " +
+      "table path's own FS") {
+    import spark.implicits._
+    // first run leaves a committed snapshot behind; the second run must
+    // WIPE it through the mockfs FileSystem and land version 1 again — a
+    // java.io wipe would no-op on mockfs, the stale log would survive,
+    // and the re-commit would bump to version 2
+    val dir = Files.createTempDirectory("graft-mockfs-x1snap").toString
+    val path = s"mockfs:$dir"
+    val r1 = graft.operators.CorpusPipeline
+      .freshCommitAndRead(spark, path, Seq(1L, 2L).toDF("id"))
+    assert(r1.select("snapshot_version").distinct()
+      .as[Int].collect().toSeq == Seq(1))
+    val r2 = graft.operators.CorpusPipeline
+      .freshCommitAndRead(spark, path, Seq(3L).toDF("id"))
+    assert(r2.select("snapshot_version").distinct()
+      .as[Int].collect().toSeq == Seq(1),
+      "stale snapshot state survived the wipe — scheme leak in the commit path")
+    assert(r2.select("id").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("MutationOps.upsertLatest: bucket-pruned merge over mockfs:") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mockfs-upsert").toString
