@@ -125,6 +125,8 @@ object SparkEntry {
       ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
     "x1_corpus_pipeline" ->
       ((s, d) => X.x1CorpusPipeline(s, d, requireFlatOracle = oracleGate(s))),
+    "st19_streaming_corpus_build" ->
+      ((s, d) => X.st19StreamingCorpusBuild(s, d, requireFlatOracle = oracleGate(s))),
     "d41_imi_cobin_recall" -> (V.d41ImiCobinRecall(_, _)),
     "st18_streaming_semantic_dedup" ->
       ((s, d) => D.st18StreamingSemanticDedup(s, d, requireFlatOracle = oracleGate(s))),
@@ -1226,6 +1228,7 @@ object SparkEntry {
     "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,
     "x1_corpus_pipeline" -> x1OracleSql,
+    "st19_streaming_corpus_build" -> st19OracleSql,
     "d41_imi_cobin_recall" -> d41OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
     // the incrementally-deduped state must equal the batch answer: d36's
@@ -2427,7 +2430,17 @@ object SparkEntry {
 
   private def x1OracleSql: String = materializeCtes(x1OracleSqlInlined)
 
-  private def x1OracleSqlInlined: String = {
+  /** st19 (streaming corpus build) restates x1's WHOLE chain verbatim —
+    * streaming must equal batch — with the final constant column swapped:
+    * x1 commits one snapshot (version 1); st19 commits one state version
+    * per micro-batch (4 arrival files => 4 commits, pinning exactly-once).
+    */
+  private def st19OracleSql: String =
+    materializeCtes(x1ChainSql("4 AS n_commits"))
+
+  private def x1OracleSqlInlined: String = x1ChainSql("1 AS snapshot_version")
+
+  private def x1ChainSql(finalCol: String): String = {
     val iters = 2
     s"""WITH sal AS (
        | SELECT doc_id, source,
@@ -2561,7 +2574,7 @@ object SparkEntry {
        | CAST(count(DISTINCT source || '|' || CAST((cum - n) // 2048 AS VARCHAR))
        |  AS BIGINT) AS n_bins,
        | bit_xor(h60) AS census_hash,
-       | 1 AS snapshot_version
+       | $finalCol
        |FROM pk GROUP BY split""".stripMargin
   }
 
