@@ -311,9 +311,14 @@ object CorpusPipeline {
       Seq("vec_id"), "left_semi")
     val nrm = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
+    // persisted: BOTH sides of the within-bin pair join read the assigned
+    // frame — un-cached, each side re-runs the whole argmax assignment
+    // chain and the plan/codegen doubles for the stage
     val bins = VectorQueries.semAssignBins(survEmb, books, kSide)
       .select(col("vec_id"), col("embedding"), col("bin"),
         nrm(col("embedding")).as("nrm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    caches += bins
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),

@@ -478,6 +478,26 @@ object VectorQueries {
     * codebook; the fingerprint scan is one linear pass over the corpus,
     * amortized across every consumer in the run.
     */
+  /** Materialize every memo-trained artifact the serving queries read —
+    * coarse/IMI k-means codebooks at each gate geometry, the PQ codebooks,
+    * and the PQ code tables at K=4/64/256 — so a bench starting from a
+    * cold `target/` measures SERVING, not whichever query alphabetically
+    * sorts first paying the one-time training (after a wipe, r14's first
+    * run billed K=256 training+encode to e31 — 23.8 s against a ~1 s warm
+    * serving path, the exact conflation the code-table memo exists to
+    * remove). In production these artifacts are trained once and persist
+    * with the index; training cost stays measured where it is the subject
+    * (d38 runs its trainer un-memoized; ScaleSlope measures trainer
+    * scaling). No-ops when the memos are already valid.
+    */
+  def warmServingArtifacts(spark: SparkSession, sfDir: String): Unit = {
+    val n = table(spark, sfDir, "embeddings").count()
+    kmeansCentroids(spark, sfDir, 2, 4)
+    kmeansCentroids(spark, sfDir, 2, 16)
+    semBinning(spark, sfDir, 2, semK(n))
+    Seq(PqK, 64, 256).foreach(k => pqCodes(spark, sfDir, 2, k))
+  }
+
   private def memoTrained(spark: SparkSession, sfDir: String, name: String,
       params: String)(train: => DataFrame): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")

@@ -9,9 +9,29 @@ object TimeQuery {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
-    val spark = graft.GraftSession.builder("local[32]", 32).getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val fn = graft.SparkEntry.queries(name)
+    // GRAFT_TIME_JOBS=1: per-job wall + description, to localize which of a
+    // multi-action query's jobs carries the time
+    if (sys.env.contains("GRAFT_TIME_JOBS")) {
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            starts.put(j.jobId, (System.nanoTime(),
+              Option(j.properties.getProperty("spark.job.description"))
+                .orElse(Option(j.properties.getProperty("callSite.short")))
+                .getOrElse("")))
+          override def onJobEnd(
+              j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val (t0, desc) = starts.getOrDefault(j.jobId, (0L, "?"))
+            println(f"[job] ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%7.2fs  $desc")
+          }
+        })
+    }
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
