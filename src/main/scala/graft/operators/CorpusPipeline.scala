@@ -29,7 +29,7 @@ import RelationalQueries.table
   *
   * Scale shape (the point of composing, beyond proof):
   *  - The corpus lands hive-partitioned and is scanned ONCE into a
-  *    persisted survivor frame that carries its token array; tokenize —
+  *    materialized survivor frame that carries its token array; tokenize —
   *    the scan-dominant cost at 100 TB — is paid once and shared by the
   *    fluency bigrams, the LSH shingles, the decontamination 5-grams, and
   *    the packing token counts (`X1PipelineSpec` pins the single
@@ -190,8 +190,7 @@ object CorpusPipeline {
   def x1CorpusPipeline(spark: SparkSession, sfDir: String,
       requireFlatOracle: Boolean = false): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val caches = scala.collection.mutable.Buffer.empty[DataFrame]
-    val census = x1Census(spark, sfDir, requireFlatOracle, caches)
+    val census = x1Census(spark, sfDir, requireFlatOracle)
 
     // ---- Stage C: SnapshotLog commit — the manifest the next pipeline run
     // would consume. Fresh state dir per run => deterministic version 1;
@@ -203,12 +202,7 @@ object CorpusPipeline {
     // warehouse (MockFsSpec drives that).
     val snapDir = new java.io.File(s"target/parity/x1-snap-$sfTag")
       .getAbsoluteFile
-    val out = freshCommitAndRead(spark, s"file:$snapDir", census)
-    // the commit's action materialized the census — the persisted stage
-    // frames are dead weight from here; unpersist so repeated invocations
-    // in a long-lived session don't accumulate CacheManager entries
-    caches.foreach(_.unpersist(false))
-    out
+    freshCommitAndRead(spark, s"file:$snapDir", census)
   }
 
   /** Wipe-then-commit-then-read of a snapshot TABLE location, all through
@@ -227,17 +221,29 @@ object CorpusPipeline {
       .withColumn("snapshot_version", lit(v))
   }
 
-  /** The pipeline through the per-split census, LAZY (no snapshot commit) —
-    * the frame `X1PipelineSpec` plan-pins; [[x1CorpusPipeline]] commits it.
-    * Runs two eager side-steps (the hive landing write — the ingest under
-    * test — and the codebook memo/probe) but never executes the census DAG.
-    * Persisted intermediate frames are appended to `caches` so the caller
-    * can unpersist them once the census has materialized.
+  /** The pipeline through the per-split census (no snapshot commit) — the
+    * frame `X1PipelineSpec` plan-pins; [[x1CorpusPipeline]] commits it.
+    *
+    * Stage materialization is `localCheckpoint`, not `persist`, and that
+    * choice is load-bearing (r14 finding): the anti-join cascade references
+    * each stage frame 2–4×, so with persist the ANALYZED plan tree doubles
+    * per stage — by the census it held hundreds of copies of the scrub
+    * expression, and AQE re-stringifies the whole tree for the UI on every
+    * stage update (`AdaptiveSparkPlanExec.onUpdatePlan`). Measured at
+    * sf0.01: ~70 s of pure driver `Expression.toString` + the GC pressure
+    * of gigabytes of plan strings — inflating even unrelated queries in
+    * the same JVM. `localCheckpoint` truncates the logical plan to a leaf
+    * at each materialization point (the discipline d19's closure loop
+    * already uses), collapsing the census plan to shallow joins over four
+    * leaves. Same storage level, same rows; blocks are freed by the
+    * ContextCleaner when the frames go unreferenced (no CacheManager
+    * entries accumulate). On a real cluster the stage outputs of a corpus
+    * build are materialized regardless — as tables (st19 does exactly
+    * that) — so a lineage cut at each stage boundary is the production
+    * shape, not a local-mode trick.
     */
   private[operators] def x1Census(spark: SparkSession, sfDir: String,
-      requireFlatOracle: Boolean = false,
-      caches: scala.collection.mutable.Buffer[DataFrame] =
-        scala.collection.mutable.Buffer.empty): DataFrame = {
+      requireFlatOracle: Boolean = false): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
     // ---- Stage S (S1/S2): hive ingest — land the corpus partitioned by
@@ -259,9 +265,7 @@ object CorpusPipeline {
     // every census hash below pins the placement. The surviving frame
     // carries its token array: ONE tokenize for the fluency bigrams, LSH
     // shingles, decontamination 5-grams, and packing token counts alike.
-    val filt = scrubbedQualityDocs(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    caches += filt
+    val filt = scrubbedQualityDocs(docs).localCheckpoint(true)
 
     // ---- Stage F2 (d34): bigram-LM fluency filter — train the Laplace-
     // smoothed bigram model ON the quality survivors (shared token
@@ -285,11 +289,9 @@ object CorpusPipeline {
     // equals the full run restricted to surviving pairs; d15's drop-id_b
     // rule). Shingles derive from the shared token array.
     val sh1 = surv1.select(col("doc_id"), col("text"), col("t"))
-    // persisted: the shingle array feeds the band build AND both sides of
-    // the verification join (shingledDocs's discipline, scoped to x1)
-    val shingled = DedupQueries.shingleFrameFrom(sh1)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    caches += shingled
+    // materialized: the shingle array feeds the band build AND both sides
+    // of the verification join (shingledDocs's discipline, scoped to x1)
+    val shingled = DedupQueries.shingleFrameFrom(sh1).localCheckpoint(true)
     val lshLosers = DedupQueries.lshVerifiedPairsFrom(shingled)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
@@ -311,14 +313,13 @@ object CorpusPipeline {
       Seq("vec_id"), "left_semi")
     val nrm = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    // persisted: BOTH sides of the within-bin pair join read the assigned
-    // frame — un-cached, each side re-runs the whole argmax assignment
-    // chain and the plan/codegen doubles for the stage
+    // materialized: BOTH sides of the within-bin pair join read the
+    // assigned frame — un-cut, each side re-runs the whole argmax
+    // assignment chain and the plan/codegen doubles for the stage
     val bins = VectorQueries.semAssignBins(survEmb, books, kSide)
       .select(col("vec_id"), col("embedding"), col("bin"),
         nrm(col("embedding")).as("nrm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    caches += bins
+      .localCheckpoint(true)
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),
@@ -340,14 +341,13 @@ object CorpusPipeline {
     // from the corpus), and any training doc sharing >=3 distinct 5-grams
     // with eval is dropped as contaminated.
     val g5 = gram5(col("t"))
-    // persisted: both the eval-side and the probe-side of the leak join
+    // materialized: both the eval-side and the probe-side of the leak join
     // read this exploded+distinct frame
     val sh5 = surv3
       .select(col("doc_id"), explode(g5).as("g"))
       .select(col("doc_id"), h60(col("g")).as("h"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    caches += sh5
+      .localCheckpoint(true)
     val evalSh = sh5.filter(pmod(col("doc_id"), lit(40L)) === 0)
       .select(col("h")).distinct()
     val contaminated = sh5.filter(pmod(col("doc_id"), lit(40L)) =!= 0)

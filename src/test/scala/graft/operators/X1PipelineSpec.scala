@@ -12,23 +12,28 @@ class X1PipelineSpec extends SparkSpec {
   private lazy val census = CorpusPipeline.x1Census(spark, sfDir)
   private lazy val plan = census.queryExecution.executedPlan.toString
 
-  test("x1: the landed corpus is scanned once — every stage reads the cache") {
-    // The survivor frame (with its token array) is persisted; LSH, semantic
-    // restriction, decontamination, split and packing all consume the
-    // cache. The census plan must contain ZERO direct file scans of the
-    // landed corpus — the one real scan lives inside the cache build — and
-    // several cache consumers. If tokenize/shingle stopped being shared, a
-    // direct landing FileScan would reappear here.
+  test("x1: the landed corpus is scanned once — every stage reads the cut") {
+    // The survivor frame (with its token array) is localCheckpoint-
+    // materialized; LSH, semantic restriction, decontamination, split and
+    // packing all consume the checkpointed leaf. The census plan must
+    // contain ZERO direct file scans of the landed corpus — the one real
+    // scan lives inside the checkpoint build — and several leaf consumers.
+    // If tokenize/shingle stopped being shared, a direct landing FileScan
+    // would reappear here. (The lineage CUT itself is also load-bearing:
+    // with persist the analyzed tree doubles per cascade stage and AQE's
+    // per-stage plan stringification goes quadratic — the r14 finding —
+    // so the absence of InMemoryRelation under an ExistingRDD-leafed plan
+    // is the pinned shape, not an accident.)
     val landingScans = census.queryExecution.executedPlan.collectWithSubqueries {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(_.toString.contains("x1-landing")) => f
     }.size
     assert(landingScans == 0,
-      s"expected every census stage to read the persisted survivor cache, " +
+      s"expected every census stage to read the materialized survivor frame, " +
         s"but found $landingScans direct landing-file scan(s)")
-    val cacheScans = "InMemoryTableScan".r.findAllIn(plan).size
-    assert(cacheScans >= 3,
-      s"expected the persisted survivor/shingle frames to feed >=3 consumers, got $cacheScans")
+    val leafScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(leafScans >= 3,
+      s"expected the checkpointed survivor/shingle frames to feed >=3 consumers, got $leafScans")
   }
 
   test("x1: census agrees with an independently composed restatement") {
