@@ -79,6 +79,7 @@ object SparkEntry {
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
     "e18_persisted_ivf" -> ((s, d) => V.e18PersistedIvf(s, d)),
     "st17_streaming_index_ingest" -> ((s, d) => V.st17StreamingIndexIngest(s, d)),
+    "st20_streaming_ann_serve" -> ((s, d) => V.st20StreamingAnnServe(s, d)),
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
     "q22_scalar_subquery" -> (R.q22ScalarSubquery _),
@@ -554,6 +555,7 @@ object SparkEntry {
     // the stream-built index must serve IDENTICALLY to the one-shot build:
     // e18's full-corpus restatement, verbatim, is the equivalence oracle
     "st17_streaming_index_ingest" -> e18OracleSql,
+    "st20_streaming_ann_serve" -> st20OracleSql,
     // e20: THE SAME SQL as e18 — coarse assignment is per-vector, so the
     // base-build ∪ appended-batch index must serve exactly what a full
     // rebuild serves; reusing the oracle text IS the append≡rebuild claim
@@ -3144,8 +3146,16 @@ object SparkEntry {
     * (build+serve) and `e20_ivf_append` (base build + batch append must
     * serve identically to this full rebuild).
     */
-  private def e18OracleSql: String =
-    """WITH cents AS (
+  private def e18OracleSql: String = ivfServeOracleSql("vec_id < 10", "")
+
+  /** st20's mirror: e18's serving SQL over the streamed query set plus the
+    * commit count (4 arrival files → 4 batchId-keyed commits).
+    */
+  private def st20OracleSql: String =
+    ivfServeOracleSql("vec_id < 40", ", 4 AS n_commits")
+
+  private def ivfServeOracleSql(queryPred: String, extraCol: String): String =
+    s"""WITH cents AS (
       | SELECT vec_id AS centroid_id, embedding AS c_emb
       | FROM embeddings WHERE vec_id < 4),
       |asg0 AS (
@@ -3161,7 +3171,7 @@ object SparkEntry {
       | WHERE a_rk = 1),
       |q AS (
       | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
-      | FROM asg WHERE vec_id < 10),
+      | FROM asg WHERE $queryPred),
       |cand AS (
       | SELECT q.query_id, a.vec_id AS neighbor_id,
       |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
@@ -3173,7 +3183,7 @@ object SparkEntry {
       | SELECT query_id, neighbor_id, sim_dec,
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
-      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim$extraCol
       |FROM r WHERE rank <= 3""".stripMargin
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e21IvfDelete]] — the

@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 object VectorQueries {
 
   import RelationalQueries.table
+  import graft.sources.SnapshotLog
 
   /** Sequential double fold of sum(f(x)) over an array column — mirrors
     * duckdb `list_aggregate(list_transform(...), 'sum')` exactly.
@@ -1428,6 +1429,142 @@ object VectorQueries {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
+  /** st20: STREAMING ANN SERVING — the query-side twin of st17 (which
+    * streams the index BUILD). Queries arrive as a micro-batched stream
+    * (the online-serving shape: each batch is one arrival window of
+    * similarity lookups) and are served against a FROZEN persisted IVF
+    * index; every batch's top-k results append to a batchId-keyed result
+    * log, and the output reads the committed log back.
+    *
+    * Why streaming ≡ batch is exact here, with no freeze-time composition
+    * (st19's hard part): a query's result depends only on (its own
+    * embedding, the frozen index) — per-query row-local given the index —
+    * so ANY partition of the query set into batches yields the same result
+    * rows, and the log's union over batches IS the one-shot answer. The
+    * oracle states exactly that: e18's full serving SQL over the whole
+    * query set, verbatim (plus the commit count).
+    *
+    * Per-batch serving cost at scale: coarse-assign the batch against the
+    * broadcast centroid table (batch-sized scan), collect the probed bin
+    * ids (≤ batch distinct bins, a driver list), then read ONLY those
+    * partition directories of the on-disk inverted lists — unprobed bins
+    * are never listed — and broadcast the batch's queries into the
+    * bin-pruned scan. No stage touches the full index; per-batch I/O is
+    * ∝ Σ(probed bin sizes), the IVF serving contract. Exactly-once under
+    * foreachBatch replay: the result commit is batchId-keyed (st15's
+    * mechanism), so a replayed batch no-ops and `n_commits` = number of
+    * micro-batches survives crashes.
+    */
+  def st20StreamingAnnServe(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val srcStamp =
+      s"$sfDir|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
+
+    // ---- the served index: e18's persisted layout (partition dirs = the
+    // inverted lists), built once per corpus cut and reused across runs
+    // (stamp-guarded — in production this is st17's build job, not the
+    // serving path's work)
+    val indexDir = new java.io.File(s"target/parity/st20-index-$sfTag")
+      .getAbsoluteFile.toString
+    val idxMarker = new java.io.File(indexDir, "._index_ok")
+    val idxValid = idxMarker.isFile && new String(
+      java.nio.file.Files.readAllBytes(idxMarker.toPath), "UTF-8") == srcStamp
+    if (!idxValid) {
+      assignToCentroids(spark, sfDir, emb)
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"file:$indexDir")
+      java.nio.file.Files.write(idxMarker.toPath, srcStamp.getBytes("UTF-8"))
+    }
+
+    // ---- query arrivals fixture: vec_id < 40 range-split into 4 files so
+    // the stream genuinely runs multiple micro-batches (st17's shape)
+    val qDir = new java.io.File(s"target/parity/st20-queries-$sfTag")
+      .getAbsoluteFile.toString
+    val qMarker = new java.io.File(qDir, "._queries_ok")
+    val qValid = qMarker.isFile && new String(
+      java.nio.file.Files.readAllBytes(qMarker.toPath), "UTF-8") == srcStamp
+    if (!qValid) {
+      emb.filter(col("vec_id") < 40)
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$qDir")
+      java.nio.file.Files.write(qMarker.toPath, srcStamp.getBytes("UTF-8"))
+    }
+
+    // ---- per-run result log + checkpoint, wiped through each path's own
+    // FileSystem (table locations, never java.io)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def wipeFs(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val resultsPath = new java.io.File(s"target/parity/st20-results-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/st20-ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$qDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        // batch-sized coarse assignment (centroids broadcast inside);
+        // checkpointed because both the bin-probe collect and the serving
+        // join read it
+        val queries = assignToCentroids(bs, sfDir, batch)
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("centroid_id"))
+          .localCheckpoint(true)
+        val bins = queries.select(col("centroid_id").cast("int").as("b"))
+          .distinct().collect().map(_.getInt(0)).toSeq.sorted
+        val idx = bs.read.option("basePath", s"file:$indexDir")
+          .parquet(s"file:$indexDir")
+          .filter(col("centroid_id").cast("int").isin(bins: _*))
+          .select(col("vec_id").as("neighbor_id"), col("embedding"),
+            col("centroid_id").cast("long").as("centroid_id"))
+        val wRank = org.apache.spark.sql.expressions.Window
+          .partitionBy("query_id")
+          .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+        val res = idx.join(broadcast(queries), "centroid_id")
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .withColumn("sim_dec",
+            dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+          .withColumn("rank", row_number().over(wRank))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            col("sim_dec").cast("double").as("ivf_sim"))
+        val prior = SnapshotLog.latestVersion(bs, s"file:$resultsPath")
+          .map(v => SnapshotLog.manifest(bs, s"file:$resultsPath", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$resultsPath", res, prior,
+          commitKey = Some(s"batch-$batchId"))
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val v = SnapshotLog.latestVersion(spark, s"file:$resultsPath")
+      .getOrElse(sys.error("st20: no result commits"))
+    SnapshotLog.read(spark, s"file:$resultsPath", v)
+      .withColumn("n_commits", lit(v))
   }
 
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:
