@@ -181,9 +181,14 @@ object ScaleSlope {
       val ne = spark.read.parquet(s"$dir/embeddings.parquet").count()
       val c = canary()
       val times = queries.map { case (_, fn) =>
-        // two reps, min: first rep absorbs fixture builds; flap only ever
-        // inflates, so min-of-reps is the steady estimate
-        (1 to 2).map { _ =>
+        // three reps, min: first rep absorbs fixture builds; flap only ever
+        // inflates, so min-of-reps is the steady estimate. Three because
+        // this host class stalls intermittently for multi-second windows
+        // (r14: an isolated d15@x10 measured 16.2/6.2/15.3 s across three
+        // back-to-back reps on an otherwise idle JVM) — with min-of-TWO a
+        // single stall landing on each rep once produced a phantom 36×
+        // slope for d15 that three fresh isolated reps disproved.
+        (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
