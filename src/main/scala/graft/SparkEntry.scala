@@ -143,6 +143,7 @@ object SparkEntry {
     "e24_trained_pq" -> ((s, d) => V.e24TrainedPq(s, d)),
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
+    "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e31_pq_k256" -> ((s, d) => V.e31PqK256(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
@@ -1226,6 +1227,10 @@ object SparkEntry {
     "e24_trained_pq" -> e24OracleSql,
     "e25_trained_pq_search" -> e25OracleSql,
     "e26_trained_ivfpq_full" -> e26OracleSql,
+    // e32 persists the codes in on-disk inverted lists and serves
+    // partition-pruned — same math, same rows as e26, different storage
+    // path; the shared oracle IS the equivalence claim (the e18/st17 rule)
+    "e32_persisted_ivfpq" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,

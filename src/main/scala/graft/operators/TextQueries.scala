@@ -781,16 +781,29 @@ object TextQueries {
     * (affected ids, rewrite, new-pair index, delta collect) plus two
     * narrow frame refreshes.
     */
-  /** Vocabulary size above which [[bpeTrainIncremental]] pays off: below
-    * it, a full-vocabulary window per round is a couple of tiny tasks and
-    * the incremental path's extra per-round jobs cost more than they save
-    * (measured at the 245-word gate fixture: classic 25 s vs incremental
-    * 46 s for 50 merges); above it, the classic path re-sorts the whole
-    * vocabulary every round while the incremental one touches only the
-    * words containing the merged pair. The same cost-based dispatch idea
-    * as broadcast-vs-shuffle join selection.
+  /** Vocabulary size above which [[bpeTrainIncremental]] pays off. The
+    * r14 ScaleSlope crossover section MEASURED the two paths on
+    * vocabulary-scaled corpora (budget 50, min-over-rounds stats in
+    * `target/scaleslope.json` `d38_crossover`) and the classic path won
+    * at EVERY measured point — vocab 3.1k: 51 vs 332 s; 9.6k: 31 vs 61 s;
+    * 49.6k: 38 vs 119 s; 116k: 47 vs 306 s. Two reasons, both visible in
+    * the data: (a) classic's per-round cost at these sizes is
+    * job-overhead-bound, nearly FLAT in vocabulary (30-51 s across a 37×
+    * vocab range — the full-segmentation window is still a handful of
+    * tasks at 116k words), while incremental runs more jobs per round;
+    * (b) the hash-remapped fixtures are pair-homogeneous — every replica
+    * word contains the same hot pairs, so affected-words ≈ 4% of vocab
+    * EVERY round (`aff_counts` barely decay) and the "touch only affected
+    * words" saving cannot materialize. Incremental wins only where both
+    * reverse: vocabulary large enough that a full window dwarfs a few
+    * bounded jobs (≥ millions of word types) AND Zipfian pair
+    * concentration so aff collapses after the head rounds — real-corpus
+    * BPE at production vocab budgets, not any corpus this gate can
+    * generate. The threshold is set past the measured range accordingly;
+    * the spec (`D38IncrementalSpec`) keeps both paths pinned identical so
+    * dispatch is a pure cost choice.
     */
-  private[graft] val IncrementalVocabThreshold = 50000L
+  private[graft] val IncrementalVocabThreshold = 1000000L
 
   private[graft] def bpeTrain(spark: SparkSession, sfDir: String, budget: Int,
       forceIncremental: Option[Boolean] = None)

@@ -914,6 +914,80 @@ object VectorQueries {
         col("sim_sum").cast("double").as("fivfpq_sim"))
   }
 
+  /** e32: PERSISTED IVF-PQ INDEX — the two persistence threads of the ANN
+    * family tied together into the production artifact: e18 persists
+    * inverted lists but stores RAW vectors; pqCodes persists the code
+    * table but only as an in-session memo. A deployed IVF-PQ index is one
+    * on-disk object — the inverted lists, partitioned by coarse bin, whose
+    * entries are the M-byte PQ codes (32× smaller than the vectors here) —
+    * and serving reads ONLY the probed bins' code partitions and scores
+    * them by ADC. This operator materializes exactly that: (vec_id, m,
+    * code) rows under trained coarse assignment, written
+    * `partitionBy(bin)` once per corpus cut (stamp-guarded — the build is
+    * st17's job class, not serving work), then e26's relational ADC
+    * serving runs with the candidate read partition-pruned to the queries'
+    * bins. The oracle is e26's fully-trained SQL verbatim: same math, same
+    * rows — only the storage path differs, which is the claim.
+    *
+    * Scale shape: per-query serving I/O is nprobe/C of the CODE table
+    * (M bytes/vector, not the vector itself) — the 100 TB ANN recipe's
+    * denominator and numerator both improved: bin pruning divides by C,
+    * PQ divides the bytes per entry; the ADC join build side stays Q·M·K
+    * broadcast rows and the score shuffle carries partial sums only.
+    */
+  def e32PersistedIvfPq(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarse = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+
+    val indexDir = new java.io.File(s"target/parity/e32-index-$sfTag")
+      .getAbsoluteFile.toString
+    val marker = new java.io.File(indexDir, "._index_ok")
+    val stamp = s"$sfDir|$iters|" +
+      RelationalQueries.sourceStamp(sfDir, "embeddings")
+    val ok = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      pqCodes(spark, sfDir, iters)
+        .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
+        .join(coarse, "vec_id")
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(s"file:$indexDir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+
+    // query side: the M×K sub-dot ADC table + each query's own coarse bin
+    // (nprobe=1, e26's geometry)
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("centroid_id").as("code"), dotc.as("qd"))
+      .join(coarse.withColumnRenamed("vec_id", "query_id"), "query_id")
+    val probed = qdots.select(col("bin").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("bin").cast("int").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
+        col("bin").cast("long").as("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    idx.join(broadcast(qdots), Seq("bin", "m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("fivfpq_sim"))
+  }
+
   /** e28: TRAINED NPROBE SERVING — the fully-trained IVF-PQ composition
     * (e26) with a TUNABLE probe set: each query scores candidates from its
     * `nprobe` nearest coarse centroids instead of only its own bin, the

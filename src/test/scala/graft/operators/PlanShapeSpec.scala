@@ -115,6 +115,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("e32: the persisted IVF-PQ code read is partition-pruned to probed bins") {
+    // the codes live in the on-disk inverted lists (partitionBy bin) and
+    // serving must read only the queries' coarse bins — at scale unprobed
+    // bins' code partitions are never listed, and what IS read is M-byte
+    // codes, never vectors. String-form pin: the AQE root hides scan
+    // nodes from collect (the X1PipelineSpec finding); the plan string
+    // prints each FileScan's Location, PartitionFilters and ReadSchema on
+    // one line regardless.
+    val p = plan("e32_persisted_ivfpq")
+    val idxLines = p.linesIterator.filter(_.contains("e32-index")).toSeq
+    assert(idxLines.nonEmpty, p)
+    idxLines.foreach { l =>
+      assert("""PartitionFilters: \[bin""".r.findFirstIn(l).isDefined,
+        s"index scan carries no bin partition filter: $l")
+      assert(!l.contains("embedding"),
+        s"index scan reads vectors, not codes: $l")
+    }
+  }
+
   test("e19: filtered serving prunes bins AND pushes the label predicate") {
     val p = plan("e19_filtered_ivf")
     // partition pruning to probed bins (e18's contract) ...
