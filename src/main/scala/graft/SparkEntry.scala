@@ -144,6 +144,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
+    "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e31_pq_k256" -> ((s, d) => V.e31PqK256(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
@@ -1231,6 +1232,10 @@ object SparkEntry {
     // partition-pruned — same math, same rows as e26, different storage
     // path; the shared oracle IS the equivalence claim (the e18/st17 rule)
     "e32_persisted_ivfpq" -> e26OracleSql,
+    // st21 builds e32's compressed index from a stream under frozen
+    // codebooks — batch-built ∪ batch-built ≡ one-shot build, so serving
+    // answers e26's search exactly (the e18/st17 rule, compressed)
+    "st21_streaming_pq_ingest" -> e26OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,

@@ -1641,6 +1641,129 @@ object VectorQueries {
       .withColumn("n_commits", lit(v))
   }
 
+  /** st21: STREAMING PQ-ENCODE INGEST — st17's stream-built-index rule
+    * applied to the COMPRESSED index (e32's artifact): new vectors arrive
+    * as a micro-batched stream, each batch is PQ-encoded and coarse-
+    * assigned under the FROZEN trained codebooks (memo-trained once at
+    * corpus start, carried to every batch session as plain rows — the
+    * st18/st19 trained-artifact discipline), and its (vec_id, m, code)
+    * rows append into the bin-partitioned on-disk inverted lists. Both
+    * encodings are per-vector functions of (vector, frozen codebooks), so
+    * batch-built ∪ … ∪ batch-built is bit-identical to e32's one-shot
+    * build; serving the stream-built index answers exactly e26's trained
+    * IVF-PQ search — the oracle is e26's SQL verbatim (the e18↔st17
+    * equivalence, one storage generation later).
+    *
+    * Scale shape: a day's new vectors cost one batch-sized encode scan
+    * (M·K broadcast sub-dots per vector) + appends touching only the bins
+    * the batch maps to — never a corpus re-encode (e20's append contract,
+    * with codes instead of raw vectors); compaction of accreted small
+    * files is c3's job.
+    */
+  def st21StreamingPqIngest(spark: SparkSession, sfDir: String,
+      k: Int = 3, iters: Int = 2): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    // arrival fixture: st17's 4-way range split, same stamp guard (the two
+    // streams share one fixture deliberately — same arrivals, two index
+    // generations)
+    val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
+      .getAbsoluteFile.toString
+    val marker = new java.io.File(splitDir, "._split_ok")
+    val stamp =
+      s"$sfDir|${emb.count()}|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
+    val markerValid = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!markerValid) {
+      emb.select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$splitDir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+
+    // frozen trained artifacts → plain rows for the per-batch sessions
+    val fineRows = pqTrainedCodebooks(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val coarseRows = kmeansCentroids(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+    val indexDir = new java.io.File(s"target/parity/st21-index-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/st21-ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def wipeFs(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    wipeFs(s"file:$indexDir"); wipeFs(s"file:$ckptDir")
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], _: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val fine = fineRows.toDF("m", "centroid_id", "c")
+        val coarse = coarseRows.toDF("centroid_id", "c")
+        val rows = batch.select(col("vec_id"), col("embedding"))
+        val codes = assignSub(subspaces(rows), fine)
+          .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
+        val bins = assignTrained(rows, coarse)
+          .select(col("vec_id"), col("centroid_id").as("bin"))
+        codes.join(bins, "vec_id")
+          .write.mode("append").partitionBy("bin")
+          .parquet(s"file:$indexDir")
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // e26's serving over the stream-built compressed index (e32's pruned
+    // read, the stream-built files in place of the one-shot build)
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarse = assignTrained(emb.select(col("vec_id"), col("embedding")),
+      kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = subspaces(emb.filter(col("vec_id") < 10))
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("centroid_id").as("code"), dotc.as("qd"))
+      .join(coarse.withColumnRenamed("vec_id", "query_id"), "query_id")
+    val probed = qdots.select(col("bin").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("bin").cast("int").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
+        col("bin").cast("long").as("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    idx.join(broadcast(qdots), Seq("bin", "m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("fivfpq_sim"))
+  }
+
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:
     * probe the affected bins with a column-pruned semi-join scan, then one
     * dynamic partition overwrite rewrites exactly those bins anti-joined
