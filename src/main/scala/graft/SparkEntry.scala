@@ -117,6 +117,7 @@ object SparkEntry {
     "m4_container_decode" -> (M.m4ContainerDecode _),
     "m5_pcm_window_energy" -> (M.m5PcmWindowEnergy _),
     "m6_pixel_stats" -> (M.m6PixelStats _),
+    "m8_resize_stats" -> (M.m8ResizeStats _),
     "m7_png_stats" -> (M.m7PngStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
@@ -878,6 +879,29 @@ object SparkEntry {
         | CAST(max(lum) AS BIGINT) AS max_lum,
         | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
         |FROM lums GROUP BY doc_id, width, height""".stripMargin,
+    "m8_resize_stats" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(2 + doc_id % 6 AS INT) AS width,
+        |        CAST(1 + doc_id % 4 AS INT) AS height,
+        |        CAST((2 + doc_id % 6 + 1) // 2 AS INT) AS out_w,
+        |        CAST((1 + doc_id % 4 + 1) // 2 AS INT) AS out_h
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height, out_w, out_h,
+        |        2 * (i % out_w) AS x, 2 * (i // out_w) AS y, i // out_w AS v
+        | FROM (SELECT doc_id, width, height, out_w, out_h,
+        |        unnest(range(0, out_w * out_h)) AS i FROM dims) t),
+        |lums AS (
+        | SELECT doc_id, width, height, out_w, out_h, v,
+        |  ((doc_id + 3*x + 7*y) % 256)
+        |   + 2*((2*doc_id + 5*x + 11*y) % 256)
+        |   + 4*((3*doc_id + 13*x + 17*y) % 256) AS lum
+        | FROM px)
+        |SELECT doc_id, width, height, out_w, out_h, count(*) AS n_pixels,
+        | CAST(sum(lum) AS BIGINT) AS sum_lum,
+        | CAST(max(lum) AS BIGINT) AS max_lum,
+        | CAST(sum((v + 1) * lum) AS BIGINT) AS ysum
+        |FROM lums GROUP BY doc_id, width, height, out_w, out_h""".stripMargin,
     "m7_png_stats" ->
       """WITH dims AS (
         | SELECT doc_id, CAST(3 + doc_id % 5 AS INT) AS width,

@@ -471,6 +471,65 @@ object MultimodalOps {
           .as("ysum"))
   }
 
+  /** Nearest-neighbor downsample of a decoded raster by an integer factor:
+    * out(u, v) = in(factor·u, factor·v), out dims = ceil(dims / factor).
+    * Operates on the per-pixel luminance plane — luminance is pointwise,
+    * so resize∘luminance ≡ luminance∘resize and the oracle can restate
+    * the result directly in source coordinates.
+    */
+  private[operators] def nnResize(lum: Array[Int], w: Int, h: Int,
+      factor: Int): (Int, Int, Array[Int]) = {
+    val ow = (w + factor - 1) / factor
+    val oh = (h + factor - 1) / factor
+    val out = new Array[Int](ow * oh)
+    var i = 0
+    for (v <- 0 until oh; u <- 0 until ow) {
+      out(i) = lum((v * factor) * w + (u * factor))
+      i += 1
+    }
+    (ow, oh, out)
+  }
+
+  /** m8 gate query: IMAGE RESIZE — the feature-extraction step every
+    * multimodal training pipeline runs between decode and featurize
+    * (thumbnail/patch normalization): each document's BMP payload decodes
+    * to its pixel raster (m6's real decoder — data offset, signed height,
+    * stride padding all honored) and is nearest-neighbor downsampled 2×
+    * INSIDE the decode task, so only the resized plane is ever exploded —
+    * at scale the relational layer sees ceil(w/2)·ceil(h/2) rows per
+    * image, never the source pixels. The same relational stat shape as m6
+    * then pins every resized pixel (count, sum, max, row-weighted sum in
+    * RESIZED coordinates) plus both geometries; the oracle restates the
+    * generative formula at the SAMPLED source coordinates (x=2u, y=2v) —
+    * an off-by-one in the sampling grid, a row-order mistake, or ceil/
+    * floor confusion in the output dims each flip the hash.
+    *
+    * Scale shape: decode + resize are one partition-local mapPartitions
+    * pass (m2's contract — payloads never shuffle); the aggregate is
+    * partial before its shuffle on the high-cardinality doc_id key, and
+    * resize-first cuts the exploded row volume by the square of the
+    * factor before anything pays per-pixel cost downstream.
+    */
+  def m8ResizeStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, lum) = bmpLuminance(id, syntheticPixelBmp(id))
+        val (ow, oh, out) = nnResize(lum, w, h, 2)
+        (id, w, h, ow, oh, out)
+      })
+      .toDF("doc_id", "width", "height", "out_w", "out_h", "lum")
+      .select(col("doc_id"), col("width"), col("height"),
+        col("out_w"), col("out_h"), posexplode(col("lum")).as(Seq("i", "l")))
+      .groupBy("doc_id", "width", "height", "out_w", "out_h")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("l").cast("long")).as("sum_lum"),
+        max(col("l")).cast("long").as("max_lum"),
+        sum(((floor(col("i") / col("out_w")) + 1) * col("l")).cast("long"))
+          .as("ysum"))
+  }
+
   /** m6 gate query: PIXEL-LEVEL IMAGE STATS — the image-side twin of m5
     * (container + signal + PIXEL now all real on the image path): every
     * document's BMP payload is decoded to per-pixel luminance in a

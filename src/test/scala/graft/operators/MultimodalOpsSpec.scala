@@ -186,4 +186,17 @@ class MultimodalOpsSpec extends SparkSpec {
       MultimodalOps.pngLuminance(0L, bad)
     }
   }
+
+  test("m8: nearest-neighbor resize samples the exact source grid") {
+    // hand-laid 5x3 raster with value 10*y + x: every output pixel must be
+    // the source pixel at (2u, 2v), dims ceil by 2, row order preserved
+    val w = 5; val h = 3
+    val lum = (for (y <- 0 until h; x <- 0 until w) yield 10 * y + x).toArray
+    val (ow, oh, out) = MultimodalOps.nnResize(lum, w, h, 2)
+    assert(ow == 3 && oh == 2, s"dims $ow x $oh")
+    assert(out.toSeq == Seq(0, 2, 4, 20, 22, 24), out.toSeq)
+    // degenerate 1-pixel image survives
+    val (ow1, oh1, out1) = MultimodalOps.nnResize(Array(7), 1, 1, 2)
+    assert(ow1 == 1 && oh1 == 1 && out1.toSeq == Seq(7))
+  }
 }
