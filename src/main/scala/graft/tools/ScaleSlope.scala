@@ -150,7 +150,13 @@ object ScaleSlope {
       // SnapshotLog commits; its slope must track d36's, not inherit it
       // by argument (state is wiped per run, so each rep replays fully)
       "st18_streaming_semantic_dedup" ->
-        graft.SparkEntry.queries("st18_streaming_semantic_dedup"))
+        graft.SparkEntry.queries("st18_streaming_semantic_dedup"),
+      // round-14: the COMPOSED corpus build measured too — its slope is
+      // the whole-pipeline linearity claim (ingest + scrub + fluency train
+      // + exact/LSH/semantic dedup + decon + stratified pack + snapshot
+      // commit), not inherited from the per-stage rows above
+      "x1_corpus_pipeline" ->
+        graft.SparkEntry.queries("x1_corpus_pipeline"))
 
     // same syscall-shaped canary as Bench: stamps each scale's rows with the
     // host's health so a flapped sample is visibly flapped
