@@ -253,8 +253,15 @@ object CorpusPipeline {
     val landing = new java.io.File(s"target/parity/x1-landing-$sfTag")
       .getAbsoluteFile.toString
     table(spark, sfDir, "documents")
-      // co-locate each lang's rows => one file per partition dir
-      .repartition(col("lang"))
+      // range-partition (lang, doc_id): rows co-locate by lang FIRST, so
+      // partition dirs get contiguous writers, but the corpus still spreads
+      // over the full task width — a plain repartition(lang) collapsed to
+      // one file per lang dir and every downstream stage then ran at
+      // #langs-way parallelism (measured at x10: the scrub+tokenize
+      // materialization alone took ~50 s in 4 tasks, ~5 s spread; the
+      // hourly-ingest analogue is many files per partition, one per
+      // writing executor — never one)
+      .repartitionByRange(32, col("lang"), col("doc_id"))
       .write.mode("overwrite").partitionBy("lang")
       .parquet(s"file:$landing")
     val docs = spark.read.parquet(s"file:$landing")
@@ -274,7 +281,14 @@ object CorpusPipeline {
     // pass — no evidence either way). Counts shuffle tokens, never text.
     val (uni, big, vocab) = fluencyModel(filt)
     val disfluent = disfluentIds(bigramPairs(filt), uni, big, vocab)
+    // materialized: the fluency stage's bigram⋈model join is the most
+    // expensive pre-dedup computation, and the anti-join cascade below
+    // references its survivor set once per stage — un-cut, every cascade
+    // consumer re-ran the bigram join (Spark reuses exchanges
+    // opportunistically, not whole subplans: measured 11.1× at x10 on the
+    // slope gate — superlinear — against ~6× for the stages alone)
     val surv0 = filt.join(disfluent, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
 
     // ---- Stage D1: exact dedup — keep the smallest doc_id per content
     // hash (d1's rule; partial-agg'd, shuffle carries one row per hash).
