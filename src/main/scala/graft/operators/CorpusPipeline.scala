@@ -187,10 +187,28 @@ object CorpusPipeline {
         i => concat_ws(" ", slice(t, i, lit(5)))))
       .otherwise(array().cast("array<string>"))
 
+  /** Free the executor blocks behind a localCheckpoint-materialized frame
+    * once its consumer has materialized. The ContextCleaner reclaims them
+    * only when the driver GCs the RDD object — which a 96 GB-heap JVM may
+    * not do for many minutes — and at the x100 slope scale three x1 reps
+    * accumulated ~30 GB of DEAD stage blocks, pushing the block manager
+    * into eviction + GC thrash (one rep went from ~3 min to 45+ min). The
+    * cut frames are per-run scratch by construction, so eager freeing is
+    * always safe after the census has been written.
+    */
+  private def freeCut(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(false)
+        catch { case scala.util.control.NonFatal(_) => () }
+      case _ => ()
+    }
+
   def x1CorpusPipeline(spark: SparkSession, sfDir: String,
       requireFlatOracle: Boolean = false): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val census = x1Census(spark, sfDir, requireFlatOracle)
+    val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
+    val census = x1Census(spark, sfDir, requireFlatOracle, cuts)
 
     // ---- Stage C: SnapshotLog commit — the manifest the next pipeline run
     // would consume. Fresh state dir per run => deterministic version 1;
@@ -202,7 +220,11 @@ object CorpusPipeline {
     // warehouse (MockFsSpec drives that).
     val snapDir = new java.io.File(s"target/parity/x1-snap-$sfTag")
       .getAbsoluteFile
-    freshCommitAndRead(spark, s"file:$snapDir", census)
+    val out = freshCommitAndRead(spark, s"file:$snapDir", census)
+    // the commit materialized the census; the checkpointed stage frames
+    // are dead scratch from here — free their blocks eagerly (see freeCut)
+    cuts.foreach(freeCut)
+    out
   }
 
   /** Wipe-then-commit-then-read of a snapshot TABLE location, all through
@@ -243,7 +265,9 @@ object CorpusPipeline {
     * shape, not a local-mode trick.
     */
   private[operators] def x1Census(spark: SparkSession, sfDir: String,
-      requireFlatOracle: Boolean = false): DataFrame = {
+      requireFlatOracle: Boolean = false,
+      cuts: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
     // ---- Stage S (S1/S2): hive ingest — land the corpus partitioned by
@@ -273,6 +297,7 @@ object CorpusPipeline {
     // carries its token array: ONE tokenize for the fluency bigrams, LSH
     // shingles, decontamination 5-grams, and packing token counts alike.
     val filt = scrubbedQualityDocs(docs).localCheckpoint(true)
+    cuts += filt
 
     // ---- Stage F2 (d34): bigram-LM fluency filter — train the Laplace-
     // smoothed bigram model ON the quality survivors (shared token
@@ -289,6 +314,7 @@ object CorpusPipeline {
     // slope gate — superlinear — against ~6× for the stages alone)
     val surv0 = filt.join(disfluent, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    cuts += surv0
 
     // ---- Stage D1: exact dedup — keep the smallest doc_id per content
     // hash (d1's rule; partial-agg'd, shuffle carries one row per hash).
@@ -306,6 +332,7 @@ object CorpusPipeline {
     // materialized: the shingle array feeds the band build AND both sides
     // of the verification join (shingledDocs's discipline, scoped to x1)
     val shingled = DedupQueries.shingleFrameFrom(sh1).localCheckpoint(true)
+    cuts += shingled
     val lshLosers = DedupQueries.lshVerifiedPairsFrom(shingled)
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
@@ -334,6 +361,7 @@ object CorpusPipeline {
       .select(col("vec_id"), col("embedding"), col("bin"),
         nrm(col("embedding")).as("nrm"))
       .localCheckpoint(true)
+    cuts += bins
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),
@@ -362,6 +390,7 @@ object CorpusPipeline {
       .select(col("doc_id"), h60(col("g")).as("h"))
       .distinct()
       .localCheckpoint(true)
+    cuts += sh5
     val evalSh = sh5.filter(pmod(col("doc_id"), lit(40L)) === 0)
       .select(col("h")).distinct()
     val contaminated = sh5.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
