@@ -146,6 +146,7 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
+    "st22_streaming_pq_serve" -> ((s, d) => V.st22StreamingPqServe(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
     "e31_pq_k256" -> ((s, d) => V.e31PqK256(s, d)),
     "e28_trained_nprobe" -> ((s, d) => V.e28TrainedNprobe(s, d)),
@@ -1260,6 +1261,10 @@ object SparkEntry {
     // codebooks — batch-built ∪ batch-built ≡ one-shot build, so serving
     // answers e26's search exactly (the e18/st17 rule, compressed)
     "st21_streaming_pq_ingest" -> e26OracleSql,
+    // st22 serves a query stream against e32's persisted compressed index
+    // with an exact refine: e26's ADC chain at shortlist width, re-ranked
+    // by e30's exact cosine, plus the commit count
+    "st22_streaming_pq_serve" -> st22OracleSql,
     "e27_pq_k64" -> e25OracleSqlK(64),
     "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,
@@ -2438,6 +2443,65 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS fivfpq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.st22StreamingPqServe]] — e26's
+    * trained IVF-PQ ADC chain kept to shortlist width (10), re-ranked by
+    * the exact decimal cosine over the shortlist pairs (e30's refine
+    * arithmetic), top-3 per query; `n_commits` pins one batchId-keyed
+    * result commit per arrival file.
+    */
+  private def st22OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg0", s"c$iters")},
+       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
+       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id, b.bin,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s
+       | JOIN pc$iters c ON c.m = s.m
+       | JOIN bins b ON b.vec_id = s.vec_id
+       | WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT q.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN qd q ON q.bin = c.bin AND q.m = c.m
+       |  AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> q.query_id
+       | GROUP BY q.query_id, c.neighbor_id),
+       |shortl AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY sim_sum DESC, neighbor_id ASC) AS rk
+       |  FROM scored) WHERE rk <= 10),
+       |refsc AS (
+       | SELECT s.query_id, s.neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM shortl s
+       | JOIN embeddings q ON q.vec_id = s.query_id
+       | JOIN embeddings n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, rank, neighbor_id,
+       | CAST(sim_dec AS DOUBLE) AS refined_sim, 4 AS n_commits
+       |FROM (SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM refsc) WHERE rank <= 3""".stripMargin
   }
 
   /** duckdb mirror of [[graft.operators.DedupQueries.d36SemanticDedup]] —

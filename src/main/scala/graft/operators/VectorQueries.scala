@@ -266,7 +266,7 @@ object VectorQueries {
     * identically (lowest centroid id) and the score sum is exact decimal
     * arithmetic in both engines.
     */
-  private val PqM = 8; private val PqSub = 8; private val PqK = 4
+  private[operators] val PqM = 8; private val PqSub = 8; private val PqK = 4
 
   /** The K demo sub-codebooks as one broadcastable row (c0..c3 arrays). */
   private def pqCents(emb: DataFrame): DataFrame =
@@ -935,15 +935,19 @@ object VectorQueries {
     * PQ divides the bytes per entry; the ADC join build side stays Q·M·K
     * broadcast rows and the score shuffle carries partial sums only.
     */
-  def e32PersistedIvfPq(spark: SparkSession, sfDir: String, k: Int = 3,
-      iters: Int = 2): DataFrame = {
+  /** Build-once accessor for e32's on-disk IVF-PQ index (bin-partitioned
+    * inverted lists of M-byte PQ codes under the trained coarse
+    * assignment). Stamp-guarded per corpus cut — the build is st17's job
+    * class; e32's serving and st22's streaming serving both read this one
+    * artifact. Returns the index directory.
+    */
+  private[operators] def persistedIvfPqIndexDir(spark: SparkSession,
+      sfDir: String, iters: Int): String = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
-    val fine = pqTrainedCodebooks(spark, sfDir, iters)
     val coarse = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
       .select(col("vec_id"), col("centroid_id").as("bin"))
-
     val indexDir = new java.io.File(s"target/parity/e32-index-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(indexDir, "._index_ok")
@@ -959,6 +963,17 @@ object VectorQueries {
         .parquet(s"file:$indexDir")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
+    indexDir
+  }
+
+  def e32PersistedIvfPq(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarse = assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
+      .select(col("vec_id"), col("centroid_id").as("bin"))
+    val indexDir = persistedIvfPqIndexDir(spark, sfDir, iters)
 
     // query side: the M×K sub-dot ADC table + each query's own coarse bin
     // (nprobe=1, e26's geometry)
@@ -1472,10 +1487,18 @@ object VectorQueries {
       .parquet(s"file:$splitDir")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
-        assignToCentroids(batch.sparkSession, sfDir, batch)
-          .write.mode("append").partitionBy("centroid_id")
-          .parquet(s"file:$indexDir")
+          org.apache.spark.sql.Row], batchId: Long) =>
+        // batchId-keyed SnapshotLog commit, not a plain append: foreachBatch
+        // is at-least-once, and a replay after a partial append would
+        // duplicate index entries; the keyed commit no-ops on replay
+        val bs = batch.sparkSession
+        val delta = assignToCentroids(bs, sfDir, batch)
+        val prior = SnapshotLog.latestVersion(bs, s"file:$indexDir")
+          .map(v => SnapshotLog.manifest(bs, s"file:$indexDir", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
+          commitKey = Some(s"batch-$batchId"),
+          partitionBy = Some("centroid_id"))
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -1483,15 +1506,19 @@ object VectorQueries {
       .start()
     q.awaitTermination()
 
-    // e18's serving, over the stream-built index
+    // e18's serving, over the stream-built index: probed bins resolve to
+    // manifest files by their `_centroid_id=` path level — unprobed bins'
+    // files are never opened
     val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"))
     val bins = queries.select(col("centroid_id").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val idx = spark.read.option("basePath", s"file:$indexDir")
-      .parquet(s"file:$indexDir")
-      .filter(col("centroid_id").cast("int").isin(bins: _*))
+    val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
+      .getOrElse(sys.error("st17: no index commits"))
+    val idxFiles = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+      .filter(f => bins.exists(b => f.contains(s"/_centroid_id=$b/")))
+    val idx = spark.read.parquet(idxFiles: _*)
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
     val wRank = org.apache.spark.sql.expressions.Window
@@ -1628,6 +1655,12 @@ object VectorQueries {
           .getOrElse(Nil)
         SnapshotLog.commit(bs, s"file:$resultsPath", res, prior,
           commitKey = Some(s"batch-$batchId"))
+        // the commit materialized this batch's results; free the
+        // checkpointed query blocks eagerly — across a long-lived stream
+        // the ContextCleaner may not GC-reclaim them for many micro-batches
+        // and dead blocks accumulate in the block manager (x1's freeCut
+        // discipline, applied per batch)
+        CorpusPipeline.freeCut(queries)
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -1654,11 +1687,20 @@ object VectorQueries {
     * IVF-PQ search — the oracle is e26's SQL verbatim (the e18↔st17
     * equivalence, one storage generation later).
     *
+    * Each batch's code rows land through a batchId-keyed [[SnapshotLog]]
+    * commit (st20's mechanism), NOT a plain parquet append: foreachBatch is
+    * at-least-once, and a batch replayed after a partial plain append would
+    * duplicate (vec_id, m, code) rows — silently breaking the bit-identity
+    * claim outside a clean run. With the keyed commit a replay no-ops and
+    * the torn attempt's orphan dir is never referenced by any manifest.
+    *
     * Scale shape: a day's new vectors cost one batch-sized encode scan
-    * (M·K broadcast sub-dots per vector) + appends touching only the bins
-    * the batch maps to — never a corpus re-encode (e20's append contract,
-    * with codes instead of raw vectors); compaction of accreted small
-    * files is c3's job.
+    * (M·K broadcast sub-dots per vector) + a delta commit whose files are
+    * bin-partitioned (`_bin=` manifest paths) so serving still prunes to
+    * probed bins — never a corpus re-encode (e20's append contract, with
+    * codes instead of raw vectors); compaction of accreted small files is
+    * the SnapshotLog compaction job's work (st19's state-maintenance
+    * shape).
     */
   def st21StreamingPqIngest(spark: SparkSession, sfDir: String,
       k: Int = 3, iters: Int = 2): DataFrame = {
@@ -1712,7 +1754,7 @@ object VectorQueries {
       .parquet(s"file:$splitDir")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
-          org.apache.spark.sql.Row], _: Long) =>
+          org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
         import bs.implicits._
         val fine = fineRows.toDF("m", "centroid_id", "c")
@@ -1722,9 +1764,12 @@ object VectorQueries {
           .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
         val bins = assignTrained(rows, coarse)
           .select(col("vec_id"), col("centroid_id").as("bin"))
-        codes.join(bins, "vec_id")
-          .write.mode("append").partitionBy("bin")
-          .parquet(s"file:$indexDir")
+        val delta = codes.join(bins, "vec_id")
+        val prior = SnapshotLog.latestVersion(bs, s"file:$indexDir")
+          .map(v => SnapshotLog.manifest(bs, s"file:$indexDir", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
+          commitKey = Some(s"batch-$batchId"), partitionBy = Some("bin"))
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -1732,8 +1777,11 @@ object VectorQueries {
       .start()
     q.awaitTermination()
 
-    // e26's serving over the stream-built compressed index (e32's pruned
-    // read, the stream-built files in place of the one-shot build)
+    // e26's serving over the stream-built compressed index. The committed
+    // snapshot's manifest paths carry each file's bin (`_bin=` path level),
+    // so the probed-bin prune is a string match over the manifest —
+    // unprobed bins' files are never opened (st19's touched-partition
+    // discipline; the manifest analogue of e32's PartitionFilters prune)
     val fine = pqTrainedCodebooks(spark, sfDir, iters)
     val coarse = assignTrained(emb.select(col("vec_id"), col("embedding")),
       kmeansCentroids(spark, sfDir, iters))
@@ -1747,9 +1795,11 @@ object VectorQueries {
       .join(coarse.withColumnRenamed("vec_id", "query_id"), "query_id")
     val probed = qdots.select(col("bin").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val idx = spark.read.option("basePath", s"file:$indexDir")
-      .parquet(s"file:$indexDir")
-      .filter(col("bin").cast("int").isin(probed: _*))
+    val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
+      .getOrElse(sys.error("st21: no index commits"))
+    val idxFiles = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+      .filter(f => probed.exists(b => f.contains(s"/_bin=$b/")))
+    val idx = spark.read.parquet(idxFiles: _*)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
         col("bin").cast("long").as("bin"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1762,6 +1812,184 @@ object VectorQueries {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim_sum").cast("double").as("fivfpq_sim"))
+  }
+
+  /** One query batch served against the frozen persisted IVF-PQ index with
+    * an exact refine stage — st22's per-batch plan, factored out so
+    * `PlanShapeSpec` pins the EXACT plan the stream executes:
+    *
+    *  1. coarse-assign the batch against the broadcast centroid table and
+    *     build its M×K ADC sub-dot table (batch-sized work);
+    *  2. collect the probed bin ids (≤ batch distinct bins, a driver
+    *     list — exactly how partition pruning must be driven) and scan
+    *     ONLY those `bin=` partitions of the on-disk code lists: the scan
+    *     carries a bin PartitionFilter and reads M-byte codes, never
+    *     vectors;
+    *  3. ADC-score the pruned candidates, keep a per-query SHORTLIST
+    *     (top-`shortlist` by ADC sum — e30's two-stage recipe);
+    *  4. REFINE: fetch raw vectors for just the Q×shortlist candidate
+    *     pairs (a broadcast of the shortlist into the embeddings scan —
+    *     at scale a point-lookup against the vector store) and re-rank by
+    *     exact decimal cosine to the final top-k.
+    *
+    * Per-batch cost: ∝ Σ(probed bin code sizes) + Q×shortlist vector
+    * fetches — the compressed-serving contract (PQ divides candidate
+    * bytes by ~dim·4/M; refine restores exact ranking on a bounded set).
+    */
+  private[operators] def pqServeRefineBatch(bs: SparkSession, sfDir: String,
+      queries: DataFrame, fine: DataFrame, cents: DataFrame, indexDir: String,
+      k: Int, shortlist: Int): DataFrame = {
+    // `queries` (vec_id, embedding) is read by the bin-probe collect, the
+    // ADC table, AND the refine join — the caller materializes it
+    // (localCheckpoint) and frees the blocks after consuming the result
+    val q = queries
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qAsg = assignTrained(q, cents)
+      .select(col("vec_id").as("query_id"), col("centroid_id").as("bin"))
+    val qdots = subspaces(q)
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("centroid_id").as("code"), dotc.as("qd"))
+      .join(qAsg, "query_id")
+    val probed = qdots.select(col("bin").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = bs.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("bin").cast("int").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
+        col("bin").cast("long").as("bin"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    val short = idx.join(broadcast(qdots), Seq("bin", "m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= shortlist)
+      .select("query_id", "neighbor_id")
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normOf(c: Column): Column = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    table(bs, sfDir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(q.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"))), "query_id")
+      .withColumn("sim_dec", (dotOf(col("q_emb"), col("n_emb")) /
+        (normOf(col("q_emb")) * normOf(col("n_emb")))).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("refined_sim"))
+  }
+
+  /** st22: STREAMING ANN SERVING OVER THE COMPRESSED INDEX — the full
+    * production serving story composed: st20 serves a query stream but
+    * against e18's RAW inverted lists; a deployed system serves against
+    * e32's persisted PQ codes with an exact refine stage (e30's recipe).
+    * Here query batches arrive as a micro-batched stream (the reference's
+    * always-on poll-serving loop, `workflow.yaml:54-84`, as the query
+    * path) and each batch runs [[pqServeRefineBatch]] against the FROZEN
+    * persisted index: bin-pruned code-only scan → ADC shortlist → exact
+    * re-rank of the shortlist. Results append to a batchId-keyed result
+    * log (st15's exactly-once mechanism; replays no-op).
+    *
+    * Streaming ≡ batch is exact for the st20 reason: a query's answer is a
+    * function of (its own embedding, the frozen index) alone, so the log's
+    * union over any batching of the query set IS the one-shot answer. The
+    * oracle composes e26's trained IVF-PQ SQL (ADC shortlist at rank ≤
+    * `shortlist`) with e30's exact-cosine re-rank, verbatim arithmetic.
+    */
+  def st22StreamingPqServe(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, shortlist: Int = 10): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val srcStamp = s"$sfDir|$iters|" +
+      RelationalQueries.sourceStamp(sfDir, "embeddings")
+
+    // the served artifact: e32's persisted compressed index (build-once,
+    // stamp-guarded — a build job, not serving work)
+    val indexDir = persistedIvfPqIndexDir(spark, sfDir, iters)
+
+    // frozen trained codebooks → plain rows for the per-batch sessions
+    // (st21's trained-artifact discipline)
+    val fineRows = pqTrainedCodebooks(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val coarseRows = kmeansCentroids(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+    // query arrivals fixture: the e26/e30 query set (vec_id < 10),
+    // range-split into 4 files so the stream genuinely micro-batches
+    val qDir = new java.io.File(s"target/parity/st22-queries-$sfTag")
+      .getAbsoluteFile.toString
+    val qMarker = new java.io.File(qDir, "._queries_ok")
+    val qValid = qMarker.isFile && new String(
+      java.nio.file.Files.readAllBytes(qMarker.toPath), "UTF-8") == srcStamp
+    if (!qValid) {
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$qDir")
+      java.nio.file.Files.write(qMarker.toPath, srcStamp.getBytes("UTF-8"))
+    }
+
+    // per-run result log + checkpoint, wiped through each path's own FS
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def wipeFs(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val resultsPath = new java.io.File(s"target/parity/st22-results-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/st22-ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$qDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val fine = fineRows.toDF("m", "centroid_id", "c")
+        val cents = coarseRows.toDF("centroid_id", "c")
+        val qch = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val res = pqServeRefineBatch(bs, sfDir, qch, fine, cents,
+          indexDir, k, shortlist)
+        val prior = SnapshotLog.latestVersion(bs, s"file:$resultsPath")
+          .map(v => SnapshotLog.manifest(bs, s"file:$resultsPath", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$resultsPath", res, prior,
+          commitKey = Some(s"batch-$batchId"))
+        CorpusPipeline.freeCut(qch)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val v = SnapshotLog.latestVersion(spark, s"file:$resultsPath")
+      .getOrElse(sys.error("st22: no result commits"))
+    SnapshotLog.read(spark, s"file:$resultsPath", v)
+      .withColumn("n_commits", lit(v))
   }
 
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:

@@ -78,21 +78,30 @@ class X1PipelineSpec extends SparkSpec {
     assert(total <= docs.count())
   }
 
-  test("x1: no window in the plan has an O(1)-cardinality partition key") {
-    // the packing prefix-sum must stratify per (split, source) — a
-    // split-only key has exactly 3 partitions and serializes ~80% of the
-    // corpus through one task at scale (the r13 finding). Every WindowExec
-    // in the census plan must carry >=2 partition keys.
-    // (string-form pin: the AQE root hides the WindowExec node from
-    // collect; the plan string prints every `Window [exprs],
-    // [partitionSpec], [orderSpec]` regardless)
-    val specs = """Window \[[^\]]*\], \[([^\]]*)\], \[""".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
-    assert(specs.nonEmpty, s"expected the packing window in the census plan:\n$plan")
-    specs.foreach { s =>
-      assert(s.split(",").length >= 2,
-        s"window partitions on [$s] — an O(1)-cardinality key that " +
-          "serializes the prefix-sum at scale")
+  test("x1: no window in the plan ever holds a corpus-scale partition") {
+    // the packing prefix-sum must be the two-pass distributed form
+    // (packCensus): the corpus-frame window partitions by (split, source,
+    // shard) — shard = doc_id div PackShardW, so no partition exceeds
+    // PackShardW rows BY CONSTRUCTION (unique doc_ids) — and the only
+    // window with fewer keys is the per-shard OFFSET window, whose input
+    // is the one-row-per-(stratum, shard) aggregate (~corpus/PackShardW
+    // rows total). The r13 split-only key serialized ~80% of the corpus
+    // through one task; the r14 (split, source) key still bounded
+    // parallelism by #sources = O(10) (the r14 "What's wrong #2").
+    // (string-form pin: the AQE root hides WindowExec from collect; the
+    // plan string prints every `Window [exprs], [partitionSpec], [order]`)
+    val specs = """Window \[([^\]]*)\], \[([^\]]*)\], \[""".r
+      .findAllMatchIn(plan).map(m => (m.group(1), m.group(2))).toSeq
+    assert(specs.nonEmpty, s"expected the packing windows in the census plan:\n$plan")
+    assert(specs.exists(_._2.contains("shard")),
+      s"no shard-chunked window — the corpus prefix-sum lost its " +
+        s"distributed form: ${specs.map(_._2)}")
+    specs.foreach { case (exprs, part) =>
+      if (!part.contains("shard"))
+        assert(exprs.contains("stot"),
+          s"window over [$part] without a shard key computes [$exprs] — " +
+            "only the per-shard-total offset window may partition " +
+            "coarser than shards")
     }
   }
 
