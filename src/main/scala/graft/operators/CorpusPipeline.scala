@@ -659,27 +659,38 @@ object CorpusPipeline {
     (parts(0).toLong, parts(1).toLong)
   }
 
-  def st19StreamingCorpusBuild(spark: SparkSession, sfDir: String,
-      requireFlatOracle: Boolean = false): DataFrame = {
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val hconf = spark.sparkContext.hadoopConfiguration
-    def wipeFs(path: String): Unit = {
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(hconf)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+  /** Frozen per-run context for the st19 stream: fixture dirs, trained
+    * artifacts as plain rows, scaled state-bucket counts, and the state/
+    * checkpoint locations. Built once per run ([[st19Config]]) and shared
+    * by [[st19RunStream]], [[st19Freeze]], [[st19MaintainState]] and the
+    * cold-restart spec.
+    */
+  private[operators] case class St19Config(sfDir: String, splitDir: String,
+      modelDir: String, vocabV: Long, bookRows: Seq[Seq[(Int, Seq[Double])]],
+      kSide: Int, stateRoot: String, ckptDir: String, pbN: Int, gbN: Int) {
+    def docsPath: String = s"file:$stateRoot/docs"
+    def lshPath: String = s"file:$stateRoot/lsh"
+    def semPath: String = s"file:$stateRoot/sem"
+    def gramsPath: String = s"file:$stateRoot/grams"
+    def pairsPath: String = s"file:$stateRoot/pairs"
+    def statePaths: Seq[String] =
+      Seq(docsPath, lshPath, semPath, gramsPath, pairsPath)
+  }
 
+  /** Build the frozen st19 context. `stateTag` namespaces the state +
+    * checkpoint dirs so a spec-driven run (cold restart, maintenance)
+    * never clobbers the gate run's state.
+    */
+  private[operators] def st19Config(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, stateTag: String = ""): St19Config = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + stateTag
     val (splitDir, modelDir) = st19FrozenFixtures(spark, sfDir)
     val vocabV: Long = spark.read.parquet(s"file:$modelDir/uni").count()
-
-    // ---- frozen state-bucket counts, scaled to expected state size (the
-    // semK discipline — see stateBuckets): LSH state holds 4 band entries
-    // per survivor, gram state one row per distinct (doc, 5-gram)
+    // frozen state-bucket counts, scaled to expected state size (the semK
+    // discipline — see stateBuckets): LSH state holds 4 band entries per
+    // survivor, gram state one row per distinct (doc, 5-gram)
     val (nQual, nGrams) = st19StateStats(modelDir)
-    val pbN = stateBuckets(nQual * 4)
-    val gbN = stateBuckets(nGrams)
-
-    // ---- frozen semantic codebooks (st18's pattern: memo-trained once,
+    // frozen semantic codebooks (st18's pattern: memo-trained once,
     // carried to each micro-batch session as plain rows)
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
@@ -690,19 +701,56 @@ object CorpusPipeline {
     val (books, kSide) = VectorQueries.semBinning(spark, sfDir, 2, k)
     val bookRows = books.map(_.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
+    St19Config(sfDir, splitDir, modelDir, vocabV, bookRows, kSide,
+      new java.io.File(s"target/parity/x1s-state-$sfTag")
+        .getAbsoluteFile.toString,
+      new java.io.File(s"target/parity/x1s-ckpt-$sfTag")
+        .getAbsoluteFile.toString,
+      stateBuckets(nQual * 4), stateBuckets(nGrams))
+  }
 
-    // ---- per-run state tables + checkpoint (wiped through each path's
-    // own FileSystem — table locations, never java.io)
-    val stateRoot = new java.io.File(s"target/parity/x1s-state-$sfTag")
-      .getAbsoluteFile.toString
-    val ckptDir = new java.io.File(s"target/parity/x1s-ckpt-$sfTag")
-      .getAbsoluteFile.toString
-    wipeFs(s"file:$stateRoot"); wipeFs(s"file:$ckptDir")
-    val docsPath = s"file:$stateRoot/docs"
-    val lshPath = s"file:$stateRoot/lsh"
-    val semPath = s"file:$stateRoot/sem"
-    val gramsPath = s"file:$stateRoot/grams"
-    val pairsPath = s"file:$stateRoot/pairs"
+  /** Wipe a table location through the Hadoop FileSystem of its own scheme
+    * (HashCensus.drop's rule — never java.io).
+    */
+  private[operators] def wipeFsPath(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  def st19StreamingCorpusBuild(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false): DataFrame = {
+    val cfg = st19Config(spark, sfDir, requireFlatOracle)
+    // per-run state tables + checkpoint
+    wipeFsPath(spark, s"file:${cfg.stateRoot}")
+    wipeFsPath(spark, s"file:${cfg.ckptDir}")
+    st19RunStream(spark, cfg, cfg.splitDir)
+    st19Freeze(spark, cfg)
+  }
+
+  /** Run the micro-batched ingest half of st19 over the CURRENT contents
+    * of `arrivalDir`, resuming from `cfg.ckptDir`'s checkpoint when one
+    * exists — the recurring half of the pipeline. Safe to call repeatedly
+    * (including from a FRESH SparkSession after a crash/restart): the file
+    * source's checkpoint skips already-processed arrivals, batchIds
+    * continue monotonically, and every state commit is batchId-keyed, so
+    * a replayed batch no-ops (the cold-restart spec drives exactly this).
+    */
+  private[operators] def st19RunStream(spark: SparkSession, cfg: St19Config,
+      arrivalDir: String): Unit = {
+    val modelDir = cfg.modelDir
+    val vocabV = cfg.vocabV
+    val bookRows = cfg.bookRows
+    val kSide = cfg.kSide
+    val sfDir = cfg.sfDir
+    val pbN = cfg.pbN
+    val gbN = cfg.gbN
+    val ckptDir = cfg.ckptDir
+    val docsPath = cfg.docsPath
+    val lshPath = cfg.lshPath
+    val semPath = cfg.semPath
+    val gramsPath = cfg.gramsPath
+    val pairsPath = cfg.pairsPath
 
     val normOf = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
@@ -722,7 +770,7 @@ object CorpusPipeline {
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType))))
       .option("maxFilesPerTrigger", "1")
-      .parquet(s"file:$splitDir")
+      .parquet(s"file:$arrivalDir")
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[
           org.apache.spark.sql.Row], batchId: Long) =>
@@ -900,15 +948,28 @@ object CorpusPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
 
-    // ---- corpus freeze: compose the stage kill-sets (x1's anti-join
-    // cascade, each restricted to both-endpoints-surviving) over the final
-    // snapshots, then split/pack/census — all linear hash-joins
+  /** The corpus-freeze half of st19: compose the stage kill-sets (x1's
+    * anti-join cascade, each restricted to both-endpoints-surviving) over
+    * the FINAL state snapshots, then split/pack/census — all linear
+    * hash-joins. Pure function of the committed state, so maintenance
+    * (compaction/retention) and cold restarts are proven invisible by
+    * re-freezing and comparing the census.
+    */
+  private[operators] def st19Freeze(spark: SparkSession,
+      cfg: St19Config, checkTorn: Boolean = true): DataFrame = {
+    val docsPath = cfg.docsPath
+    val pairsPath = cfg.pairsPath
     val vDocs = SnapshotLog.latestVersion(spark, docsPath)
       .getOrElse(sys.error("st19: no docs state committed"))
     val vPairs = SnapshotLog.latestVersion(spark, pairsPath)
       .getOrElse(sys.error("st19: no pair state committed"))
-    require(vDocs == vPairs,
+    // the lockstep check holds while only the stream commits (one keyed
+    // commit per table per batch); maintenance legitimately de-locksteps
+    // versions (compaction bumps, retention drops), so its re-freeze
+    // passes checkTorn = false
+    if (checkTorn) require(vDocs == vPairs,
       s"st19: torn state — docs v$vDocs vs pairs v$vPairs")
     val docsS = SnapshotLog.read(spark, docsPath, vDocs)
     val pairManifest = SnapshotLog.manifest(spark, pairsPath, vPairs)
@@ -956,5 +1017,30 @@ object CorpusPipeline {
     packCensus(surv4.withColumn("split",
         when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
       .withColumn("n_commits", lit(vDocs))
+  }
+
+  /** State-table MAINTENANCE for a recurring st19 stream (the missing
+    * month-scale story: each batch appends one commit + small delta files
+    * per state table, so a year of hourly arrivals accretes thousands of
+    * manifest versions and tiny files without bound). Applies the e23
+    * discipline — per-partition compaction, where only over-threshold
+    * partitions rewrite and untouched buckets keep their files' physical
+    * identity — and the c4 discipline — version retention past a horizon,
+    * with the orphan vacuum reclaiming the small files only the dropped
+    * versions referenced — to all five state paths. Invisible to the
+    * pipeline by construction: the head version's ROW SET is unchanged,
+    * so a re-freeze produces the identical census (spec-pinned).
+    */
+  private[operators] def st19MaintainState(spark: SparkSession,
+      cfg: St19Config, keepVersions: Int = 1,
+      maxFilesPerPartition: Int = 1): Unit = {
+    val partCols: Map[String, Option[String]] = Map(
+      cfg.docsPath -> None, cfg.lshPath -> Some("pb"),
+      cfg.semPath -> Some("bin"), cfg.gramsPath -> Some("gb"),
+      cfg.pairsPath -> Some("kind"))
+    cfg.statePaths.foreach { p =>
+      SnapshotLog.compact(spark, p, partCols(p), maxFilesPerPartition)
+      SnapshotLog.retainVersions(spark, p, keepVersions)
+    }
   }
 }

@@ -242,11 +242,21 @@ object SnapshotLog {
     val (fs, root) = fsFor(spark, tablePath)
     val dataRoot = new Path(root, "data")
     if (!fs.exists(dataRoot)) return Seq.empty
-    // every file any live version references, keyed by its commit dir
+    // every COMMIT DIR any live version references. The commit dir is the
+    // path level directly under data/ — NOT a file's immediate parent:
+    // partition-keyed commits nest `_col=value` dirs inside the commit
+    // dir, and keying on the immediate parent would classify every live
+    // partitioned commit dir as unreferenced and sweep it.
+    def commitDirOf(f: String): Option[String] = {
+      var p = new Path(f).getParent
+      while (p != null && p.getParent != null &&
+        p.getParent.getName != dataRoot.getName) p = p.getParent
+      Option(p).map(_.getName)
+    }
     val referencedDirs = listVersions(fs, root)
       .flatMap(v => readLines(fs, versionFile(root, v)))
       .filter(l => l.nonEmpty && !l.startsWith("#"))
-      .map(f => new Path(f).getParent.getName)
+      .flatMap(commitDirOf)
       .toSet
     val cutoff = System.currentTimeMillis() - olderThanMillis
     // Age-gate on the NEWEST FILE inside the dir, not the directory entry:
@@ -276,4 +286,67 @@ object SnapshotLog {
   /** Scan exactly the files of `version` — immune to any later commit. */
   def read(spark: SparkSession, tablePath: String, version: Int): DataFrame =
     spark.read.parquet(manifest(spark, tablePath, version): _*)
+
+  /** COMPACT the head version's small files (e23's per-bin rewrite,
+    * lifted to any SnapshotLog table): group the live files by partition
+    * segment (`_col=value` manifest-path level when `partitionCol` is set;
+    * the whole table otherwise), rewrite every group holding more than
+    * `maxFilesPerPartition` files into one file per group, and carry every
+    * other group's files BY REFERENCE — their physical identity is
+    * untouched, so readers of partitions a recurring stream never revisits
+    * keep their page cache and etag validity. The result is a NEW version
+    * (history stays intact; pair with [[retainVersions]] to reclaim the
+    * replaced small files). No-op returning None when nothing exceeds the
+    * threshold.
+    *
+    * Scale shape: the decision is pure string matching over the manifest
+    * (O(files), no data scan); the rewrite reads and writes only the
+    * over-threshold groups' rows — cost ∝ compacted partitions, never
+    * table size (the copy-on-write discipline, applied to maintenance).
+    */
+  def compact(spark: SparkSession, tablePath: String,
+      partitionCol: Option[String] = None,
+      maxFilesPerPartition: Int = 1): Option[Int] = {
+    val head = latestVersion(spark, tablePath).getOrElse(return None)
+    val mf = manifest(spark, tablePath, head)
+    val seg: String => String = partitionCol match {
+      case Some(c) =>
+        val re = (s"/_${java.util.regex.Pattern.quote(c)}=([^/]+)/").r
+        f => re.findFirstMatchIn(f).map(_.group(1)).getOrElse("")
+      case None => _ => ""
+    }
+    val grouped = mf.groupBy(seg)
+    val (rewrite, carry) = grouped.partition(_._2.size > maxFilesPerPartition)
+    if (rewrite.isEmpty) return None
+    val rows = spark.read.parquet(rewrite.values.flatten.toSeq: _*)
+    // one output file per group: hash-repartition on the partition key
+    // puts each value's rows in one task (collisions only co-locate
+    // values, never split one); unpartitioned tables coalesce to one file
+    val compacted = partitionCol match {
+      case Some(c) => rows.repartition(org.apache.spark.sql.functions.col(c))
+      case None => rows.coalesce(1)
+    }
+    Some(commit(spark, tablePath, compacted, carry.values.flatten.toSeq,
+      partitionBy = partitionCol))
+  }
+
+  /** Version RETENTION (c4's horizon sweep at manifest granularity): drop
+    * every version manifest older than the newest `keep`, then vacuum the
+    * data dirs no surviving manifest references (files the dropped
+    * versions held exclusively — e.g. small files a later [[compact]]
+    * replaced). `olderThanMillis` gates the vacuum exactly as in
+    * [[vacuumOrphans]] so a live concurrent writer's staged dir is never
+    * swept. Returns (dropped versions, deleted data dirs).
+    */
+  def retainVersions(spark: SparkSession, tablePath: String, keep: Int,
+      olderThanMillis: Long = 0L): (Seq[Int], Seq[String]) = {
+    require(keep >= 1, "must keep at least the head version")
+    val (fs, root) = fsFor(spark, tablePath)
+    val dropped = listVersions(fs, root).sorted.dropRight(keep)
+    dropped.foreach { v =>
+      fs.delete(versionFile(root, v), false)
+      fs.delete(new Path(logDir(root), f"v$v%05d.lock"), false)
+    }
+    (dropped, vacuumOrphans(spark, tablePath, olderThanMillis))
+  }
 }
