@@ -238,7 +238,17 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.toSeq.sorted.map(n => s""""$n"""")
       .mkString("[", ",", "]")
-    val flap = f""""canary_norm":$norm%.3f,"canary_fresh":$freshNorm%.3f,""" +
+    // st19's wall time is dominated by micro-batch replay machinery; the
+    // per-trigger execution seconds (from the stream's own progress
+    // events, most recent run) let a reader split batch WORK from harness
+    // overhead (wall − Σ batches) instead of guessing (r14 ask).
+    val st19Batches = graft.operators.CorpusPipeline.lastStreamBatchMillis
+    val st19Detail =
+      if (st19Batches.isEmpty) ""
+      else s""""st19_batch_sec":[${st19Batches
+        .map(ms => f"${ms / 1000.0}%.3f").mkString(",")}],"""
+    val flap = st19Detail +
+      f""""canary_norm":$norm%.3f,"canary_fresh":$freshNorm%.3f,""" +
       f""""canary_anchor":$recordedAnchor%.3f,""" +
       f""""canary_worst":$worstProbe%.3f,""" +
       s""""flap_retries":$flapRetries,"flap_residual":$residualFlap,""" +

@@ -728,6 +728,13 @@ object CorpusPipeline {
     st19Freeze(spark, cfg)
   }
 
+  /** Per-trigger execution millis of the most recent [[st19RunStream]]
+    * call (from the query's own progress events) — lets the bench report
+    * how much of st19's wall time is micro-batch WORK vs harness overhead
+    * (stream startup, trigger scheduling, awaitTermination latency).
+    */
+  @volatile private[graft] var lastStreamBatchMillis: Seq[Long] = Nil
+
   /** Run the micro-batched ingest half of st19 over the CURRENT contents
     * of `arrivalDir`, resuming from `cfg.ckptDir`'s checkpoint when one
     * exists — the recurring half of the pipeline. Safe to call repeatedly
@@ -948,6 +955,10 @@ object CorpusPipeline {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    lastStreamBatchMillis = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map(p => Option(p.durationMs.get("triggerExecution"))
+        .map(_.longValue).getOrElse(0L))
   }
 
   /** The corpus-freeze half of st19: compose the stage kill-sets (x1's

@@ -156,7 +156,14 @@ object ScaleSlope {
       // + exact/LSH/semantic dedup + decon + stratified pack + snapshot
       // commit), not inherited from the per-stage rows above
       "x1_corpus_pipeline" ->
-        graft.SparkEntry.queries("x1_corpus_pipeline"))
+        graft.SparkEntry.queries("x1_corpus_pipeline"),
+      // round-15: the STREAMING corpus build measured too — state is wiped
+      // per run (the function's own contract), so each rep replays the
+      // full 4-batch arrival history: the slope is the incremental
+      // pair-discovery claim under the r15 scaled state buckets +
+      // key-set-pruned prior reads, measured rather than argued
+      "st19_streaming_corpus_build" ->
+        graft.SparkEntry.queries("st19_streaming_corpus_build"))
 
     // same syscall-shaped canary as Bench: stamps each scale's rows with the
     // host's health so a flapped sample is visibly flapped
