@@ -119,6 +119,7 @@ object SparkEntry {
     "m6_pixel_stats" -> (M.m6PixelStats _),
     "m8_resize_stats" -> (M.m8ResizeStats _),
     "m7_png_stats" -> (M.m7PngStats _),
+    "m9_jpeg_stats" -> (M.m9JpegBlockStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" ->
@@ -917,6 +918,24 @@ object SparkEntry {
         |  ((3*doc_id + 11*x + 13*y) % 256)
         |   + 2*((2*doc_id + 7*x + 5*y) % 256)
         |   + 4*((doc_id + 5*x + 3*y) % 256) AS lum
+        | FROM px)
+        |SELECT doc_id, width, height, count(*) AS n_pixels,
+        | CAST(sum(lum) AS BIGINT) AS sum_lum,
+        | CAST(max(lum) AS BIGINT) AS max_lum,
+        | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
+        |FROM lums GROUP BY doc_id, width, height""".stripMargin,
+    "m9_jpeg_stats" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |        CAST(8 * (1 + doc_id % 2) AS INT) AS height
+        | FROM documents),
+        |px AS (
+        | SELECT doc_id, width, height, i % width AS x, i // width AS y
+        | FROM (SELECT doc_id, width, height,
+        |        unnest(range(0, width * height)) AS i FROM dims) t),
+        |lums AS (
+        | SELECT doc_id, width, height, y,
+        |  (doc_id * 37 + (x // 8) * 59 + (y // 8) * 83) % 256 AS lum
         | FROM px)
         |SELECT doc_id, width, height, count(*) AS n_pixels,
         | CAST(sum(lum) AS BIGINT) AS sum_lum,

@@ -530,6 +530,107 @@ object MultimodalOps {
           .as("ysum"))
   }
 
+  /** The m9 generative block value: gray level of 8×8 block (bx, by) of
+    * document `id`'s JPEG fixture. Coefficients differ from the BMP/PNG
+    * fixtures' so m6/m7/m9 results cannot be confused.
+    */
+  private[operators] def jpegBlockValue(id: Long, bx: Int, by: Int): Int =
+    ((id * 37 + bx * 59 + by * 83) % 256).toInt
+
+  /** Deterministic REAL JPEG fixture: an 8×8-BLOCK-CONSTANT GRAYSCALE
+    * image encoded by `javax.imageio`'s JPEG writer at quality 1.0 — a
+    * genuine DCT/Huffman JPEG container (SOI/DQT/SOS markers, entropy-
+    * coded MCUs), engineered into the one corner of JPEG that round-trips
+    * BIT-EXACTLY: every MCU is constant, so all 63 AC coefficients are
+    * exactly zero and the DC coefficient is an exact integer quantized at
+    * step 1 (quality 1.0's luma table), and grayscale removes chroma
+    * subsampling from the equation entirely (the m-family's
+    * "subsampling-aware" requirement — a chroma plane at 4:2:0 could
+    * never hash-pin). Lossy-codec caveat made explicit: exactness is a
+    * property of THIS fixture class, asserted per-document in the m9 spec
+    * so a JRE codec change fails loudly rather than silently shifting
+    * hashes.
+    */
+  private[operators] def syntheticJpeg(id: Long): Array[Byte] = {
+    val bw = (1 + id % 3).toInt
+    val bh = (1 + id % 2).toInt
+    val w = 8 * bw
+    val h = 8 * bh
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, jpegBlockValue(id, x / 8, y / 8))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG payload's gray plane in image order — `javax.imageio`
+    * Huffman-decodes the entropy stream, dequantizes, and runs the IDCT;
+    * SOI-magic-checked and null-checked so a corrupt payload fails the
+    * task loudly (the pngLuminance discipline).
+    */
+  private[operators] def jpegGray(docId: Long,
+      payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(payload.length >= 2 && (payload(0) & 0xff) == 0xff &&
+      (payload(1) & 0xff) == 0xd8,
+      s"doc $docId: not a JPEG payload (SOI missing)")
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"doc $docId: JPEG decode failed")
+    val w = img.getWidth
+    val h = img.getHeight
+    val g = new Array[Int](w * h)
+    var i = 0
+    for (y <- 0 until h; x <- 0 until w) {
+      g(i) = img.getRaster.getSample(x, y, 0)
+      i += 1
+    }
+    (w, h, g)
+  }
+
+  /** m9 gate query: REAL JPEG DECODE — the last common image container a
+    * multimodal pipeline meets, closed with the m7 discipline: each
+    * document id renders to a genuine JPEG (DCT + Huffman, not header
+    * math), `javax.imageio` decodes it back, and the m6/m7 relational
+    * stat shape follows (pixel census, gray sum/max, row-weighted sum
+    * pinning row order). Hash equality with the oracle's generative block
+    * formula proves the encode→decode round trip reproduced every pixel —
+    * see [[syntheticJpeg]] for why this fixture class is exact under a
+    * lossy codec.
+    *
+    * Scale shape: identical to m6/m7 — fixture build + decode are one
+    * partition-local `mapPartitions` pass (codec state per task, payloads
+    * never shuffle), stats partial-agg'd on the high-cardinality doc_id
+    * key; what shuffles is 4 longs per image, never pixels.
+    */
+  def m9JpegBlockStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val (w, h, g) = jpegGray(id, syntheticJpeg(id))
+        (id, w, h, g)
+      })
+      .toDF("doc_id", "width", "height", "lum")
+      .select(col("doc_id"), col("width"), col("height"),
+        posexplode(col("lum")).as(Seq("i", "l")))
+      .groupBy("doc_id", "width", "height")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("l").cast("long")).as("sum_lum"),
+        max(col("l")).cast("long").as("max_lum"),
+        sum(((floor(col("i") / col("width")) + 1) * col("l")).cast("long"))
+          .as("ysum"))
+  }
+
   /** m6 gate query: PIXEL-LEVEL IMAGE STATS — the image-side twin of m5
     * (container + signal + PIXEL now all real on the image path): every
     * document's BMP payload is decoded to per-pixel luminance in a

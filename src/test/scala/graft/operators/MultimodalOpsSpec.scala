@@ -180,6 +180,36 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("m9: the block-constant JPEG round trip is BIT-EXACT despite the lossy codec") {
+    // the fixture engineering claim, asserted pixel-by-pixel: constant
+    // 8×8 MCUs → zero AC + step-1 DC quantization at quality 1.0 +
+    // grayscale (no chroma subsampling) → exact decode. A JRE codec
+    // change that breaks any of this fails HERE, not as a bare gate-hash
+    // mismatch.
+    for (id <- 0L until 40L) {
+      val payload = MultimodalOps.syntheticJpeg(id)
+      // a real JPEG container: SOI marker + a quantization table marker
+      assert((payload(0) & 0xff) == 0xff && (payload(1) & 0xff) == 0xd8,
+        s"doc $id: no SOI")
+      assert(payload.sliding(2).exists(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xdb),
+        s"doc $id: no DQT marker — not an encoded JPEG")
+      val (w, h, g) = MultimodalOps.jpegGray(id, payload)
+      assert(w == 8 * (1 + id % 3).toInt && h == 8 * (1 + id % 2).toInt,
+        s"doc $id dims")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(g(y * w + x) ==
+          MultimodalOps.jpegBlockValue(id, x / 8, y / 8),
+          s"doc $id pixel ($x,$y) drifted — the exact-round-trip premise broke")
+    }
+  }
+
+  test("m9 decoder rejects non-JPEG payloads loudly") {
+    intercept[IllegalArgumentException] {
+      MultimodalOps.jpegGray(0L, Array[Byte](1, 2, 3, 4))
+    }
+  }
+
   test("m7 decoder rejects non-PNG payloads loudly") {
     val bad = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
     intercept[IllegalArgumentException] {
