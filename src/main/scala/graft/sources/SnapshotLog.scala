@@ -103,15 +103,24 @@ object SnapshotLog {
     readLines(fs, f).filter(l => l.nonEmpty && !l.startsWith("#"))
   }
 
-  /** The live version (if any) whose manifest records `key`, scanning
-    * newest-first: replays in practice re-deliver the most recent batch, so
-    * the common hit is the head manifest's first line.
+  /** All commit keys a version's manifest records: its own (first header
+    * line when the commit was keyed) plus any CARRIED keys — a compaction
+    * commit carries forward the keys of every version it supersedes, so
+    * retention can drop old manifests without reopening their replay
+    * window (see [[compact]]).
+    */
+  private def keysOf(fs: FileSystem, root: Path, v: Int): Seq[String] =
+    readLines(fs, versionFile(root, v))
+      .takeWhile(_.startsWith("#"))
+      .collect { case l if l.startsWith(KeyHeader) => l.stripPrefix(KeyHeader) }
+
+  /** The live version (if any) whose manifest records `key` (own or
+    * carried), scanning newest-first: replays in practice re-deliver the
+    * most recent batch, so the common hit is the head manifest.
     */
   private def versionOfKey(fs: FileSystem, root: Path, key: String): Option[Int] =
-    listVersions(fs, root).sorted(Ordering.Int.reverse).find { v =>
-      readLines(fs, versionFile(root, v)).headOption
-        .contains(KeyHeader + key)
-    }
+    listVersions(fs, root).sorted(Ordering.Int.reverse)
+      .find(v => keysOf(fs, root, v).contains(key))
 
   /** Commit a new snapshot: `newData` becomes immutable parquet files under
     * this attempt's own unique directory; the manifest = `carried`
@@ -130,7 +139,8 @@ object SnapshotLog {
   def commit(spark: SparkSession, tablePath: String, newData: DataFrame,
       carried: Seq[String], commitKey: Option[String] = None,
       lockStaleMs: Long = DefaultLockStaleMs,
-      partitionBy: Option[String] = None): Int = {
+      partitionBy: Option[String] = None,
+      carriedKeys: Seq[String] = Nil): Int = {
     val (fs, root) = fsFor(spark, tablePath)
     commitKey.flatMap(versionOfKey(fs, root, _)) match {
       case Some(v) => v // replayed batch: already live, nothing to do
@@ -162,7 +172,11 @@ object SnapshotLog {
             dirs.flatMap(d => listParquet(d.getPath))
         }
         val fresh = listParquet(dataDir)
-        val header = commitKey.map(KeyHeader + _).toSeq
+        // own key first, then carried keys (a compaction carries forward
+        // every key of the versions it supersedes, so dropping those
+        // versions later can never reopen a batch's replay window)
+        val header = (commitKey.toSeq ++ carriedKeys).distinct
+          .map(KeyHeader + _)
         val lines = header ++ (carried ++ fresh).sorted
         fs.mkdirs(logDir(root))
         // Exclusive slot claim BEFORE the publish rename. POSIX rename(2)
@@ -326,17 +340,30 @@ object SnapshotLog {
       case Some(c) => rows.repartition(org.apache.spark.sql.functions.col(c))
       case None => rows.coalesce(1)
     }
+    // carry EVERY live version's commit keys forward: the compacted
+    // version supersedes them all, so when retention later drops their
+    // manifests a replayed batch still finds its key here and no-ops —
+    // maintenance must never reopen an exactly-once window
+    val (fs, root) = fsFor(spark, tablePath)
+    val allKeys = listVersions(fs, root).flatMap(keysOf(fs, root, _)).distinct
     Some(commit(spark, tablePath, compacted, carry.values.flatten.toSeq,
-      partitionBy = partitionCol))
+      partitionBy = partitionCol, carriedKeys = allKeys))
   }
 
   /** Version RETENTION (c4's horizon sweep at manifest granularity): drop
-    * every version manifest older than the newest `keep`, then vacuum the
-    * data dirs no surviving manifest references (files the dropped
-    * versions held exclusively — e.g. small files a later [[compact]]
-    * replaced). `olderThanMillis` gates the vacuum exactly as in
-    * [[vacuumOrphans]] so a live concurrent writer's staged dir is never
-    * swept. Returns (dropped versions, deleted data dirs).
+    * every version manifest older than the newest `keep`, then reclaim at
+    * FILE granularity — every data file no surviving manifest references
+    * (the small files a later [[compact]] replaced, torn-attempt leftovers,
+    * stale _SUCCESS markers) is deleted once older than `olderThanMillis`,
+    * and directories that become empty are removed. File granularity
+    * matters because a commit dir routinely holds carried files next to
+    * replaced ones — a dir-level vacuum ([[vacuumOrphans]]' torn-attempt
+    * sweep) would keep every replaced file alive for as long as ONE
+    * sibling stays referenced. Exactly-once survives retention because
+    * [[compact]] carries superseded versions' commit keys forward into
+    * the head manifest. Run on a quiescent table (or with an
+    * `olderThanMillis` comfortably above the longest in-flight write).
+    * Returns (dropped versions, deleted paths).
     */
   def retainVersions(spark: SparkSession, tablePath: String, keep: Int,
       olderThanMillis: Long = 0L): (Seq[Int], Seq[String]) = {
@@ -347,6 +374,32 @@ object SnapshotLog {
       fs.delete(versionFile(root, v), false)
       fs.delete(new Path(logDir(root), f"v$v%05d.lock"), false)
     }
-    (dropped, vacuumOrphans(spark, tablePath, olderThanMillis))
+    val live: Set[String] = listVersions(fs, root)
+      .flatMap(v => readLines(fs, versionFile(root, v)))
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toSet
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) return (dropped, Seq.empty)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val deleted = scala.collection.mutable.Buffer.empty[String]
+    // depth-first: delete unreferenced aged files, then any dir emptied by
+    // the sweep; a dir keeping one live (or too-young) file keeps itself
+    def sweep(dir: Path): Boolean = {
+      var empty = true
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory) {
+          if (sweep(st.getPath)) {
+            fs.delete(st.getPath, false)
+            deleted += st.getPath.toString
+          } else empty = false
+        } else if (!live.contains(st.getPath.toString) &&
+            st.getModificationTime < cutoff) {
+          fs.delete(st.getPath, false)
+          deleted += st.getPath.toString
+        } else empty = false
+      }
+      empty
+    }
+    sweep(dataRoot)
+    (dropped, deleted.toSeq)
   }
 }

@@ -92,20 +92,22 @@ class St19RestartMaintenanceSpec extends SparkSpec {
       .sameElements(pre.map(censusKey).sortBy(_._1)))
   }
 
-  test("compaction keeps untouched partitions' file identity; retention vacuums replaced files") {
+  test("compaction keeps untouched partitions' file identity; retention reclaims replaced files") {
     import spark.implicits._
     val root = new java.io.File("target/parity/snap-maint-spec").getAbsoluteFile
     wipe(root)
     val path = s"file:$root"
-    // bucket A receives two commits (2 files), bucket B one (1 file)
+    // bucket A receives two KEYED commits (2 files), bucket B one (1 file)
     def d(rows: Seq[(Long, String)]) = rows.toDF("id", "b")
     SnapshotLog.commit(spark, path, d(Seq((1L, "A"), (2L, "B"))), Nil,
-      partitionBy = Some("b"))
+      commitKey = Some("batch-0"), partitionBy = Some("b"))
     SnapshotLog.commit(spark, path, d(Seq((3L, "A"))),
-      SnapshotLog.manifest(spark, path, 1), partitionBy = Some("b"))
+      SnapshotLog.manifest(spark, path, 1),
+      commitKey = Some("batch-1"), partitionBy = Some("b"))
     val mf2 = SnapshotLog.manifest(spark, path, 2)
     val bFiles = mf2.filter(_.contains("/_b=B/"))
-    assert(bFiles.size == 1 && mf2.filter(_.contains("/_b=A/")).size == 2)
+    val aFilesOld = mf2.filter(_.contains("/_b=A/"))
+    assert(bFiles.size == 1 && aFilesOld.size == 2)
     val preRows = SnapshotLog.read(spark, path, 2)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
 
@@ -122,21 +124,38 @@ class St19RestartMaintenanceSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(postRows.sameElements(preRows))
 
-    // retention to the head: v1/v2 manifests drop, and the vacuum deletes
-    // exactly the data dirs only they referenced (A's replaced small
-    // files); B's dir — still referenced by v3 — survives
+    // retention to the head: v1/v2 manifests drop, and the FILE-level
+    // reclaim deletes A's replaced small files even though one of them
+    // shares its commit dir with B's still-carried file (a dir-level
+    // vacuum would keep it alive as long as the sibling is referenced)
     val (dropped, deleted) = SnapshotLog.retainVersions(spark, path, 1)
     assert(dropped == Seq(1, 2))
-    assert(deleted.nonEmpty, "expected the replaced commit dirs to be vacuumed")
-    val survivors = SnapshotLog.manifest(spark, path, 3)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    survivors.foreach { f =>
+    aFilesOld.foreach { f =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"replaced file survived retention: $f")
+    }
+    assert(deleted.exists(aFilesOld.contains),
+      s"expected A's replaced files among the deletions: $deleted")
+    SnapshotLog.manifest(spark, path, 3).foreach { f =>
       assert(fs.exists(new org.apache.hadoop.fs.Path(f)),
-        s"vacuum deleted a live file: $f")
+        s"reclaim deleted a live file: $f")
     }
     val again = SnapshotLog.read(spark, path, 3)
       .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
     assert(again.sameElements(preRows))
+
+    // exactly-once SURVIVES maintenance: the compaction carried the
+    // superseded versions' commit keys into the head manifest, so a batch
+    // replayed from before the retention horizon still no-ops instead of
+    // double-applying
+    val replayed = SnapshotLog.commit(spark, path, d(Seq((3L, "A"))),
+      SnapshotLog.manifest(spark, path, 3),
+      commitKey = Some("batch-1"), partitionBy = Some("b"))
+    assert(replayed == 3,
+      s"replay of batch-1 after maintenance re-applied as v$replayed — " +
+        "the retention horizon reopened an exactly-once window")
+    assert(SnapshotLog.latestVersion(spark, path).contains(3))
   }
 }
