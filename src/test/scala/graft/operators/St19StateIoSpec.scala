@@ -108,17 +108,21 @@ class St19StateIoSpec extends SparkSpec {
     val gbN = CorpusPipeline.stateBuckets(nGrams)
     // every _pb=/_gb= partition value the streamed state actually wrote
     // must sit under the derived bucket counts (the run and the derivation
-    // agree). The st19 run is triggered lazily by St19StreamingCorpusSpec;
-    // run it here if its state is absent.
+    // agree). Re-run the pipeline if the on-disk state is absent OR was
+    // built by an older code version whose values no longer fit (the run
+    // wipes and rebuilds its state).
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val stateRoot = new java.io.File(s"target/parity/x1s-state-$sfTag")
       .getAbsoluteFile.toString
-    if (SnapshotLog.latestVersion(spark, s"file:$stateRoot/lsh").isEmpty)
-      CorpusPipeline.st19StreamingCorpusBuild(spark, sfDir).collect()
-    val pbVals = CorpusPipeline.manifestOf(spark, s"file:$stateRoot/lsh")
-      .flatMap("/_pb=(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1).toInt)
-    val gbVals = CorpusPipeline.manifestOf(spark, s"file:$stateRoot/grams")
-      .flatMap("/_gb=(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+    def vals(table: String, col: String): Seq[Int] =
+      CorpusPipeline.manifestOf(spark, s"file:$stateRoot/$table")
+        .flatMap(s"/_$col=(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1).toInt)
+    val (pb0, gb0) = (vals("lsh", "pb"), vals("grams", "gb"))
+    val stale = pb0.isEmpty || gb0.isEmpty ||
+      pb0.max >= pbN || gb0.max >= gbN
+    if (stale) CorpusPipeline.st19StreamingCorpusBuild(spark, sfDir).collect()
+    val pbVals = vals("lsh", "pb")
+    val gbVals = vals("grams", "gb")
     assert(pbVals.nonEmpty && gbVals.nonEmpty)
     assert(pbVals.max < pbN, s"pb ${pbVals.max} outside derived $pbN buckets")
     assert(gbVals.max < gbN, s"gb ${gbVals.max} outside derived $gbN buckets")
