@@ -675,7 +675,8 @@ object CorpusPipeline {
     */
   private[operators] case class St19Config(sfDir: String, splitDir: String,
       modelDir: String, vocabV: Long, bookRows: Seq[Seq[(Int, Seq[Double])]],
-      kSide: Int, stateRoot: String, ckptDir: String, pbN: Int, gbN: Int) {
+      kSide: Int, stateRoot: String, ckptDir: String, pbN: Int, gbN: Int,
+      sbN: Int) {
     def docsPath: String = s"file:$stateRoot/docs"
     def lshPath: String = s"file:$stateRoot/lsh"
     def semPath: String = s"file:$stateRoot/sem"
@@ -714,7 +715,7 @@ object CorpusPipeline {
         .getAbsoluteFile.toString,
       new java.io.File(s"target/parity/x1s-ckpt-$sfTag")
         .getAbsoluteFile.toString,
-      stateBuckets(nQual * 4), stateBuckets(nGrams))
+      stateBuckets(nQual * 4), stateBuckets(nGrams), stateBuckets(nQual))
   }
 
   /** Wipe a table location through the Hadoop FileSystem of its own scheme
@@ -760,6 +761,7 @@ object CorpusPipeline {
     val sfDir = cfg.sfDir
     val pbN = cfg.pbN
     val gbN = cfg.gbN
+    val sbN = cfg.sbN
     val ckptDir = cfg.ckptDir
     val docsPath = cfg.docsPath
     val lshPath = cfg.lshPath
@@ -866,7 +868,14 @@ object CorpusPipeline {
           commitKey = key, partitionBy = Some("pb"))
 
         // (c) semantic index entries + incremental same-bin cosine pairs
-        // (frozen codebooks; st18's touched-bin discipline, append-only)
+        // (frozen codebooks; st18's touched-bin discipline, append-only).
+        // Storage partitioning is DECOUPLED from pairing granularity: bin
+        // count is semantically load-bearing (∝ corpus via semK, it bounds
+        // Σ|bin|²) and at 100× scale would mean thousands of partition
+        // dirs per delta commit — so state dirs key on a BUCKET of bin
+        // (`sb`, stateBuckets-scaled like pb/gb), the file prune matches
+        // touched sb dirs, and the row-level semi-join on the batch's
+        // exact bin set restores bin-precision before the pair join.
         val bemb = bs.read.parquet(s"$sfDir/embeddings.parquet")
           .select(col("vec_id"), col("embedding"))
           .join(bsurv.select(col("doc_id").as("vec_id")),
@@ -878,19 +887,22 @@ object CorpusPipeline {
         val asg = VectorQueries.semAssignBins(bemb, batchBooks, kSide)
           .select(col("vec_id"), col("embedding"), col("bin"),
             normOf(col("embedding")).as("nrm"))
+          .withColumn("sb", pmod(col("bin"), lit(sbN.toLong)).cast("int"))
           .localCheckpoint(true)
         val semMf = manifestOf(bs, semPath)
-        val touchedBins = asg.select(col("bin")).distinct()
+        val touchedSb = asg.select(col("sb")).distinct()
           .collect().map(_.getInt(0)).toSet
         val semPriorFiles = touchedPrior(semMf,
-          touchedBins.map(b => s"/_bin=$b/"))
+          touchedSb.map(b => s"/_sb=$b/"))
         val semPrior =
-          if (semPriorFiles.isEmpty) asg.filter(lit(false))
+          if (semPriorFiles.isEmpty) asg.drop("sb").filter(lit(false))
           else bs.read.parquet(semPriorFiles: _*)
             .select(col("vec_id"), col("embedding"),
               col("bin").cast("int").as("bin"), col("nrm"))
+            .join(broadcast(asg.select("bin").distinct()),
+              Seq("bin"), "left_semi")
         val uS = semPrior.withColumn("src", lit(0))
-          .unionByName(asg.withColumn("src", lit(1)))
+          .unionByName(asg.drop("sb").withColumn("src", lit(1)))
         val semPairs = uS
           .select(col("bin"), col("vec_id").as("id_a"),
             col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
@@ -907,7 +919,7 @@ object CorpusPipeline {
           .select(lit("sem").as("kind"), col("id_a"), col("id_b"),
             lit(0L).as("h"))
         SnapshotLog.commit(bs, semPath, asg, semMf,
-          commitKey = key, partitionBy = Some("bin"))
+          commitKey = key, partitionBy = Some("sb"))
 
         // (d) 5-gram state + incremental eval-overlap matches: incoming
         // train grams probe stored eval grams and vice versa, on the
@@ -1055,7 +1067,7 @@ object CorpusPipeline {
       maxFilesPerPartition: Int = 1): Unit = {
     val partCols: Map[String, Option[String]] = Map(
       cfg.docsPath -> None, cfg.lshPath -> Some("pb"),
-      cfg.semPath -> Some("bin"), cfg.gramsPath -> Some("gb"),
+      cfg.semPath -> Some("sb"), cfg.gramsPath -> Some("gb"),
       cfg.pairsPath -> Some("kind"))
     cfg.statePaths.foreach { p =>
       SnapshotLog.compact(spark, p, partCols(p), maxFilesPerPartition)
