@@ -185,6 +185,13 @@ object Bench {
       }
     }
 
+    // st19's per-trigger millis, snapshotted from the SAME attempt whose
+    // wall time becomes the query's reported best — a flap-retried
+    // segment would otherwise pair attempt 1's best wall with attempt 3's
+    // inflated batch times and the wall-vs-Σbatches split would be
+    // nonsense. (4 gate batches sit far under the 100-entry
+    // recentProgress ring, so no truncation concern.)
+    var st19BestBatches: Seq[Long] = Nil
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .grouped(SegmentSize).flatMap { segment =>
         var best = Map.empty[String, Double]
@@ -201,6 +208,10 @@ object Bench {
           attempt += 1
           segment.foreach { case (name, fn) =>
             val sec = runOnce(name, fn)
+            if (name == "st19_streaming_corpus_build" &&
+                sec < best.getOrElse(name, Double.MaxValue))
+              st19BestBatches =
+                graft.operators.CorpusPipeline.lastStreamBatchMillis
             best = best.updated(name,
               math.min(sec, best.getOrElse(name, Double.MaxValue)))
           }
@@ -240,9 +251,9 @@ object Bench {
       .mkString("[", ",", "]")
     // st19's wall time is dominated by micro-batch replay machinery; the
     // per-trigger execution seconds (from the stream's own progress
-    // events, most recent run) let a reader split batch WORK from harness
-    // overhead (wall − Σ batches) instead of guessing (r14 ask).
-    val st19Batches = graft.operators.CorpusPipeline.lastStreamBatchMillis
+    // events, best-attempt run) let a reader split batch WORK from
+    // harness overhead (wall − Σ batches) instead of guessing (r14 ask).
+    val st19Batches = st19BestBatches
     val st19Detail =
       if (st19Batches.isEmpty) ""
       else s""""st19_batch_sec":[${st19Batches

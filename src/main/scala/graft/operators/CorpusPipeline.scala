@@ -752,8 +752,38 @@ object CorpusPipeline {
     * continue monotonically, and every state commit is batchId-keyed, so
     * a replayed batch no-ops (the cold-restart spec drives exactly this).
     */
+  /** The state root's layout stamp: bucket geometry is frozen INTO the
+    * state files' partition paths (`_pb`/`_gb`/`_sb` values), so resuming
+    * a checkpointed stream against state built under DIFFERENT bucket
+    * counts (or an older partition layout) would silently miss prior
+    * rows — the file-level prune probes paths the old layout never wrote,
+    * and the row-level semi-join can't recover rows that were never
+    * opened. [[st19RunStream]] stamps the state root on first run and
+    * fails loudly on any mismatch: a layout change requires a state
+    * rebuild, never a silent resume.
+    */
+  private[operators] def st19LayoutStamp(cfg: St19Config): String =
+    s"v1|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
+
   private[operators] def st19RunStream(spark: SparkSession, cfg: St19Config,
       arrivalDir: String): Unit = {
+    val expected = st19LayoutStamp(cfg)
+    val stampPath =
+      new org.apache.hadoop.fs.Path(s"file:${cfg.stateRoot}/._layout")
+    val sfs = stampPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (sfs.exists(stampPath)) {
+      val in = sfs.open(stampPath)
+      val cur =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(cur == expected,
+        s"st19 state at ${cfg.stateRoot} was built under layout '$cur' " +
+          s"but this run derives '$expected' — resuming would silently " +
+          "miss prior state rows; wipe and rebuild the state")
+    } else {
+      val out = sfs.create(stampPath, false)
+      try out.write(expected.getBytes("UTF-8")) finally out.close()
+    }
     val modelDir = cfg.modelDir
     val vocabV = cfg.vocabV
     val bookRows = cfg.bookRows
@@ -1064,14 +1094,20 @@ object CorpusPipeline {
     */
   private[operators] def st19MaintainState(spark: SparkSession,
       cfg: St19Config, keepVersions: Int = 1,
-      maxFilesPerPartition: Int = 1): Unit = {
+      maxFilesPerPartition: Int = 1,
+      reclaimOlderThanMillis: Long = 60 * 60 * 1000L): Unit = {
     val partCols: Map[String, Option[String]] = Map(
       cfg.docsPath -> None, cfg.lshPath -> Some("pb"),
       cfg.semPath -> Some("sb"), cfg.gramsPath -> Some("gb"),
       cfg.pairsPath -> Some("kind"))
     cfg.statePaths.foreach { p =>
       SnapshotLog.compact(spark, p, partCols(p), maxFilesPerPartition)
-      SnapshotLog.retainVersions(spark, p, keepVersions)
+      // retention only drops manifests whose commit keys survive in a
+      // kept manifest (SnapshotLog's guard) — so even when compact()
+      // no-ops above, a keyed batch manifest can never be retained away
+      // without its replay key being carried forward first
+      SnapshotLog.retainVersions(spark, p, keepVersions,
+        reclaimOlderThanMillis)
     }
   }
 }

@@ -359,17 +359,26 @@ object SnapshotLog {
     * matters because a commit dir routinely holds carried files next to
     * replaced ones — a dir-level vacuum ([[vacuumOrphans]]' torn-attempt
     * sweep) would keep every replaced file alive for as long as ONE
-    * sibling stays referenced. Exactly-once survives retention because
-    * [[compact]] carries superseded versions' commit keys forward into
-    * the head manifest. Run on a quiescent table (or with an
-    * `olderThanMillis` comfortably above the longest in-flight write).
-    * Returns (dropped versions, deleted paths).
+    * sibling stays referenced. Exactly-once survives retention BY
+    * CONSTRUCTION: a manifest is only dropped when every commit key it
+    * records is also recorded by a SURVIVING manifest — normally because
+    * a later [[compact]] carried the keys forward. Without a compaction,
+    * keyed manifests are retained regardless of the horizon (retention
+    * must never reopen a batch's replay window); compaction is the
+    * key-consolidation mechanism. `olderThanMillis` has NO default
+    * ([[vacuumOrphans]]' rule): pass a value comfortably above the
+    * longest plausible in-flight write so a concurrent committer's
+    * staged-but-unpublished files are never swept — 0 is only safe on a
+    * provably quiescent table. Returns (dropped versions, deleted paths).
     */
   def retainVersions(spark: SparkSession, tablePath: String, keep: Int,
-      olderThanMillis: Long = 0L): (Seq[Int], Seq[String]) = {
+      olderThanMillis: Long): (Seq[Int], Seq[String]) = {
     require(keep >= 1, "must keep at least the head version")
     val (fs, root) = fsFor(spark, tablePath)
-    val dropped = listVersions(fs, root).sorted.dropRight(keep)
+    val all = listVersions(fs, root).sorted
+    val keptKeys = all.takeRight(keep).flatMap(keysOf(fs, root, _)).toSet
+    val dropped = all.dropRight(keep)
+      .filter(v => keysOf(fs, root, v).forall(keptKeys))
     dropped.foreach { v =>
       fs.delete(versionFile(root, v), false)
       fs.delete(new Path(logDir(root), f"v$v%05d.lock"), false)

@@ -19,9 +19,8 @@ class St19RestartMaintenanceSpec extends SparkSpec {
       r.getAs[Long]("sum_ids"), r.getAs[Long]("tot_tokens"),
       r.getAs[Long]("n_bins"), r.getAs[Long]("census_hash"))
 
-  private def wipe(f: java.io.File): Unit = {
-    val cs = f.listFiles(); if (cs != null) cs.foreach(wipe); f.delete()
-  }
+  private def wipe(f: java.io.File): Unit =
+    CorpusPipeline.wipeFsPath(spark, s"file:${f.getAbsolutePath}")
 
   /** Staged-arrival cold-restart run: 2 of the 4 fixture files arrive, the
     * stream runs and TERMINATES (its SparkSession is per-run — st19RunStream
@@ -73,7 +72,9 @@ class St19RestartMaintenanceSpec extends SparkSpec {
     val filesBefore = cfg.statePaths.map(p =>
       SnapshotLog.manifest(spark, p,
         SnapshotLog.latestVersion(spark, p).get).size).sum
-    CorpusPipeline.st19MaintainState(spark, cfg)
+    // reclaim horizon 0: this spec's state table is quiescent by
+    // construction (the stream terminated before maintenance runs)
+    CorpusPipeline.st19MaintainState(spark, cfg, reclaimOlderThanMillis = 0L)
     // every state table is down to its retention horizon (one live version)
     cfg.statePaths.foreach { p =>
       val head = SnapshotLog.latestVersion(spark, p).get
@@ -128,8 +129,10 @@ class St19RestartMaintenanceSpec extends SparkSpec {
     // reclaim deletes A's replaced small files even though one of them
     // shares its commit dir with B's still-carried file (a dir-level
     // vacuum would keep it alive as long as the sibling is referenced)
-    val (dropped, deleted) = SnapshotLog.retainVersions(spark, path, 1)
-    assert(dropped == Seq(1, 2))
+    val (dropped, deleted) = SnapshotLog.retainVersions(spark, path, 1, 0L)
+    assert(dropped == Seq(1, 2),
+      s"v1/v2's keys are carried by the compaction commit, so both " +
+        s"should drop; got $dropped")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     aFilesOld.foreach { f =>
@@ -157,5 +160,28 @@ class St19RestartMaintenanceSpec extends SparkSpec {
       s"replay of batch-1 after maintenance re-applied as v$replayed — " +
         "the retention horizon reopened an exactly-once window")
     assert(SnapshotLog.latestVersion(spark, path).contains(3))
+  }
+
+  test("retention refuses to drop a keyed manifest whose key is not carried forward") {
+    import spark.implicits._
+    val root = new java.io.File("target/parity/snap-retain-guard-spec")
+      .getAbsoluteFile
+    wipe(root)
+    val path = s"file:$root"
+    def d(rows: Seq[Long]) = rows.toDF("id")
+    SnapshotLog.commit(spark, path, d(Seq(1L)), Nil,
+      commitKey = Some("batch-0"))
+    SnapshotLog.commit(spark, path, d(Seq(2L)),
+      SnapshotLog.manifest(spark, path, 1), commitKey = Some("batch-1"))
+    // NO compaction ran, so v1's key lives only in v1's manifest: a
+    // horizon of keep=1 must KEEP it — dropping would reopen batch-0's
+    // replay window (the maintenance-ordering hole a compact-then-retain
+    // sequence can otherwise hit when compact() no-ops)
+    val (dropped, _) = SnapshotLog.retainVersions(spark, path, 1, 0L)
+    assert(dropped.isEmpty,
+      s"retention dropped keyed manifests without key carry-forward: $dropped")
+    val replayed = SnapshotLog.commit(spark, path, d(Seq(1L)),
+      SnapshotLog.manifest(spark, path, 2), commitKey = Some("batch-0"))
+    assert(replayed == 1, s"batch-0 re-applied as v$replayed")
   }
 }

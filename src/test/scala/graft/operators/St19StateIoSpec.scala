@@ -38,10 +38,7 @@ class St19StateIoSpec extends SparkSpec {
   test("a batch's prior-state read opens only its touched buckets and keeps only matched keys") {
     import spark.implicits._
     val root = new java.io.File("target/parity/st19-io-spec").getAbsoluteFile
-    def wipe(f: java.io.File): Unit = {
-      val cs = f.listFiles(); if (cs != null) cs.foreach(wipe); f.delete()
-    }
-    wipe(root)
+    CorpusPipeline.wipeFsPath(spark, s"file:${root.getAbsolutePath}")
     val path = s"file:$root"
 
     // a synthetic bucketed state table, built exactly as st19 builds its
@@ -108,23 +105,30 @@ class St19StateIoSpec extends SparkSpec {
     val gbN = CorpusPipeline.stateBuckets(nGrams)
     // every _pb=/_gb= partition value the streamed state actually wrote
     // must sit under the derived bucket counts (the run and the derivation
-    // agree). Re-run the pipeline if the on-disk state is absent OR was
-    // built by an older code version whose values no longer fit (the run
+    // agree). The state root carries a LAYOUT STAMP (st19LayoutStamp);
+    // re-run the pipeline if the on-disk state is absent or its stamp
+    // doesn't match the current derivation in EITHER direction (the run
     // wipes and rebuilds its state).
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val stateRoot = new java.io.File(s"target/parity/x1s-state-$sfTag")
-      .getAbsoluteFile.toString
+    val cfg = CorpusPipeline.st19Config(spark, sfDir)
+    assert(cfg.pbN == pbN && cfg.gbN == gbN,
+      "config derivation drifted from the stats-file derivation")
+    val stateRoot = cfg.stateRoot
     def vals(table: String, col: String): Seq[Int] =
       CorpusPipeline.manifestOf(spark, s"file:$stateRoot/$table")
         .flatMap(s"/_$col=(\\d+)/".r.findFirstMatchIn(_)).map(_.group(1).toInt)
-    val (pb0, gb0) = (vals("lsh", "pb"), vals("grams", "gb"))
-    val stale = pb0.isEmpty || gb0.isEmpty ||
-      pb0.max >= pbN || gb0.max >= gbN
-    if (stale) CorpusPipeline.st19StreamingCorpusBuild(spark, sfDir).collect()
+    val stampFile = new java.io.File(stateRoot, "._layout")
+    val stampOk = stampFile.isFile && new String(
+      java.nio.file.Files.readAllBytes(stampFile.toPath), "UTF-8") ==
+      CorpusPipeline.st19LayoutStamp(cfg)
+    if (!stampOk)
+      CorpusPipeline.st19StreamingCorpusBuild(spark, sfDir).collect()
     val pbVals = vals("lsh", "pb")
     val gbVals = vals("grams", "gb")
     assert(pbVals.nonEmpty && gbVals.nonEmpty)
     assert(pbVals.max < pbN, s"pb ${pbVals.max} outside derived $pbN buckets")
     assert(gbVals.max < gbN, s"gb ${gbVals.max} outside derived $gbN buckets")
+    assert(new String(java.nio.file.Files.readAllBytes(stampFile.toPath),
+      "UTF-8") == CorpusPipeline.st19LayoutStamp(cfg),
+      "the run did not stamp its layout")
   }
 }

@@ -58,10 +58,16 @@ class St22StreamingPqServeSpec extends SparkSpec {
     }
     // the refine stage fetches raw vectors via BROADCASTS of the bounded
     // shortlist (Q×shortlist rows) into the embeddings scan — a full-side
-    // shuffle join here would re-shuffle the vector store per batch.
-    // (the plan's BroadcastNestedLoopJoin Cross nodes are assignTrained's
-    // deliberate batch × K-centroid broadcast argmax, not a join defect)
+    // shuffle join here would re-shuffle the vector store per batch
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
     assert(!p.contains("CartesianProduct"), p)
+    // nested-loop joins: ONLY assignTrained's deliberate batch ×
+    // K-centroid broadcast argmax Cross is allowed — an Inner/outer BNLJ
+    // would mean an equi-join key was lost (e.g. the refine fetch
+    // degrading to Q×N per batch)
+    "BroadcastNestedLoopJoin[^\n]*".r.findAllIn(p).foreach { l =>
+      assert(l.contains("Cross"),
+        s"non-Cross nested-loop join in the serving plan: $l")
+    }
   }
 }
