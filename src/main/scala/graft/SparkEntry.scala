@@ -182,6 +182,7 @@ object SparkEntry {
     "u3_schema_drift" -> (MaintenanceQueries.u3SchemaDrift _),
     "c1_compact" -> (MaintenanceQueries.c1Compact _),
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
+    "c5_cluster_box_skip" -> (MaintenanceQueries.c5ClusterBoxSkip _),
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
     "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
     "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
@@ -1584,6 +1585,18 @@ object SparkEntry {
         |WHERE user_id BETWEEN (SELECT mn + (mx - mn) // 4 FROM b)
         | AND (SELECT mn + (mx - mn) // 2 FROM b)
         |GROUP BY user_id""".stripMargin,
+    "c5_cluster_box_skip" ->
+      """WITH b AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+        |  min(event_id) AS emn, max(event_id) AS emx FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT umn + (umx - umn) // 4 FROM b)
+        |  AND (SELECT umn + (umx - umn) // 2 FROM b)
+        | AND event_id BETWEEN (SELECT emn + (emx - emn) // 8 FROM b)
+        |  AND (SELECT emn + 3 * (emx - emn) // 8 FROM b)
+        |GROUP BY event_type""".stripMargin,
     "q40_hof" ->
       """SELECT vec_id, len(embedding) AS dim,
         | len(list_filter(embedding, x -> x > 0)) AS n_pos,

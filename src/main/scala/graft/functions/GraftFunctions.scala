@@ -41,6 +41,18 @@ object GraftFunctions {
         WordShingles(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "graft_hilbert takes (cx, cy, order)")
+        val order = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "graft_hilbert order must be an integer literal")
+        }
+        HilbertIndex(children.head, children(1), order)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cclass"),
       new ExpressionInfo(classOf[CharClassCount].getName, "graft_cclass"),
       (children: Seq[Expression]) => {
@@ -63,6 +75,11 @@ object GraftFunctions {
   /** Column-API form of `graft_h60` (requires [[install]]ed session). */
   def h60(c: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_h60", c)
+
+  /** Column-API form of `graft_hilbert` (requires [[install]]ed session). */
+  def hilbert(cx: Column, cy: Column, order: Int): Column =
+    org.apache.spark.sql.functions.call_function("graft_hilbert", cx, cy,
+      org.apache.spark.sql.functions.lit(order))
 
   /** Column-API form of `graft_cclass` (requires [[install]]ed session). */
   def cclass(c: Column, kind: String, set: String): Column =

@@ -431,6 +431,70 @@ object MaintenanceQueries {
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
   }
 
+  /** c5: multi-dimensional clustering + 2-D box skipping — `OPTIMIZE
+    * ZORDER`'s job done with a Hilbert curve. c2 proves 1-D file skipping:
+    * a range-sort on `user_id` gives narrow per-file `user_id` ranges, but
+    * every file's `event_id` range stays full-width, so a predicate that
+    * boxes BOTH columns still opens every user-matching file. Here the
+    * layout key is [[graft.functions.HilbertIndex]] over the (user_id,
+    * event_id) grid: rows close in both dimensions land in the same files,
+    * per-file [min,max] boxes become compact squares, and
+    * [[FileStatsManifest.prunedReadBox]] drops every file whose stats box
+    * misses the query box. The spec pins the layout quality (Hilbert
+    * selects strictly fewer files than the 1-D sort for the same box); the
+    * oracle restates only the box aggregate, so correctness never depends
+    * on how well the layout prunes.
+    *
+    * Scale shape: the curve key is one codegen'd expression per row (no
+    * shuffle beyond the range-partition write the layout needs anyway), the
+    * manifest stays one row per file, and pruning work is O(files) on the
+    * driver — the same order as any scan's file listing. At 100 TB the box
+    * query reads ~(box area / table area) of the files instead of the c2
+    * worst case ~(box side / table side).
+    *
+    * Reference anchor: BigQuery multi-column `CLUSTER BY` is what the
+    * reference's users get beyond its single clustered field
+    * (`/root/reference/bq_create_table_ddl.sql:9`); this is that surface on
+    * plain parquet.
+    */
+  def c5ClusterBoxSkip(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    val dir = scratch("c5", sfDir)
+
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("event_id")), max(col("event_id"))).collect()(0)
+    val (uMn, uMx, eMn, eMx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val order = 10 // 1024×1024 curve grid; cells ≪ files, so cell
+                   // granularity never limits pruning at any gate SF
+    val side = (1L << order) - 1
+    // `/` on Columns is DOUBLE division; the cast back to long truncates —
+    // exact here because (span ≤ 2^43) × 1023 stays under 2^53
+    def cell(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+      if (mx <= mn) lit(0L)
+      else ((c - lit(mn)) * lit(side) / lit(mx - mn)).cast("long")
+    val keyed = ev.withColumn("hkey", graft.functions.GraftFunctions.hilbert(
+      cell(col("user_id"), uMn, uMx), cell(col("event_id"), eMn, eMx), order))
+    keyed.repartitionByRange(16, col("hkey"))
+      .sortWithinPartitions(col("hkey"))
+      .drop("hkey")
+      .write.mode("overwrite").parquet(s"file:$dir")
+    FileStatsManifest.write(spark, s"file:$dir", Seq("user_id", "event_id"))
+
+    // the query box: user_id in [¼, ½], event_id in [⅛, ⅜] of their spans —
+    // restated verbatim by the oracle from the same min/max arithmetic
+    val (uLo, uHi) = (uMn + (uMx - uMn) / 4, uMn + (uMx - uMn) / 2)
+    val (eLo, eHi) = (eMn + (eMx - eMn) / 8, eMn + 3 * (eMx - eMn) / 8)
+    val (df, nSel, nTot) = FileStatsManifest.prunedReadBox(spark, s"file:$dir",
+      Seq(("user_id", uLo, uHi), ("event_id", eLo, eHi)))
+    require(nSel <= nTot, s"box manifest selected $nSel of $nTot files")
+    df.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+  }
+
   /** u4: snapshot CDC — land day-1, apply the full mutation suite (u1's
     * merge: value corrections for `event_id % 3 = 0`, inserts at shifted ids
     * for `% 5 = 0`; then u2's takedown of `% 7 = 0` over the ORIGINAL ids),

@@ -147,23 +147,50 @@ object FileStatsManifest {
     * changes results. Returns (frame, filesSelected, filesTotal).
     */
   def prunedRead(spark: SparkSession, root: String, statCol: String,
-      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+      lo: Long, hi: Long): (DataFrame, Int, Int) =
+    prunedReadBox(spark, root, Seq((statCol, lo, hi)))
+
+  /** Multi-dimensional generalization of [[prunedRead]]: keep files whose
+    * manifest [min,max] interval intersects the wanted range on EVERY
+    * `(col, lo, hi)` in `box` — the file survives only if its stats
+    * hyper-rectangle intersects the query box. With a 1-D sort layout the
+    * non-sort dimensions have full-width file ranges and prune nothing; a
+    * space-filling-curve layout ([[graft.functions.HilbertIndex]]) makes
+    * every dimension's per-file range narrow, so box intersection drops
+    * most files. Same staleness fallback and residual-filter contract as
+    * [[prunedRead]]: unknown files are always read, the full predicate
+    * stays on the scan, pruning only ever removes work.
+    */
+  def prunedReadBox(spark: SparkSession, root: String,
+      box: Seq[(String, Long, Long)]): (DataFrame, Int, Int) = {
+    require(box.nonEmpty, "prunedReadBox needs at least one (col, lo, hi)")
     // `_metadata.file_path` is URI-form (`file:///…`), FileSystem listings
     // are `file:/…` — compare on the scheme-free path, read by the original
     def norm(p: String): String = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val statCols = box.flatMap { case (c, _, _) =>
+      Seq(col(s"min_$c").cast("long"), col(s"max_$c").cast("long")) }
     val manifest = spark.read
       .parquet(s"${root.stripSuffix("/")}/$ManifestDirName")
-      .select(col("file"), col(s"min_$statCol").cast("long").as("lo"),
-        col(s"max_$statCol").cast("long").as("hi"))
+      .select(col("file") +: statCols: _*)
       .collect()
     val known = manifest.map(r => norm(r.getString(0))).toSet
     val selected = manifest
-      .filter(r => !(r.isNullAt(1) || r.isNullAt(2)) &&
-        r.getLong(2) >= lo && r.getLong(1) <= hi)
+      .filter { r =>
+        box.indices.forall { i =>
+          val (mnI, mxI) = (1 + 2 * i, 2 + 2 * i)
+          val (_, lo, hi) = box(i)
+          // NULL min/max on a column means every value in the file is NULL
+          // there (parquet stats semantics for all-null pages), and NULL
+          // never satisfies BETWEEN — the file cannot contribute a row
+          !(r.isNullAt(mnI) || r.isNullAt(mxI)) &&
+            r.getLong(mxI) >= lo && r.getLong(mnI) <= hi
+        }
+      }
       .map(_.getString(0))
     val unknown = liveFiles(spark, root).filterNot(p => known(norm(p)))
     val paths = (selected ++ unknown).distinct
-    val pred = col(statCol).between(lo, hi)
+    val pred = box.map { case (c, lo, hi) => col(c).between(lo, hi) }
+      .reduce(_ && _)
     val df =
       if (paths.isEmpty)
         spark.read.option("basePath", root).parquet(root).filter(pred).limit(0)
