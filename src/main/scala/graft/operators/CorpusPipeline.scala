@@ -124,8 +124,19 @@ object CorpusPipeline {
       lit(0.05) * size(col("t")) +
       lit(0.02) * cclass(col("text"), "count", "aeiou") -
       lit(0.8) * cclass(col("text"), "count", ".!?,;:")
-    docs
-      .select(col("doc_id"), redactExpr.as("text"), col("source"))
+    val red = docs.select(col("doc_id"), redactExpr.as("text"), col("source"))
+    // Optimization BARRIER (mapPartitions identity — a narrow, shuffle-free
+    // materialization point): without it, CollapseProject + predicate
+    // pushdown inline `redactExpr` into EVERY reference the quality gate
+    // makes to `text` (two cclass counts, six lowercase substring scans,
+    // the tokenize, the length) — the 3-regex+md5 redact chain re-derives
+    // ~15× per row and the fused expression tree is measured ~90× slower
+    // than evaluating the redaction once (96 s vs 1.1 s over 50k docs).
+    // Behind the barrier `text` is a plain attribute, so every gate
+    // expression reads the materialized string.
+    val bar = red.mapPartitions(it => it)(
+      org.apache.spark.sql.Encoders.row(red.schema))
+    bar
       .select(col("doc_id"), col("text"), col("source"),
         tokens(col("text")).as("t"))
       .filter(logit > lit(-2.0) && triData <= triEn * lit(5L))
@@ -491,35 +502,47 @@ object CorpusPipeline {
     *    only defined at corpus freeze; real pipelines train, freeze, then
     *    apply).
     *  - **Per batch, incremental** — all row-local stages (d24 redaction,
-    *    d27+d14 quality/junk, frozen-LM d34 scoring) plus the PAIR
-    *    DISCOVERY of every dedup stage, the part that is quadratic-shaped
-    *    and therefore the part worth streaming: LSH band-bucket collision +
-    *    Jaccard verification (d13), same-bin cosine (d36), and 5-gram
-    *    eval-overlap matching (d25). Each batch pairs itself against
-    *    (touched state ∪ itself) — batch×state + batch², NEVER state²:
-    *    prior-prior pairs were discovered by the batch that completed the
-    *    pair and are already in the pair log. State is partition-keyed
-    *    (band-hash / bin / gram-hash) with bucket counts FROZEN AT CORPUS
-    *    START ∝ expected state size ([[stateBuckets]], the semK
-    *    discipline), so a batch opens only the state files its own keys
-    *    touch — the manifest path encodes the key and the touched/carried
-    *    split is a string match (st18's discipline) — and the touched-file
-    *    volume is ∝ the batch's key count, never ∝ corpus. The opened rows
-    *    are then further pruned to the batch's exact key set by a
-    *    broadcast semi-join (the d37/HashCensus probe shape), so the pair
-    *    join's prior side is the matched keys alone. All five state
-    *    tables are APPEND-ONLY: a batch never rewrites a prior file, so
-    *    every commit is (new delta files) + (full prior manifest carried
-    *    by reference).
-    *  - **At corpus freeze, linear** — exact-dedup min-per-hash, the
-    *    anti-join cascade composing the four dedup stages, d33 split,
-    *    d23 packing, and the census: one pass of hash-joins over the
-    *    final snapshots. Deferring these is not a shortcut, it is the
-    *    semantics: each stage's KILL SET is defined over the previous
-    *    stage's survivors, and a doc's survivor status can change as
-    *    later arrivals land (a smaller-id exact-twin arriving late
-    *    re-kills differently), so flags can only be composed once
-    *    arrivals stop. The pair logs make that composition cheap.
+    *    d27+d14 quality/junk, frozen-LM d34 scoring) plus CANDIDATE
+    *    DISCOVERY for the two pairwise dedup stages, the part that is
+    *    quadratic-shaped and therefore the part worth streaming: LSH
+    *    band-bucket collisions (d13) and same-bin membership (d36). Each
+    *    batch pairs itself against (touched state ∪ itself) —
+    *    batch×state + batch², NEVER state²: prior-prior pairs were
+    *    discovered by the batch that completed the pair and are already
+    *    in the pair log. State rows are NARROW (ids + pairing keys only;
+    *    shingle arrays and embeddings never enter state — carrying them
+    *    made every prior read ∝ corpus in heavy bytes, the r15 measured
+    *    pathology), partition-keyed (band-hash / bin / gram-hash) with
+    *    bucket counts FROZEN AT CORPUS START ∝ expected state size
+    *    ([[stateBuckets]], the semK discipline), so a batch opens only
+    *    the state files its own keys touch — the manifest path encodes
+    *    the key and the touched/carried split is a string match (st18's
+    *    discipline) — and the touched-file volume is ∝ the batch's key
+    *    count, never ∝ corpus. The opened rows are then further pruned to
+    *    the batch's exact key set by a broadcast semi-join (the d37/
+    *    HashCensus probe shape), so the pair join's prior side is the
+    *    matched keys alone. Decontamination (d25) keeps NO pair state at
+    *    all — it is a membership test, not a pairwise relation, and
+    *    logging (train, eval) gram matches multiplies every leaked gram
+    *    by the eval docs holding it (measured 110M pair rows from a
+    *    2.7M-row census at x10); the batch commits only its gram-census
+    *    delta. All five state tables are APPEND-ONLY: a batch never
+    *    rewrites a prior file, so every commit is (new delta files) +
+    *    (full prior manifest carried by reference).
+    *  - **At corpus freeze, linear** — exact-dedup min-per-hash,
+    *    candidate VERIFICATION (exact Jaccard over shingles recomputed
+    *    from the source corpus, exact cosine over the source embeddings —
+    *    heavy bytes read once per corpus, ∝ candidates, instead of once
+    *    per batch), the decontamination leak census (semi-joins against
+    *    the eval-survivor gram set, no products), the anti-join cascade
+    *    composing the four dedup stages, d33 split, d23 packing, and the
+    *    census: one pass of hash-joins over the final snapshots.
+    *    Deferring these is not a shortcut, it is the semantics: each
+    *    stage's KILL SET is defined over the previous stage's survivors,
+    *    and a doc's survivor status can change as later arrivals land (a
+    *    smaller-id exact-twin arriving late re-kills differently), so
+    *    flags can only be composed once arrivals stop. The candidate
+    *    logs make that composition cheap.
     *
     * EXACTNESS of the restriction: every pairing key (band bucket, IMI/
     * flat bin, 5-gram hash) is a row-local function of one document, so
@@ -763,7 +786,10 @@ object CorpusPipeline {
     * rebuild, never a silent resume.
     */
   private[operators] def st19LayoutStamp(cfg: St19Config): String =
-    s"v1|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
+    // v2: narrow state schemas (lsh without shingle arrays, sem without
+    // embeddings/norms) — resuming v1 state would read columns the new
+    // layout never wrote
+    s"v2|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
 
   private[operators] def st19RunStream(spark: SparkSession, cfg: St19Config,
       arrivalDir: String): Unit = {
@@ -799,15 +825,18 @@ object CorpusPipeline {
     val gramsPath = cfg.gramsPath
     val pairsPath = cfg.pairsPath
 
-    val normOf = (c: Column) => sqrt(aggregate(c, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val dotAB = aggregate(
-      zip_with(col("emb_a"), col("emb_b"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // per-batch shuffle width: 8 is right at gate scale (micro-batches of
+    // a few hundred rows — task overhead dominates), but the per-batch
+    // LM-bigram join is a real shuffle at larger corpora and starves at 8
+    // (measured: ~30 s/batch at x10 on 32 cores). Scale with the frozen
+    // per-batch volume (corpus/4 arrivals), capped at the local core
+    // budget; frozen stats keep it deterministic per corpus.
+    val shufN = {
+      val (nQual, _) = st19StateStats(cfg.modelDir)
+      math.max(8, math.min(32, (nQual / 2000L).toInt))
+    }
+    ss.conf.set("spark.sql.shuffle.partitions", shufN.toString)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -826,9 +855,15 @@ object CorpusPipeline {
 
         // row-local scrub + filters, then frozen-LM fluency scoring: the
         // per-batch half of stages R/F/F2 (model frozen => per-doc
-        // decisions identical to x1's in-chain training)
+        // decisions identical to x1's in-chain training). The batch is
+        // one arrival FILE — a single input split, which would run the
+        // scrub (the regex-heavy, ~ms/doc stage) on one core; repartition
+        // first so it uses the session's full width (measured: 22 s → 2 s
+        // per batch at x10 on 32 cores). Round-robin is safe: everything
+        // downstream is set-based.
         val bq = scrubbedQualityDocs(
-          batch.select(col("doc_id"), col("text"), col("source")))
+          batch.select(col("doc_id"), col("text"), col("source"))
+            .repartition(shufN))
         val uniM = bs.read.parquet(s"file:$modelDir/uni")
         val bigM = bs.read.parquet(s"file:$modelDir/big")
         val vocabM = bs.range(1).select(lit(vocabV).as("v"))
@@ -844,23 +879,33 @@ object CorpusPipeline {
         SnapshotLog.commit(bs, docsPath, docsDelta, manifestOf(bs, docsPath),
           commitKey = key)
 
-        // (b) LSH index entries + incremental pair discovery: batch bands
-        // against the prior state pruned TWICE — touched band-hash
+        // (b) LSH index entries + incremental CANDIDATE discovery: batch
+        // bands against the prior state pruned TWICE — touched band-hash
         // partitions at the FILE level (bucket count frozen ∝ corpus, so
         // touched buckets ∝ the batch's own keys), then a broadcast
         // semi-join on the batch's bkey set at the ROW level (the
         // d37/HashCensus probe discipline) so the pair join's prior side
         // holds exactly the matched keys. Exact: a prior row whose bkey no
         // batch row shares cannot complete any (band_idx, bkey) pair, and
-        // prior×prior pairs are excluded by construction. Then exact d13
-        // Jaccard verification, >=0.5 survivors into the pair log.
+        // prior×prior pairs are excluded by construction.
+        //
+        // State rows are NARROW — (doc_id, band_idx, bkey), three longs.
+        // Carrying the shingle ARRAYS here (the pre-r15 shape) made every
+        // prior read ∝ corpus in heavy bytes regardless of key pruning
+        // (a parquet scan decodes whole column chunks before any join
+        // drops rows — measured: the per-batch pair phase grew
+        // 6→18→36→61 s over 4 batches at x10). The exact-Jaccard
+        // verification that needed them is DEFERRED to corpus freeze
+        // ([[st19Freeze]]), where candidate endpoints' shingles are
+        // recomputed from the source corpus ONCE — identical pairs, same
+        // oracle; heavy bytes are read once per corpus, not once per
+        // batch.
         val sh = DedupQueries.shingleFrameFrom(
           bsurv.select(col("doc_id"), col("text"), col("t")))
         val entries = DedupQueries.minhashBandsFrom(sh)
           .select(col("doc_id"), posexplode(array(
             col("band0"), col("band1"), col("band2"), col("band3")))
             .as(Seq("band_idx", "bkey")))
-          .join(sh, "doc_id")
           .withColumn("pb",
             pmod(xxhash64(col("bkey")), lit(pbN.toLong)).cast("int"))
           .localCheckpoint(true)
@@ -872,7 +917,7 @@ object CorpusPipeline {
         val lshPrior =
           if (lshPriorFiles.isEmpty) entries.filter(lit(false))
           else bs.read.parquet(lshPriorFiles: _*)
-            .select(col("doc_id"), col("band_idx"), col("bkey"), col("sh"),
+            .select(col("doc_id"), col("band_idx"), col("bkey"),
               col("pb").cast("int").as("pb"))
             .join(broadcast(entries.select("bkey").distinct()),
               Seq("bkey"), "left_semi")
@@ -880,17 +925,12 @@ object CorpusPipeline {
           .unionByName(entries.withColumn("src", lit(1)))
         val lshPairs = uL
           .select(col("band_idx"), col("bkey"), col("doc_id").as("id_a"),
-            col("sh").as("sh_a"), col("src").as("src_a"))
+            col("src").as("src_a"))
           .join(uL.select(col("band_idx"), col("bkey"),
-            col("doc_id").as("id_b"), col("sh").as("sh_b"),
-            col("src").as("src_b")), Seq("band_idx", "bkey"))
+            col("doc_id").as("id_b"), col("src").as("src_b")),
+            Seq("band_idx", "bkey"))
           .filter(col("id_a") < col("id_b") &&
             (col("src_a") + col("src_b") > 0))
-          .withColumn("jaccard",
-            (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-              size(array_union(col("sh_a"), col("sh_b"))))
-              .cast("decimal(10,6)").cast("double"))
-          .filter(col("jaccard") >= 0.5)
           .select(col("id_a"), col("id_b")).distinct()
           .select(lit("lsh").as("kind"), col("id_a"), col("id_b"),
             lit(0L).as("h"))
@@ -914,9 +954,13 @@ object CorpusPipeline {
           import bs.implicits._
           bookRows.map(_.toDF("centroid_id", "c"))
         }
+        // Narrow here too — (vec_id, bin): embeddings and norms never
+        // enter state, the same-bin COSINE verification defers to corpus
+        // freeze (candidates join the source embeddings table once; the
+        // pre-r15 state carried 64-float vectors per row and re-read them
+        // every batch).
         val asg = VectorQueries.semAssignBins(bemb, batchBooks, kSide)
-          .select(col("vec_id"), col("embedding"), col("bin"),
-            normOf(col("embedding")).as("nrm"))
+          .select(col("vec_id"), col("bin"))
           .withColumn("sb", pmod(col("bin"), lit(sbN.toLong)).cast("int"))
           .localCheckpoint(true)
         val semMf = manifestOf(bs, semPath)
@@ -927,36 +971,36 @@ object CorpusPipeline {
         val semPrior =
           if (semPriorFiles.isEmpty) asg.drop("sb").filter(lit(false))
           else bs.read.parquet(semPriorFiles: _*)
-            .select(col("vec_id"), col("embedding"),
-              col("bin").cast("int").as("bin"), col("nrm"))
+            .select(col("vec_id"), col("bin").cast("int").as("bin"))
             .join(broadcast(asg.select("bin").distinct()),
               Seq("bin"), "left_semi")
         val uS = semPrior.withColumn("src", lit(0))
           .unionByName(asg.drop("sb").withColumn("src", lit(1)))
         val semPairs = uS
           .select(col("bin"), col("vec_id").as("id_a"),
-            col("embedding").as("emb_a"), col("nrm").as("nrm_a"),
             col("src").as("src_a"))
           .join(uS.select(col("bin"), col("vec_id").as("id_b"),
-            col("embedding").as("emb_b"), col("nrm").as("nrm_b"),
             col("src").as("src_b")), "bin")
           .filter(col("id_a") < col("id_b") &&
             (col("src_a") + col("src_b") > 0))
-          .withColumn("sim_dec",
-            (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
-          .filter(col("sim_dec") >= 0.25)
           .select(col("id_a"), col("id_b")).distinct()
           .select(lit("sem").as("kind"), col("id_a"), col("id_b"),
             lit(0L).as("h"))
         SnapshotLog.commit(bs, semPath, asg, semMf,
           commitKey = key, partitionBy = Some("sb"))
 
-        // (d) 5-gram state + incremental eval-overlap matches: incoming
-        // train grams probe stored eval grams and vice versa, on the
-        // gram-hash key. Prior state pruned like the LSH read: touched
-        // gram-hash buckets at the file level (bucket count frozen ∝
-        // corpus gram rows), then a broadcast semi-join on the batch's own
-        // hash set — a prior gram no batch gram shares can't match.
+        // (d) 5-gram CENSUS state — one row per distinct (doc, gram-hash)
+        // of this batch's survivors, gram-hash-bucketed for maintenance
+        // and for the freeze's pruned read. NO per-batch pair discovery
+        // here: decontamination is not a pairwise relation but a
+        // membership test ("does this train doc share ≥3 distinct grams
+        // with the surviving eval set"), so materializing (train, eval)
+        // gram MATCH pairs multiplies every leaked gram by |eval docs
+        // holding it| — measured 110M pair rows at x10 from a 2.7M-row
+        // census, the join-output explosion that dominated both the
+        // per-batch pair phase and the freeze. The freeze computes the
+        // leak census directly from this state with semi-joins
+        // (intermediates ∝ matched gram rows, never products).
         val g = bsurv
           .select(col("doc_id"), explode(gram5(col("t"))).as("g"))
           .select(col("doc_id"), h60(col("g")).as("h"))
@@ -964,34 +1008,13 @@ object CorpusPipeline {
           .withColumn("gb", pmod(col("h"), lit(gbN.toLong)).cast("int"))
           .localCheckpoint(true)
         val gramsMf = manifestOf(bs, gramsPath)
-        val touchedGb = g.select(col("gb")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val gramsPriorFiles = touchedPrior(gramsMf,
-          touchedGb.map(b => s"/_gb=$b/"))
-        val gramsPrior =
-          if (gramsPriorFiles.isEmpty) g.filter(lit(false))
-          else bs.read.parquet(gramsPriorFiles: _*)
-            .select(col("doc_id"), col("h"), col("gb").cast("int").as("gb"))
-            .join(broadcast(g.select("h").distinct()), Seq("h"), "left_semi")
-        val uG = gramsPrior.withColumn("src", lit(0))
-          .unionByName(g.withColumn("src", lit(1)))
-        val deconPairs = uG
-          .filter(pmod(col("doc_id"), lit(40L)) =!= 0)
-          .select(col("h"), col("doc_id").as("id_a"), col("src").as("src_a"))
-          .join(uG.filter(pmod(col("doc_id"), lit(40L)) === 0)
-            .select(col("h"), col("doc_id").as("id_b"),
-              col("src").as("src_b")), "h")
-          .filter(col("src_a") + col("src_b") > 0)
-          .select(lit("decon").as("kind"), col("id_a"), col("id_b"), col("h"))
-          .distinct()
         SnapshotLog.commit(bs, gramsPath, g, gramsMf,
           commitKey = key, partitionBy = Some("gb"))
 
-        // (e) the pair LOG — one append of everything this batch
-        // discovered, kind-partitioned so the freeze-time composition
+        // (e) the pair LOG — one append of the batch's LSH/semantic
+        // candidates, kind-partitioned so the freeze-time composition
         // prunes to one kind per read
         val pairsDelta = lshPairs.unionByName(semPairs)
-          .unionByName(deconPairs)
         SnapshotLog.commit(bs, pairsPath, pairsDelta, manifestOf(bs, pairsPath),
           commitKey = key, partitionBy = Some("kind"))
         // all five state commits are durable now; the batch's checkpointed
@@ -1026,12 +1049,14 @@ object CorpusPipeline {
       .getOrElse(sys.error("st19: no docs state committed"))
     val vPairs = SnapshotLog.latestVersion(spark, pairsPath)
       .getOrElse(sys.error("st19: no pair state committed"))
+    val vGrams = SnapshotLog.latestVersion(spark, cfg.gramsPath)
+      .getOrElse(sys.error("st19: no gram state committed"))
     // the lockstep check holds while only the stream commits (one keyed
     // commit per table per batch); maintenance legitimately de-locksteps
     // versions (compaction bumps, retention drops), so its re-freeze
     // passes checkTorn = false
-    if (checkTorn) require(vDocs == vPairs,
-      s"st19: torn state — docs v$vDocs vs pairs v$vPairs")
+    if (checkTorn) require(vDocs == vPairs && vDocs == vGrams,
+      s"st19: torn state — docs v$vDocs vs pairs v$vPairs vs grams v$vGrams")
     val docsS = SnapshotLog.read(spark, docsPath, vDocs)
     val pairManifest = SnapshotLog.manifest(spark, pairsPath, vPairs)
     val pairsS =
@@ -1054,19 +1079,96 @@ object CorpusPipeline {
         .join(surv.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
         .join(surv.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
 
+    // Stage frames are lineage-CUT (x1's localCheckpoint discipline): the
+    // shingle recompute feeds TWO join branches and every survivor frame
+    // feeds the next stage AND a candidate filter — uncut, each consumer
+    // re-runs the whole upstream cascade (measured: an uncut freeze
+    // re-paid the corpus scrub per branch, 245 s vs ~40 s at x10). All
+    // cut frames are freed before the tiny census frame returns.
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def cut(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(true); cuts += c; c
+    }
+
     val exactKeep = docsS
       .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val surv1 = docsS.join(exactKeep, Seq("doc_id"), "left_semi")
-    val lshLosers = bothIn(pairsS.filter(col("kind") === "lsh"), surv1)
+    val surv1 = cut(docsS.join(exactKeep, Seq("doc_id"), "left_semi"))
+
+    // The pair log holds band-collision CANDIDATES (the per-batch state is
+    // narrow — see st19RunStream (b)); the exact-Jaccard verification runs
+    // HERE, once per corpus: candidate endpoints' shingles are recomputed
+    // from the source corpus through the same scrub+tokenize+shingle chain
+    // the batches ran (all deterministic functions of the text, so the
+    // arrays are identical) and only candidate pairs pay the array
+    // intersect/union. Heavy bytes: one corpus scan at freeze, ∝ corpus —
+    // not ∝ batches × corpus as when state carried the arrays.
+    val lshCand = cut(bothIn(pairsS.filter(col("kind") === "lsh"), surv1)
+      .select("id_a", "id_b").distinct())
+    val candEnds = lshCand.select(col("id_a").as("doc_id"))
+      .unionByName(lshCand.select(col("id_b").as("doc_id"))).distinct()
+    val candSh = cut(DedupQueries.shingleFrameFrom(
+      scrubbedQualityDocs(
+        table(spark, cfg.sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .join(candEnds, Seq("doc_id"), "left_semi")
+          // the source table can be a handful of input splits — spread
+          // the regex-heavy scrub across the session's full width
+          .repartition(spark.sessionState.conf.numShufflePartitions))
+        .select(col("doc_id"), col("text"), col("t"))))
+    val lshLosers = lshCand
+      .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(candSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("jaccard",
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+          .cast("decimal(10,6)").cast("double"))
+      .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-    val surv2 = surv1.join(lshLosers, Seq("doc_id"), "left_anti")
-    val semLosers = bothIn(pairsS.filter(col("kind") === "sem"), surv2)
+    val surv2 = cut(surv1.join(lshLosers, Seq("doc_id"), "left_anti"))
+
+    // Same deferral for the semantic stage: candidates are same-bin pairs
+    // (bins from the frozen codebooks); the cosine verify joins the SOURCE
+    // embeddings table once — vectors never lived in state
+    val semCand = bothIn(pairsS.filter(col("kind") === "sem"), surv2)
+      .select("id_a", "id_b").distinct()
+    val nrmE = (c: Column) => sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val candEmb = table(spark, cfg.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        nrmE(col("embedding")).as("nrm"))
+    val dotAB = aggregate(
+      zip_with(col("emb_a"), col("emb_b"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val semLosers = semCand
+      .join(candEmb.select(col("vec_id").as("id_a"),
+        col("embedding").as("emb_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(candEmb.select(col("vec_id").as("id_b"),
+        col("embedding").as("emb_b"), col("nrm").as("nrm_b")), "id_b")
+      .withColumn("sim_dec",
+        (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
+      .filter(col("sim_dec") >= 0.25)
       .select(col("id_b").as("doc_id")).distinct()
-    val surv3 = surv2.join(semLosers, Seq("doc_id"), "left_anti")
-    val contaminated = bothIn(pairsS.filter(col("kind") === "decon"), surv3)
-      .select(col("id_a"), col("h")).distinct()
-      .groupBy(col("id_a").as("doc_id"))
+    val surv3 = cut(surv2.join(semLosers, Seq("doc_id"), "left_anti"))
+    // Decontamination from the gram CENSUS state, not a pair log: leaked
+    // gram hashes = eval-survivor grams (a distinct SET), each surviving
+    // train doc counts its distinct grams in that set — all semi-joins, so
+    // no intermediate ever holds |train × eval| products (x1's own evalSh
+    // broadcast shape, over the streamed census instead of the in-chain
+    // frame)
+    val gramsS = spark.read
+      .parquet(SnapshotLog.manifest(spark, cfg.gramsPath, vGrams): _*)
+      .select(col("doc_id"), col("h"))
+    val evalH = gramsS.filter(pmod(col("doc_id"), lit(40L)) === 0)
+      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("h").distinct()
+    val contaminated = gramsS.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
+      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(broadcast(evalH), Seq("h"), "left_semi")
+      .groupBy("doc_id")
       .agg(count(lit(1)).as("leaked"))
       .filter(col("leaked") >= 3)
       .select("doc_id")
@@ -1075,9 +1177,15 @@ object CorpusPipeline {
       .join(contaminated, Seq("doc_id"), "left_anti")
 
     val b = pmod(col("h60"), lit(100L))
-    packCensus(surv4.withColumn("split",
+    // materialize the (tiny) census eagerly so every cut frame above can
+    // be freed before returning — callers get a 3-row checkpointed frame,
+    // not a plan over freed blocks
+    val census = packCensus(surv4.withColumn("split",
         when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
       .withColumn("n_commits", lit(vDocs))
+      .localCheckpoint(true)
+    cuts.foreach(freeCut)
+    census
   }
 
   /** State-table MAINTENANCE for a recurring st19 stream (the missing
