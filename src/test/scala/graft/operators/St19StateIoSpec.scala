@@ -130,5 +130,23 @@ class St19StateIoSpec extends SparkSpec {
     assert(new String(java.nio.file.Files.readAllBytes(stampFile.toPath),
       "UTF-8") == CorpusPipeline.st19LayoutStamp(cfg),
       "the run did not stamp its layout")
+
+    // NARROW-STATE pin (the r15 second-pass fix): verification payloads —
+    // shingle ARRAYS in the LSH state, embedding VECTORS in the sem
+    // state — must never re-enter streaming state. A parquet scan decodes
+    // whole column chunks before any join prunes rows, so a payload
+    // column silently makes every batch's prior read ∝ corpus in heavy
+    // bytes again (measured: per-batch pair time grew 6→18→36→61 s at
+    // x10 with payloads vs flat ~1.5 s without).
+    def schemaOf(t: String) = spark.read
+      .parquet(CorpusPipeline.manifestOf(spark, s"file:$stateRoot/$t"): _*)
+      .schema
+    Seq("lsh", "sem", "grams", "pairs", "docs").foreach { t =>
+      val arrays = schemaOf(t).fields.filter(
+        _.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+      assert(arrays.isEmpty,
+        s"st19 '$t' state carries payload array columns: " +
+          arrays.map(_.name).mkString(", "))
+    }
   }
 }
