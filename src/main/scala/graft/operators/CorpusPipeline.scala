@@ -932,8 +932,7 @@ object CorpusPipeline {
           .filter(col("id_a") < col("id_b") &&
             (col("src_a") + col("src_b") > 0))
           .select(col("id_a"), col("id_b")).distinct()
-          .select(lit("lsh").as("kind"), col("id_a"), col("id_b"),
-            lit(0L).as("h"))
+          .select(lit("lsh").as("kind"), col("id_a"), col("id_b"))
         SnapshotLog.commit(bs, lshPath, entries, lshMf,
           commitKey = key, partitionBy = Some("pb"))
 
@@ -984,8 +983,7 @@ object CorpusPipeline {
           .filter(col("id_a") < col("id_b") &&
             (col("src_a") + col("src_b") > 0))
           .select(col("id_a"), col("id_b")).distinct()
-          .select(lit("sem").as("kind"), col("id_a"), col("id_b"),
-            lit(0L).as("h"))
+          .select(lit("sem").as("kind"), col("id_a"), col("id_b"))
         SnapshotLog.commit(bs, semPath, asg, semMf,
           commitKey = key, partitionBy = Some("sb"))
 
@@ -1069,8 +1067,6 @@ object CorpusPipeline {
             org.apache.spark.sql.types.StructField("id_a",
               org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("id_b",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("h",
               org.apache.spark.sql.types.LongType))))
       else spark.read.parquet(pairManifest: _*)
 
@@ -1131,14 +1127,21 @@ object CorpusPipeline {
 
     // Same deferral for the semantic stage: candidates are same-bin pairs
     // (bins from the frozen codebooks); the cosine verify joins the SOURCE
-    // embeddings table once — vectors never lived in state
-    val semCand = bothIn(pairsS.filter(col("kind") === "sem"), surv2)
-      .select("id_a", "id_b").distinct()
+    // embeddings table once — vectors never lived in state. The fetch is
+    // semi-restricted to candidate ENDPOINTS before norms are computed and
+    // then cut, so the table is scanned once and norm'd only for the ids
+    // the verify will touch (the candSh discipline).
+    val semCand = cut(bothIn(pairsS.filter(col("kind") === "sem"), surv2)
+      .select("id_a", "id_b").distinct())
+    val semEnds = semCand.select(col("id_a").as("vec_id"))
+      .unionByName(semCand.select(col("id_b").as("vec_id"))).distinct()
     val nrmE = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val candEmb = table(spark, cfg.sfDir, "embeddings")
+    val candEmb = cut(table(spark, cfg.sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .join(semEnds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"),
-        nrmE(col("embedding")).as("nrm"))
+        nrmE(col("embedding")).as("nrm")))
     val dotAB = aggregate(
       zip_with(col("emb_a"), col("emb_b"),
         (x, y) => x.cast("double") * y.cast("double")),
@@ -1158,15 +1161,15 @@ object CorpusPipeline {
     // train doc counts its distinct grams in that set — all semi-joins, so
     // no intermediate ever holds |train × eval| products (x1's own evalSh
     // broadcast shape, over the streamed census instead of the in-chain
-    // frame)
-    val gramsS = spark.read
+    // frame). Pre-restricted to survivors and cut: the census — the
+    // largest state table — is scanned once, not once per branch.
+    val gramsS = cut(spark.read
       .parquet(SnapshotLog.manifest(spark, cfg.gramsPath, vGrams): _*)
       .select(col("doc_id"), col("h"))
+      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi"))
     val evalH = gramsS.filter(pmod(col("doc_id"), lit(40L)) === 0)
-      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi")
       .select("h").distinct()
     val contaminated = gramsS.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
-      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi")
       .join(broadcast(evalH), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("leaked"))
