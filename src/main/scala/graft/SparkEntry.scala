@@ -2642,8 +2642,8 @@ object SparkEntry {
        | SELECT min(doc_id) AS doc_id FROM surv0 GROUP BY md5(text)),
        |surv1 AS (
        | SELECT f.doc_id, f.text, f.source FROM surv0 f JOIN exact_keep k USING (doc_id)),
-       |${lshCandCtesFrom("surv1")},
-       |$lshPairsCte,
+       |${lshCandCtesFrom("surv1", stopSrc = Some("filt"))},
+       |${lshPairsCteFrom("bsh")},
        |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE jaccard >= 0.5),
        |surv2 AS (
        | SELECT s.doc_id, s.text, s.source FROM surv1 s
@@ -3183,24 +3183,45 @@ object SparkEntry {
   /** [[lshCandCtes]] over an arbitrary (doc_id, text) relation — x1 runs
     * the LSH chain on its filtered survivor corpus instead of `documents`.
     */
-  private def lshCandCtesFrom(src: String): String = {
+  private def lshCandCtesFrom(src: String,
+      stopSrc: Option[String] = None): String = {
     val sigExprs = graft.operators.DedupQueries.MinhashPerms.zipWithIndex.map {
       case ((a, b), i) =>
         s" list_min(list_transform(h, x -> ($a * (x % 1000000007) + $b) % 1000000007)) AS sig$i"
     }.mkString(",\n")
-    s"""base AS (
-       | SELECT doc_id,
-       |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
-       |   THEN list_distinct(list_transform(
-       |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
-       |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
-       |                                     i, i + 2), ' ')))
-       |   ELSE [text] END AS sh
-       | FROM $src),
-       |hs AS (
+    def shingleCte(name: String, from: String) =
+      s"""$name AS (
+         | SELECT doc_id,
+         |  CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3
+         |   THEN list_distinct(list_transform(
+         |     range(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+         |     i -> array_to_string(list_slice(string_split_regex(trim(text), '\\s+'),
+         |                                     i, i + 2), ' ')))
+         |   ELSE [text] END AS sh
+         | FROM $from)""".stripMargin
+    // stop-shingle variant (x1/st19's stage D2 — see
+    // CorpusPipeline.stopShingles): shingles in a majority of the
+    // quality survivors (`stopSrc`) are boilerplate; the near-dup stage
+    // operates on CONTENT shingles only, and a doc whose every shingle
+    // is stop drops out of banding and verification alike
+    val stopCtes = stopSrc.map { s =>
+      s"""${shingleCte("stopbase", s)},
+         |stopsh AS (
+         | SELECT sh_s FROM (SELECT doc_id, unnest(sh) AS sh_s FROM stopbase) u
+         | GROUP BY sh_s HAVING count(*) > (SELECT count(*) / 2.0 FROM $s)),
+         |bsh AS (
+         | SELECT doc_id, list(sh_s) AS sh
+         | FROM (SELECT doc_id, unnest(sh) AS sh_s FROM base) u
+         | WHERE sh_s NOT IN (SELECT sh_s FROM stopsh)
+         | GROUP BY doc_id),
+         |""".stripMargin
+    }.getOrElse("")
+    val hsFrom = if (stopSrc.isDefined) "bsh" else "base"
+    s"""${shingleCte("base", src)},
+       |${stopCtes}hs AS (
        | SELECT doc_id,
        |  list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS h
-       | FROM base),
+       | FROM $hsFrom),
        |sigs AS (
        | SELECT doc_id,
        |$sigExprs
@@ -3216,15 +3237,21 @@ object SparkEntry {
        |  ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
   }
 
-  /** The `pairs` CTE: exact Jaccard verification of `cand` (d13's output). */
-  private def lshPairsCte: String =
-    """pairs AS (
-      | SELECT id_a, id_b,
-      |  CAST(CAST(
-      |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
-      |    (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
-      |   AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
-      | FROM cand JOIN base a ON a.doc_id = id_a JOIN base b ON b.doc_id = id_b)""".stripMargin
+  /** The `pairs` CTE: exact Jaccard verification of `cand` (d13's
+    * output). `shBase` is the shingle-set CTE the verification reads —
+    * `base` (full sets) for the raw-text d-queries, `bsh` (content
+    * shingles, stop set excluded) for the x1/st19 chain.
+    */
+  private def lshPairsCteFrom(shBase: String): String =
+    s"""pairs AS (
+       | SELECT id_a, id_b,
+       |  CAST(CAST(
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+       |    (len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))))
+       |   AS DECIMAL(10,6)) AS DOUBLE) AS jaccard
+       | FROM cand JOIN $shBase a ON a.doc_id = id_a JOIN $shBase b ON b.doc_id = id_b)""".stripMargin
+
+  private def lshPairsCte: String = lshPairsCteFrom("base")
 
   private def d15OracleSql: String =
     s"""WITH $lshCandCtes,

@@ -142,6 +142,50 @@ object CorpusPipeline {
       .filter(logit > lit(-2.0) && triData <= triEn * lit(5L))
   }
 
+  /** STOP-SHINGLES: shingles present in a MAJORITY of the quality
+    * survivors — corpus-wide boilerplate with zero near-dup signal. The
+    * scrub itself manufactures the worst case: every redacted doc ends
+    * with the same `contact <EMAIL> call <PHONE> from <IP>` placeholder
+    * tail, so its 4 shingles have df = N. Left in, they poison BOTH
+    * halves of the LSH stage at scale: short docs' minhash minima are
+    * drawn from the shared tail, so they all collide into one band
+    * bucket whose candidate pairs grow ∝ corpus² (measured at x10: one
+    * 2,053-doc bucket → 2.1M of 2.2M candidates; at x100 the pair join
+    * sorted >70 GB and never finished), and the verification Jaccard of
+    * two UNRELATED short docs hits 0.5 from the tail alone (4 shared of
+    * 6+6 shingles), mass-removing distinct documents. Real corpora hit
+    * the identical pathology via boilerplate footers and redaction
+    * placeholders; the standard cure is a document-frequency cap on the
+    * shingle set. So: the near-dup stage operates on CONTENT shingles
+    * only — df > n/2 shingles are excluded from signatures and from the
+    * verification Jaccard alike, and a doc whose every shingle is stop
+    * simply doesn't participate (exact dedup owns pure boilerplate).
+    *
+    * Trained ONCE on the quality-survivor frame and frozen — the d34
+    * fluency-model discipline, so batch x1 and streaming st19 apply the
+    * same set. The collect is BOUNDED BY CONSTRUCTION: a df > n/2
+    * shingle consumes n/2 of the Σ|sh| ≈ n·avgShPerDoc total instances,
+    * so at most 2·avgShPerDoc (~hundreds) rows ever reach the driver.
+    */
+  private[operators] def stopShingles(filt: DataFrame): Array[String] = {
+    val n = filt.count()
+    DedupQueries.shingleFrameFrom(
+        filt.select(col("doc_id"), col("text"), col("t")))
+      .select(explode(col("sh")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") > lit(n / 2.0))
+      .select("s").collect().map(_.getString(0)).sorted
+  }
+
+  /** `sh` minus the stop set, dropping docs with no content shingle left
+    * — the frame BOTH the band build and the verification join consume.
+    */
+  private[operators] def contentShingles(sh: DataFrame,
+      stop: Seq[String]): DataFrame =
+    sh.withColumn("sh", array_except(col("sh"),
+        org.apache.spark.sql.functions.typedlit(stop)))
+      .filter(size(col("sh")) > 0)
+
   /** Per-doc consecutive token bigrams of a token-array frame (doc_id, t).
     */
   private def bigramPairs(filt: DataFrame): DataFrame =
@@ -396,9 +440,15 @@ object CorpusPipeline {
     // equals the full run restricted to surviving pairs; d15's drop-id_b
     // rule). Shingles derive from the shared token array.
     val sh1 = surv1.select(col("doc_id"), col("text"), col("t"))
-    // materialized: the shingle array feeds the band build AND both sides
-    // of the verification join (shingledDocs's discipline, scoped to x1)
-    val shingled = DedupQueries.shingleFrameFrom(sh1).localCheckpoint(true)
+    // trained artifact: the stop-shingle set (see [[stopShingles]]) —
+    // computed on the SAME quality-survivor frame the fluency model
+    // trains on, so st19 can freeze it at corpus start
+    val stop = stopShingles(filt)
+    // materialized: the CONTENT shingle array (stop set excluded) feeds
+    // the band build AND both sides of the verification join
+    // (shingledDocs's discipline, scoped to x1)
+    val shingled = contentShingles(
+      DedupQueries.shingleFrameFrom(sh1), stop).localCheckpoint(true)
     cuts += shingled
     val lshLosers = DedupQueries.lshVerifiedPairsFrom(shingled)
       .filter(col("jaccard") >= 0.5)
@@ -652,7 +702,8 @@ object CorpusPipeline {
       .getAbsoluteFile.toString
     val modelMarker = new java.io.File(modelDir, "._model_ok")
     // v2: the marker guards the state-sizing stats file too
-    val modelStamp = s"v2|$stamp"
+    // v3: + the frozen stop-shingle set
+    val modelStamp = s"v3|$stamp"
     val modelValid = modelMarker.isFile && new String(
       java.nio.file.Files.readAllBytes(modelMarker.toPath), "UTF-8") == modelStamp
     if (!modelValid) {
@@ -663,6 +714,11 @@ object CorpusPipeline {
       val (uniF, bigF, _) = fluencyModel(filtFull)
       uniF.write.mode("overwrite").parquet(s"file:$modelDir/uni")
       bigF.write.mode("overwrite").parquet(s"file:$modelDir/big")
+      // frozen stop-shingle set (see [[stopShingles]]) — trained on the
+      // same survivor frame as the LM; batches band CONTENT shingles only
+      import spark.implicits._
+      stopShingles(filtFull).toSeq.toDF("s")
+        .coalesce(1).write.mode("overwrite").parquet(s"file:$modelDir/stop")
       // state-sizing stats, frozen with the model: quality-survivor count
       // (an upper bound on every stage's survivors — the LSH state holds
       // 4 band entries per survivor) and the corpus's distinct 5-gram row
@@ -697,7 +753,8 @@ object CorpusPipeline {
     * cold-restart spec.
     */
   private[operators] case class St19Config(sfDir: String, splitDir: String,
-      modelDir: String, vocabV: Long, bookRows: Seq[Seq[(Int, Seq[Double])]],
+      modelDir: String, vocabV: Long, stopSh: Seq[String],
+      bookRows: Seq[Seq[(Int, Seq[Double])]],
       kSide: Int, stateRoot: String, ckptDir: String, pbN: Int, gbN: Int,
       sbN: Int) {
     def docsPath: String = s"file:$stateRoot/docs"
@@ -718,6 +775,9 @@ object CorpusPipeline {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + stateTag
     val (splitDir, modelDir) = st19FrozenFixtures(spark, sfDir)
     val vocabV: Long = spark.read.parquet(s"file:$modelDir/uni").count()
+    // frozen stop-shingle set — bounded rows (see [[stopShingles]])
+    val stopSh: Seq[String] = spark.read.parquet(s"file:$modelDir/stop")
+      .collect().map(_.getString(0)).toSeq.sorted
     // frozen state-bucket counts, scaled to expected state size (the semK
     // discipline — see stateBuckets): LSH state holds 4 band entries per
     // survivor, gram state one row per distinct (doc, 5-gram)
@@ -733,7 +793,7 @@ object CorpusPipeline {
     val (books, kSide) = VectorQueries.semBinning(spark, sfDir, 2, k)
     val bookRows = books.map(_.collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
-    St19Config(sfDir, splitDir, modelDir, vocabV, bookRows, kSide,
+    St19Config(sfDir, splitDir, modelDir, vocabV, stopSh, bookRows, kSide,
       new java.io.File(s"target/parity/x1s-state-$sfTag")
         .getAbsoluteFile.toString,
       new java.io.File(s"target/parity/x1s-ckpt-$sfTag")
@@ -789,7 +849,9 @@ object CorpusPipeline {
     // v2: narrow state schemas (lsh without shingle arrays, sem without
     // embeddings/norms) — resuming v1 state would read columns the new
     // layout never wrote
-    s"v2|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
+    // v3: band keys computed over CONTENT shingles (stop set excluded) —
+    // v2 state's bkeys came from a different signature function
+    s"v3|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
 
   private[operators] def st19RunStream(spark: SparkSession, cfg: St19Config,
       arrivalDir: String): Unit = {
@@ -812,6 +874,7 @@ object CorpusPipeline {
     }
     val modelDir = cfg.modelDir
     val vocabV = cfg.vocabV
+    val stopSh = cfg.stopSh
     val bookRows = cfg.bookRows
     val kSide = cfg.kSide
     val sfDir = cfg.sfDir
@@ -900,8 +963,10 @@ object CorpusPipeline {
         // recomputed from the source corpus ONCE — identical pairs, same
         // oracle; heavy bytes are read once per corpus, not once per
         // batch.
-        val sh = DedupQueries.shingleFrameFrom(
-          bsurv.select(col("doc_id"), col("text"), col("t")))
+        // CONTENT shingles only — the frozen stop set excluded, exactly
+        // as x1's stage D2 (a stop-heavy doc generates no band entries)
+        val sh = contentShingles(DedupQueries.shingleFrameFrom(
+          bsurv.select(col("doc_id"), col("text"), col("t"))), stopSh)
         val entries = DedupQueries.minhashBandsFrom(sh)
           .select(col("doc_id"), posexplode(array(
             col("band0"), col("band1"), col("band2"), col("band3")))
@@ -1103,7 +1168,7 @@ object CorpusPipeline {
       .select("id_a", "id_b").distinct())
     val candEnds = lshCand.select(col("id_a").as("doc_id"))
       .unionByName(lshCand.select(col("id_b").as("doc_id"))).distinct()
-    val candSh = cut(DedupQueries.shingleFrameFrom(
+    val candSh = cut(contentShingles(DedupQueries.shingleFrameFrom(
       scrubbedQualityDocs(
         table(spark, cfg.sfDir, "documents")
           .select(col("doc_id"), col("text"), col("source"))
@@ -1111,7 +1176,7 @@ object CorpusPipeline {
           // the source table can be a handful of input splits — spread
           // the regex-heavy scrub across the session's full width
           .repartition(spark.sessionState.conf.numShufflePartitions))
-        .select(col("doc_id"), col("text"), col("t"))))
+        .select(col("doc_id"), col("text"), col("t"))), cfg.stopSh))
     val lshLosers = lshCand
       .join(candSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
         "id_a")
