@@ -167,15 +167,22 @@ object CorpusPipeline {
     * shingle consumes n/2 of the Σ|sh| ≈ n·avgShPerDoc total instances,
     * so at most 2·avgShPerDoc (~hundreds) rows ever reach the driver.
     */
-  private[operators] def stopShingles(filt: DataFrame): Array[String] = {
-    val n = filt.count()
-    DedupQueries.shingleFrameFrom(
-        filt.select(col("doc_id"), col("text"), col("t")))
-      .select(explode(col("sh")).as("s"))
+  private[operators] def stopShingles(filt: DataFrame): Array[String] =
+    stopShinglesFrom(DedupQueries.shingleFrameFrom(
+      filt.select(col("doc_id"), col("text"), col("t"))), filt.count())
+
+  /** [[stopShingles]] over a PRE-BUILT (doc_id, sh) frame — x1 shingles
+    * its survivor corpus exactly once and derives BOTH the stop set and
+    * the banding input from the same materialized frame (shingling is the
+    * expensive half of the near-dup stage; training the df cap must not
+    * double it).
+    */
+  private[operators] def stopShinglesFrom(sh: DataFrame,
+      n: Long): Array[String] =
+    sh.select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > lit(n / 2.0))
       .select("s").collect().map(_.getString(0)).sorted
-  }
 
   /** `sh` minus the stop set, dropping docs with no content shingle left
     * — the frame BOTH the band build and the verification join consume.
@@ -439,16 +446,22 @@ object CorpusPipeline {
     // over the SURVIVOR corpus — shingling is row-local, so the subset run
     // equals the full run restricted to surviving pairs; d15's drop-id_b
     // rule). Shingles derive from the shared token array.
-    val sh1 = surv1.select(col("doc_id"), col("text"), col("t"))
+    // materialized: the quality survivors shingled ONCE — the stop-set
+    // training and the banding input both read this frame (shingledDocs's
+    // discipline, scoped to x1); surv1 ⊆ filt and shingling is row-local,
+    // so restricting the filt-wide frame equals shingling surv1 directly
+    val shFull = DedupQueries.shingleFrameFrom(
+      filt.select(col("doc_id"), col("text"), col("t"))).localCheckpoint(true)
+    cuts += shFull
     // trained artifact: the stop-shingle set (see [[stopShingles]]) —
     // computed on the SAME quality-survivor frame the fluency model
     // trains on, so st19 can freeze it at corpus start
-    val stop = stopShingles(filt)
-    // materialized: the CONTENT shingle array (stop set excluded) feeds
-    // the band build AND both sides of the verification join
-    // (shingledDocs's discipline, scoped to x1)
+    val stop = stopShinglesFrom(shFull, filt.count())
+    // the CONTENT shingle array (stop set excluded) feeds the band build
+    // AND both sides of the verification join
     val shingled = contentShingles(
-      DedupQueries.shingleFrameFrom(sh1), stop).localCheckpoint(true)
+      shFull.join(surv1.select("doc_id"), Seq("doc_id"), "left_semi"), stop)
+      .localCheckpoint(true)
     cuts += shingled
     val lshLosers = DedupQueries.lshVerifiedPairsFrom(shingled)
       .filter(col("jaccard") >= 0.5)
