@@ -167,9 +167,16 @@ object CorpusPipeline {
     * shingle consumes n/2 of the Σ|sh| ≈ n·avgShPerDoc total instances,
     * so at most 2·avgShPerDoc (~hundreds) rows ever reach the driver.
     */
-  private[operators] def stopShingles(filt: DataFrame): Array[String] =
+  private[operators] def stopShingles(filt: DataFrame): Array[String] = {
+    // df over ONE representative per DISTINCT text — a verbatim-duplicated
+    // text must not vote its own content shingles into the stop set (its
+    // copies belong to exact dedup; its near-variants must stay bandable)
+    val keep = filt.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     stopShinglesFrom(DedupQueries.shingleFrameFrom(
-      filt.select(col("doc_id"), col("text"), col("t"))), filt.count())
+        filt.select(col("doc_id"), col("text"), col("t")))
+      .join(keep, Seq("doc_id"), "left_semi"), keep.count())
+  }
 
   /** [[stopShingles]] over a PRE-BUILT (doc_id, sh) frame — x1 shingles
     * its survivor corpus exactly once and derives BOTH the stop set and
@@ -455,8 +462,16 @@ object CorpusPipeline {
     cuts += shFull
     // trained artifact: the stop-shingle set (see [[stopShingles]]) —
     // computed on the SAME quality-survivor frame the fluency model
-    // trains on, so st19 can freeze it at corpus start
-    val stop = stopShinglesFrom(shFull, filt.count())
+    // trains on, so st19 can freeze it at corpus start. df counts ONE
+    // representative per DISTINCT text: a text verbatim-duplicated across
+    // >n/2 docs must not vote its own content shingles into the stop set
+    // (exact dedup owns the copies; their near-dup VARIANTS must stay
+    // bandable — left uncapped, a majority-duplicated template blinds the
+    // LSH stage to every variant of itself)
+    val stopKeep = filt.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val stop = stopShinglesFrom(
+      shFull.join(stopKeep, Seq("doc_id"), "left_semi"), stopKeep.count())
     // the CONTENT shingle array (stop set excluded) feeds the band build
     // AND both sides of the verification join
     val shingled = contentShingles(
@@ -716,7 +731,8 @@ object CorpusPipeline {
     val modelMarker = new java.io.File(modelDir, "._model_ok")
     // v2: the marker guards the state-sizing stats file too
     // v3: + the frozen stop-shingle set
-    val modelStamp = s"v3|$stamp"
+    // v4: stop df trained on DISTINCT texts (one vote per text)
+    val modelStamp = s"v4|$stamp"
     val modelValid = modelMarker.isFile && new String(
       java.nio.file.Files.readAllBytes(modelMarker.toPath), "UTF-8") == modelStamp
     if (!modelValid) {
@@ -728,7 +744,8 @@ object CorpusPipeline {
       uniF.write.mode("overwrite").parquet(s"file:$modelDir/uni")
       bigF.write.mode("overwrite").parquet(s"file:$modelDir/big")
       // frozen stop-shingle set (see [[stopShingles]]) — trained on the
-      // same survivor frame as the LM; batches band CONTENT shingles only
+      // same survivor frame as the LM (df over distinct texts); batches
+      // band CONTENT shingles only
       import spark.implicits._
       stopShingles(filtFull).toSeq.toDF("s")
         .coalesce(1).write.mode("overwrite").parquet(s"file:$modelDir/stop")
@@ -863,8 +880,21 @@ object CorpusPipeline {
     // embeddings/norms) — resuming v1 state would read columns the new
     // layout never wrote
     // v3: band keys computed over CONTENT shingles (stop set excluded) —
-    // v2 state's bkeys came from a different signature function
-    s"v3|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}"
+    // v2 state's bkeys came from a different signature function. The
+    // stamp binds the stop set's CONTENT (not just the schema version):
+    // persisted lsh-state bkeys are a function of the frozen stop set, so
+    // a retrained model (corpus regenerated → new stop set) must refuse
+    // to resume against state banded under the old one — bucket counts
+    // alone can collide across retrains (both floor at 16 on small state).
+    s"v3|pb=${cfg.pbN}|gb=${cfg.gbN}|sb=${cfg.sbN}|stop=${stopSetHash(cfg.stopSh)}"
+
+  /** Stable 16-hex digest of a frozen stop-shingle set (order-insensitive:
+    * the set is persisted and reloaded sorted).
+    */
+  private[operators] def stopSetHash(stop: Seq[String]): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(stop.sorted.mkString("\u0000").getBytes("UTF-8"))
+      .take(8).map("%02x".format(_)).mkString
 
   private[operators] def st19RunStream(spark: SparkSession, cfg: St19Config,
       arrivalDir: String): Unit = {
