@@ -57,8 +57,21 @@ object Bench {
     * whole run sits on a degraded host even if it clears the absolute
     * ceiling (r13: fresh 0.542 vs anchor 0.358 = 1.51x, recorded totals
     * ~2.2x steady across untouched queries — degraded, not borderline).
+    * Tightened 1.25 → 1.15 after r15 self-certified at fresh = 1.237x
+    * anchor — a hair under the old trigger — while syscall-shaped rows
+    * recorded ~1.3-1.4x inflation with zero code change in their paths: a
+    * threshold that passes 1.24x inflation certifies a 25%-padded total.
     */
-  private val DegradedFactor = 1.25
+  private val DegradedFactor = 1.15
+
+  /** When the start-of-run canary sits above DegradedFactor x anchor, the
+    * bench WAITS for a healthy window instead of certifying a padded run:
+    * up to this many re-probe rounds, sleeping between them (the flap is
+    * transient — r8/r13 logs show multi-minute episodes, not multi-hour).
+    * If the host never recovers, the run proceeds stamped host_degraded.
+    */
+  private val HealthyWaitRounds = 10
+  private val HealthyWaitSleepMs = 30000L
 
   /** Best canary norm ever observed on this host, persisted across runs so a
     * run that starts mid-flap still compares its probes against the healthy
@@ -124,15 +137,22 @@ object Bench {
     graft.operators.TextQueries.d39BpeTokenize(spark, sfDir)
     // st19's frozen corpus-start fixtures (arrival split + fluency LM) are
     // the same class of train-once artifact; cold, their one-time build
-    // bills ~15 s of model training against the recurring-pipeline run
-    graft.operators.CorpusPipeline.st19FrozenFixtures(spark, sfDir)
+    // bills ~15 s of model training against the recurring-pipeline run.
+    // `st19Warm` records whether the markers were ALREADY valid — a model
+    // stamp bump (v3→v4 in r15) rebuilds here in the untimed warm step,
+    // and the flag makes that visible in the emitted JSON so a reader can
+    // attribute a one-round x1/st19 blip to the retrain, not the engine.
+    val st19Warm =
+      graft.operators.CorpusPipeline.st19FrozenFixtures(spark, sfDir)._3
+    System.err.println(s"[bench] st19/x1 frozen model was " +
+      (if (st19Warm) "already warm" else "REBUILT in the warm step"))
 
     // Warm the canary's own path first (parquet committer + JIT): the r10
     // shakedown measured an unwarmed first-canary min of 2.76s on a host
     // whose warmed steady was ~0.6s — a JIT artifact, not host state, and
     // it would poison the persisted anchor.
     canary(spark)
-    val freshNorm = (1 to 3).map(_ => canary(spark)).min
+    var freshNorm = (1 to 3).map(_ => canary(spark)).min
     // Anchor against the best norm ever seen on this host: a run that starts
     // during a SUSTAINED flap would otherwise adopt the degraded number as
     // "normal" and no probe could ever trip (round-9 failure mode). The
@@ -140,6 +160,19 @@ object Bench {
     // wipe can ever reset the detector to a degraded baseline (r13 mode).
     val recordedAnchor =
       math.min(HistoricalAnchor, readBestNorm().getOrElse(Double.MaxValue))
+    // Degraded at start → WAIT for a healthy window before timing anything
+    // (r15 lesson: a run that starts 1.24x inflated certifies a ~25%-padded
+    // total; five minutes of waiting is cheaper than a wasted round).
+    var healthyWaits = 0
+    while (freshNorm > DegradedFactor * recordedAnchor &&
+        healthyWaits < HealthyWaitRounds) {
+      healthyWaits += 1
+      System.err.println(f"[bench] start-of-run canary ${freshNorm}%.3fs > " +
+        f"$DegradedFactor x anchor ${recordedAnchor}%.3fs — waiting for a " +
+        f"healthy window ($healthyWaits/$HealthyWaitRounds)")
+      Thread.sleep(HealthyWaitSleepMs)
+      freshNorm = math.min(freshNorm, (1 to 2).map(_ => canary(spark)).min)
+    }
     val norm = math.min(recordedAnchor, freshNorm)
     writeBestNorm(norm)
     // Degradation is judged against the RECORDED anchor (never against the
@@ -262,6 +295,7 @@ object Bench {
       f""""canary_norm":$norm%.3f,"canary_fresh":$freshNorm%.3f,""" +
       f""""canary_anchor":$recordedAnchor%.3f,""" +
       f""""canary_worst":$worstProbe%.3f,""" +
+      s""""healthy_waits":$healthyWaits,"x1_model_warm":$st19Warm,""" +
       s""""flap_retries":$flapRetries,"flap_residual":$residualFlap,""" +
       s""""host_degraded":$hostDegraded,"failed":$failedJson"""
     val json =

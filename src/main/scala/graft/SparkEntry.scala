@@ -3203,12 +3203,21 @@ object SparkEntry {
     // CorpusPipeline.stopShingles): shingles in a majority of the
     // quality survivors (`stopSrc`) are boilerplate; the near-dup stage
     // operates on CONTENT shingles only, and a doc whose every shingle
-    // is stop drops out of banding and verification alike
+    // is stop drops out of banding and verification alike. df counts ONE
+    // representative per DISTINCT text (min doc_id per md5(text)) with
+    // the representative count as the denominator — the engine's v4 rule
+    // (CorpusPipeline.stopShingles): a text verbatim-duplicated into a
+    // near-majority of survivors must not vote its own content shingles
+    // into the stop set (exact dedup owns the copies; their near-dup
+    // variants must stay bandable).
     val stopCtes = stopSrc.map { s =>
-      s"""${shingleCte("stopbase", s)},
+      s"""stopkeep AS (
+         | SELECT min(doc_id) AS doc_id FROM $s GROUP BY md5(text)),
+         |${shingleCte("stopbase",
+             s"(SELECT f.doc_id, f.text FROM $s f JOIN stopkeep k USING (doc_id)) srep")},
          |stopsh AS (
          | SELECT sh_s FROM (SELECT doc_id, unnest(sh) AS sh_s FROM stopbase) u
-         | GROUP BY sh_s HAVING count(*) > (SELECT count(*) / 2.0 FROM $s)),
+         | GROUP BY sh_s HAVING count(*) > (SELECT count(*) / 2.0 FROM stopkeep)),
          |bsh AS (
          | SELECT doc_id, list(sh_s) AS sh
          | FROM (SELECT doc_id, unnest(sh) AS sh_s FROM base) u

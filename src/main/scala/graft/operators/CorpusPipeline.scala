@@ -701,8 +701,14 @@ object CorpusPipeline {
     * timed st19 run measures the recurring pipeline, not the one-time
     * corpus-freeze training (the f8ab85d discipline).
     */
+  /** Returns (splitDir, modelDir, alreadyWarm): `alreadyWarm` is true iff
+    * BOTH stamp markers were valid on entry — i.e. this call rebuilt
+    * nothing. The bench records it so a model-stamp bump (e.g. v3→v4) can
+    * never silently bill a fixture retrain to a timed row again (the r15
+    * x1 adjudication ask).
+    */
   private[graft] def st19FrozenFixtures(spark: SparkSession,
-      sfDir: String): (String, String) = {
+      sfDir: String): (String, String, Boolean) = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
     // ---- stream fixture: the corpus 4-way range-split by doc_id (st17/
@@ -764,7 +770,7 @@ object CorpusPipeline {
       freeCut(filtFull)
       java.nio.file.Files.write(modelMarker.toPath, modelStamp.getBytes("UTF-8"))
     }
-    (splitDir, modelDir)
+    (splitDir, modelDir, markerValid && modelValid)
   }
 
   /** The frozen state-sizing stats [[st19FrozenFixtures]] persisted:
@@ -803,7 +809,7 @@ object CorpusPipeline {
   private[operators] def st19Config(spark: SparkSession, sfDir: String,
       requireFlatOracle: Boolean = false, stateTag: String = ""): St19Config = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + stateTag
-    val (splitDir, modelDir) = st19FrozenFixtures(spark, sfDir)
+    val (splitDir, modelDir, _) = st19FrozenFixtures(spark, sfDir)
     val vocabV: Long = spark.read.parquet(s"file:$modelDir/uni").count()
     // frozen stop-shingle set — bounded rows (see [[stopShingles]])
     val stopSh: Seq[String] = spark.read.parquet(s"file:$modelDir/stop")
@@ -1328,5 +1334,40 @@ object CorpusPipeline {
       SnapshotLog.retainVersions(spark, p, keepVersions,
         reclaimOlderThanMillis)
     }
+  }
+
+  /** st19 PER-BATCH FLATNESS instrument (ScaleSlope's harness): run the
+    * ingest half alone over an `nBatches`-way equal-size range split of
+    * `sfDir`'s documents in a fresh state namespace, and return per-batch
+    * wall seconds from the stream's own progress events. With state reads
+    * batch-proportional (touched-bucket prune + key-set semi-join), equal-
+    * size batches must cost ~flat seconds regardless of how much state has
+    * accreted — a rising trend over a LONG arrival history is exactly the
+    * hidden O(state)-per-batch term the r15 4-batch gate run could not
+    * distinguish from host noise. The fixture is stamp-guarded; state and
+    * checkpoint are wiped per call (the measurement is the replay itself).
+    */
+  private[graft] def st19BatchFlatness(spark: SparkSession, sfDir: String,
+      nBatches: Int): Seq[Double] = {
+    val cfg = st19Config(spark, sfDir, stateTag = s"-flat$nBatches")
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/parity/x1s-split$nBatches-$sfTag")
+      .getAbsoluteFile.toString
+    val stamp =
+      s"$sfDir|$nBatches|${RelationalQueries.sourceStamp(sfDir, "documents")}"
+    val marker = new java.io.File(dir, "._split_ok")
+    val ok = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .repartitionByRange(nBatches, col("doc_id"))
+        .write.mode("overwrite").parquet(s"file:$dir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    wipeFsPath(spark, s"file:${cfg.stateRoot}")
+    wipeFsPath(spark, s"file:${cfg.ckptDir}")
+    st19RunStream(spark, cfg, dir)
+    lastStreamBatchMillis.map(_ / 1000.0)
   }
 }

@@ -1499,6 +1499,10 @@ object VectorQueries {
         SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
           commitKey = Some(s"batch-$batchId"),
           partitionBy = Some("centroid_id"))
+        // in-loop index-log maintenance (st21's rule): per-LIST compaction,
+        // untouched inverted lists keep their files' physical identity
+        maintainStreamLog(bs, s"file:$indexDir", Some("centroid_id"),
+          maxFilesPerPartition = 2)
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -1516,9 +1520,18 @@ object VectorQueries {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
       .getOrElse(sys.error("st17: no index commits"))
-    val idxFiles = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val mf = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val idxFiles = mf
       .filter(f => bins.exists(b => f.contains(s"/_centroid_id=$b/")))
-    val idx = spark.read.parquet(idxFiles: _*)
+    // queries whose probed bins match NO manifest file (only reachable for
+    // queries outside the indexed corpus) must degrade to an empty result,
+    // not an AnalysisException from a zero-path read — the schema comes
+    // from the full manifest (never empty here: vIdx exists), filtered
+    // false so no data file is opened (the lshPrior rule)
+    val idxRaw =
+      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
+      else spark.read.parquet(idxFiles: _*)
+    val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
     val wRank = org.apache.spark.sql.expressions.Window
@@ -1532,12 +1545,84 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** Bounded-log MAINTENANCE for a streaming loop's SnapshotLog (result
+    * logs, stream-built index logs): the st19MaintainState discipline wired
+    * INTO the loop, so a long-lived stream never accretes one manifest
+    * version + a handful of small files per batch forever (the reference's
+    * bounded job-history semantics, `workflow.yaml:54-84`, applied to the
+    * serving logs). Called after each batch's commit: [[SnapshotLog.compact]]
+    * no-ops at O(manifest string-matching) cost until some partition group
+    * exceeds `maxFilesPerPartition`, then rewrites ONLY the over-threshold
+    * groups (untouched partitions keep their files' physical identity);
+    * when it did compact, [[SnapshotLog.retainVersions]] drops the
+    * superseded manifests — safe because compaction carried every replay
+    * key forward — and reclaims their unreferenced files. The zero reclaim
+    * horizon is safe HERE and only here: the log's single writer is this
+    * loop's own thread, and maintenance runs between its own commits, so
+    * the table is provably quiescent (the retainVersions contract).
+    *
+    * Amortized cost: with threshold F, a compaction runs every ~F batches
+    * and rewrites the accreted rows — O(rows·batches/F) total over an
+    * arrival history, the standard LSM trade; the alternative (no
+    * maintenance) is O(batches) manifests and O(batches·files) listing
+    * cost on every reader forever.
+    */
+  private[operators] def maintainStreamLog(bs: SparkSession, path: String,
+      partitionCol: Option[String], maxFilesPerPartition: Int): Unit =
+    if (SnapshotLog.compact(bs, path, partitionCol,
+        maxFilesPerPartition).isDefined) {
+      SnapshotLog.retainVersions(bs, path, keep = 1, olderThanMillis = 0L)
+      ()
+    }
+
+  /** One query batch served against frozen RAW inverted lists — st20's
+    * per-batch plan, factored out next to [[pqServeRefineBatch]] so the
+    * two serving generations share one structure and can't drift: collect
+    * the batch's probed bin ids (a driver list ≤ batch distinct bins),
+    * partition-prune the on-disk lists to those bins, broadcast the batch
+    * into the pruned scan, exact top-k. `queries` is assignToCentroids
+    * output (query_id, q_emb, centroid_id), materialized by the caller
+    * (who frees the blocks after consuming the result).
+    */
+  private[operators] def ivfServeBatch(bs: SparkSession, queries: DataFrame,
+      indexDir: String, k: Int): DataFrame = {
+    val bins = queries.select(col("centroid_id").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = bs.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec",
+        dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
   /** st20: STREAMING ANN SERVING — the query-side twin of st17 (which
     * streams the index BUILD). Queries arrive as a micro-batched stream
     * (the online-serving shape: each batch is one arrival window of
     * similarity lookups) and are served against a FROZEN persisted IVF
     * index; every batch's top-k results append to a batchId-keyed result
     * log, and the output reads the committed log back.
+    *
+    * st20 vs st22 — a DELIBERATE pair, not drift: st20 serves e18's RAW
+    * inverted lists (exact scoring of every candidate in the probed bins
+    * — the uncompressed serving generation, right when the vector store
+    * fits its bins in scan budget), while st22 serves e32's persisted PQ
+    * CODES with an ADC shortlist + exact refine (the compressed
+    * generation a 100 TB corpus needs — candidate bytes divided by
+    * ~dim·4/M). Both run the same loop shape: per-batch bin-prune →
+    * score → batchId-keyed result commit → in-loop log maintenance; the
+    * per-batch plans are the named helpers [[ivfServeBatch]] and
+    * [[pqServeRefineBatch]].
     *
     * Why streaming ≡ batch is exact here, with no freeze-time composition
     * (st19's hard part): a query's result depends only on (its own
@@ -1632,29 +1717,18 @@ object VectorQueries {
           .select(col("vec_id").as("query_id"),
             col("embedding").as("q_emb"), col("centroid_id"))
           .localCheckpoint(true)
-        val bins = queries.select(col("centroid_id").cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSeq.sorted
-        val idx = bs.read.option("basePath", s"file:$indexDir")
-          .parquet(s"file:$indexDir")
-          .filter(col("centroid_id").cast("int").isin(bins: _*))
-          .select(col("vec_id").as("neighbor_id"), col("embedding"),
-            col("centroid_id").cast("long").as("centroid_id"))
-        val wRank = org.apache.spark.sql.expressions.Window
-          .partitionBy("query_id")
-          .orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-        val res = idx.join(broadcast(queries), "centroid_id")
-          .filter(col("neighbor_id") =!= col("query_id"))
-          .withColumn("sim_dec",
-            dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
-          .withColumn("rank", row_number().over(wRank))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            col("sim_dec").cast("double").as("ivf_sim"))
+        val res = ivfServeBatch(bs, queries, indexDir, k)
         val prior = SnapshotLog.latestVersion(bs, s"file:$resultsPath")
           .map(v => SnapshotLog.manifest(bs, s"file:$resultsPath", v))
           .getOrElse(Nil)
         SnapshotLog.commit(bs, s"file:$resultsPath", res, prior,
           commitKey = Some(s"batch-$batchId"))
+        // in-loop result-log maintenance: compact accreted small files +
+        // retire superseded manifests once the log exceeds the file
+        // threshold (no-op below it) — a long-lived serving stream must
+        // bound its own log
+        maintainStreamLog(bs, s"file:$resultsPath", None,
+          maxFilesPerPartition = 2)
         // the commit materialized this batch's results; free the
         // checkpointed query blocks eagerly — across a long-lived stream
         // the ContextCleaner may not GC-reclaim them for many micro-batches
@@ -1670,8 +1744,14 @@ object VectorQueries {
 
     val v = SnapshotLog.latestVersion(spark, s"file:$resultsPath")
       .getOrElse(sys.error("st20: no result commits"))
+    // batch count from the distinct replay KEYS, not the version number:
+    // in-loop compaction commits advance the version counter and retention
+    // drops superseded manifests, but neither creates nor loses a batch
+    // key — n_commits stays "number of micro-batches" under maintenance
+    val nBatches = SnapshotLog.commitKeys(spark, s"file:$resultsPath")
+      .count(_.startsWith("batch-"))
     SnapshotLog.read(spark, s"file:$resultsPath", v)
-      .withColumn("n_commits", lit(v))
+      .withColumn("n_commits", lit(nBatches))
   }
 
   /** st21: STREAMING PQ-ENCODE INGEST — st17's stream-built-index rule
@@ -1770,6 +1850,13 @@ object VectorQueries {
           .getOrElse(Nil)
         SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
           commitKey = Some(s"batch-$batchId"), partitionBy = Some("bin"))
+        // in-loop index-log maintenance (st19's state-table discipline):
+        // per-BIN compaction — only bins holding more than the threshold's
+        // worth of delta files rewrite; untouched bins keep their files'
+        // physical identity, so serving's probed-bin manifest prune stays
+        // page-cache-warm for bins the stream stopped appending to
+        maintainStreamLog(bs, s"file:$indexDir", Some("bin"),
+          maxFilesPerPartition = 2)
         ()
       }
       .option("checkpointLocation", ckptDir)
@@ -1797,9 +1884,15 @@ object VectorQueries {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
       .getOrElse(sys.error("st21: no index commits"))
-    val idxFiles = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val mf = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val idxFiles = mf
       .filter(f => probed.exists(b => f.contains(s"/_bin=$b/")))
-    val idx = spark.read.parquet(idxFiles: _*)
+    // empty probed-bin match → empty result, not a zero-path read error
+    // (st17's guard; schema from the full manifest, filtered false)
+    val idxRaw =
+      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
+      else spark.read.parquet(idxFiles: _*)
+    val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
         col("bin").cast("long").as("bin"))
     val w = org.apache.spark.sql.expressions.Window
@@ -1978,6 +2071,9 @@ object VectorQueries {
           .getOrElse(Nil)
         SnapshotLog.commit(bs, s"file:$resultsPath", res, prior,
           commitKey = Some(s"batch-$batchId"))
+        // in-loop result-log maintenance (st20's rule)
+        maintainStreamLog(bs, s"file:$resultsPath", None,
+          maxFilesPerPartition = 2)
         CorpusPipeline.freeCut(qch)
         ()
       }
@@ -1988,8 +2084,12 @@ object VectorQueries {
 
     val v = SnapshotLog.latestVersion(spark, s"file:$resultsPath")
       .getOrElse(sys.error("st22: no result commits"))
+    // batch count from distinct replay keys — invariant under the in-loop
+    // maintenance commits (st20's rule)
+    val nBatches = SnapshotLog.commitKeys(spark, s"file:$resultsPath")
+      .count(_.startsWith("batch-"))
     SnapshotLog.read(spark, s"file:$resultsPath", v)
-      .withColumn("n_commits", lit(v))
+      .withColumn("n_commits", lit(nBatches))
   }
 
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:

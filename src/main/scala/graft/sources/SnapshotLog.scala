@@ -301,6 +301,19 @@ object SnapshotLog {
   def read(spark: SparkSession, tablePath: String, version: Int): DataFrame =
     spark.read.parquet(manifest(spark, tablePath, version): _*)
 
+  /** Distinct commit keys recorded across ALL live version manifests (own
+    * keys plus keys carried forward by compactions). This — not the head
+    * version NUMBER — is the stable "how many keyed commits landed" count:
+    * maintenance commits ([[compact]]) advance the version counter and
+    * [[retainVersions]] drops old manifests, but neither creates nor loses
+    * a key, so `commitKeys(...).size` is invariant under maintenance while
+    * `latestVersion` is not (the st20/st22 `n_commits` contract).
+    */
+  def commitKeys(spark: SparkSession, tablePath: String): Seq[String] = {
+    val (fs, root) = fsFor(spark, tablePath)
+    listVersions(fs, root).flatMap(keysOf(fs, root, _)).distinct
+  }
+
   /** COMPACT the head version's small files (e23's per-bin rewrite,
     * lifted to any SnapshotLog table): group the live files by partition
     * segment (`_col=value` manifest-path level when `partitionCol` is set;
@@ -391,22 +404,35 @@ object SnapshotLog {
     val cutoff = System.currentTimeMillis() - olderThanMillis
     val deleted = scala.collection.mutable.Buffer.empty[String]
     // depth-first: delete unreferenced aged files, then any dir emptied by
-    // the sweep; a dir keeping one live (or too-young) file keeps itself
-    def sweep(dir: Path): Boolean = {
+    // the sweep; a dir keeping one live (or too-young) file keeps itself.
+    // An ALREADY-empty dir is only removed when its own mtime is older
+    // than the cutoff (the vacuumOrphans empty-dir rule): a concurrent
+    // committer that has just mkdir'd its staged commit dir but not yet
+    // landed a file must never have the dir deleted mid-write — the
+    // "staged-but-unpublished is never swept" guard applies to dirs too.
+    // A dir the sweep ITSELF emptied held only aged unreferenced files, so
+    // it is provably not an in-flight stage and is removed regardless of
+    // its entry mtime (which child deletion just refreshed).
+    def sweep(dir: Path): (Boolean, Boolean) = { // (isEmpty, sweptAny)
       var empty = true
+      var swept = false
       fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) {
-          if (sweep(st.getPath)) {
+          val entryAged = st.getModificationTime < cutoff
+          val (subEmpty, subSwept) = sweep(st.getPath)
+          if (subEmpty && (subSwept || entryAged)) {
             fs.delete(st.getPath, false)
             deleted += st.getPath.toString
+            swept = true
           } else empty = false
         } else if (!live.contains(st.getPath.toString) &&
             st.getModificationTime < cutoff) {
           fs.delete(st.getPath, false)
           deleted += st.getPath.toString
+          swept = true
         } else empty = false
       }
-      empty
+      (empty, swept)
     }
     sweep(dataRoot)
     (dropped, deleted.toSeq)

@@ -176,10 +176,10 @@ object ScaleSlope {
     }
     canary() // warm
 
-    // section selection (default both): GRAFT_SLOPE_SECTIONS=slope,d38 —
+    // section selection (default all): GRAFT_SLOPE_SECTIONS=slope,d38,flat —
     // the d38 crossover alone takes minutes and iterating on it should not
     // re-pay the four-scale slope sweep (and vice versa)
-    val sections = sys.env.getOrElse("GRAFT_SLOPE_SECTIONS", "slope,d38")
+    val sections = sys.env.getOrElse("GRAFT_SLOPE_SECTIONS", "slope,d38,flat")
       .split(",").map(_.trim).toSet
 
     println(f"${"scale"}%-8s ${"rows(doc/emb)"}%-16s ${"canary"}%-7s " +
@@ -229,6 +229,36 @@ object ScaleSlope {
       s"""{"scale":"$label","docs":$nd,"embs":$ne,"canary":${f"$c%.3f"},"sec":{$qs}}"""
     }.mkString("[", ",", "]")
 
+    // ---- st19 per-batch FLATNESS at x10: run the ingest half alone over
+    // an 8-way equal-size arrival split and record per-batch seconds from
+    // the stream's own progress events. With batch-proportional state
+    // reads the per-batch cost of equal batches must not TREND as state
+    // accretes — the r15 4-batch gate run showed a +28% first→last drift
+    // that 4 points on a marginal host could not adjudicate; 8 batches
+    // with a canary stamp can. Flat = last-quartile mean ≤ ~1.2x
+    // first-quartile mean on a healthy canary.
+    val flatJson = if (sections("flat")) {
+      spark.catalog.clearCache()
+      val dir10 = ensureScaled(spark, base, 10)
+      val cF = canary()
+      val batches =
+        graft.operators.CorpusPipeline.st19BatchFlatness(spark, dir10, 8)
+      val q = math.max(1, batches.size / 4)
+      val firstQ = batches.take(q).sum / q
+      val lastQ = batches.takeRight(q).sum / q
+      val ratio = lastQ / firstQ
+      println(f"[flat] st19@x10 8 batches: " +
+        batches.map(b => f"$b%.2f").mkString(",") +
+        f" firstQ=${firstQ}%.2f lastQ=${lastQ}%.2f ratio=${ratio}%.2f" +
+        f" canary=${cF}%.2f" +
+        (if (ratio > 1.2) " — NOT FLAT (investigate or discount by canary)"
+         else " — flat"))
+      f""""st19_flatness":{"scale":"x10","canary":$cF%.3f,""" +
+        f""""batch_sec":[${batches.map(b => f"$b%.3f").mkString(",")}],""" +
+        f""""first_q_mean":$firstQ%.3f,"last_q_mean":$lastQ%.3f,""" +
+        f""""last_over_first_q":$ratio%.3f},"""
+    } else ""
+
     // ---- d38 BPE-dispatch crossover: classic (full-vocab window per
     // round) vs incremental (affected words only) at budget 50, on
     // vocabulary-scaled corpora (see replicateVocab — the x-replicas
@@ -272,7 +302,7 @@ object ScaleSlope {
     // sweep ran; a d38-only iteration lands in its own file
     if (sections("slope")) {
       val json =
-        s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes},$crossoverJson}"""
+        s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes},$flatJson$crossoverJson}"""
       val out = java.nio.file.Paths.get("target/scaleslope.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")

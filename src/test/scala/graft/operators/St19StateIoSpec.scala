@@ -98,7 +98,7 @@ class St19StateIoSpec extends SparkSpec {
   test("st19's live bucket counts derive from the frozen state stats") {
     // the pipeline's own bucket counts must be the stateBuckets function of
     // the persisted corpus-start stats — not a constant that stops scaling
-    val (_, modelDir) = CorpusPipeline.st19FrozenFixtures(spark, sfDir)
+    val (_, modelDir, _) = CorpusPipeline.st19FrozenFixtures(spark, sfDir)
     val (nQual, nGrams) = CorpusPipeline.st19StateStats(modelDir)
     assert(nQual > 0 && nGrams > 0)
     val pbN = CorpusPipeline.stateBuckets(nQual * 4)

@@ -54,4 +54,14 @@ class St19StreamingCorpusSpec extends SparkSpec {
         s"$t v$v dropped files from v${v - 1} — state must only append")
     }
   }
+
+  test("st19: the flatness harness measures one sample per arrival batch") {
+    // mechanism pin for ScaleSlope's x10 flatness instrument: an 8-way
+    // split runs 8 micro-batches and yields 8 positive per-batch samples
+    // (the timing assertion itself lives in target/scaleslope.json where
+    // the canary can contextualize it — sf0.001 wall times are noise)
+    val batches = CorpusPipeline.st19BatchFlatness(spark, sfDir, 8)
+    assert(batches.size == 8, s"expected 8 per-batch samples, got $batches")
+    assert(batches.forall(_ > 0), s"non-positive batch seconds: $batches")
+  }
 }

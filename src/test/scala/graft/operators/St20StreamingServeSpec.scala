@@ -47,11 +47,36 @@ class St20StreamingServeSpec extends SparkSpec {
 
   test("st20: one batchId-keyed commit per arrival file") {
     // 4 range-split arrival files with maxFilesPerTrigger=1 → exactly 4
-    // micro-batches → final result-log version 4 (a replayed batch would
-    // no-op, a torn run would under-count — both fail here)
+    // micro-batches → 4 distinct batch replay KEYS in the result log (a
+    // replayed batch would no-op, a torn run would under-count — both fail
+    // here). Keys, not the version number: in-loop maintenance commits
+    // advance the version counter without minting keys.
     val commits = served.select(col("n_commits")).distinct().collect()
     assert(commits.length == 1 && commits(0).getInt(0) == 4,
       s"expected n_commits=4, got ${commits.mkString(",")}")
+  }
+
+  test("st20: in-loop maintenance bounds the result log") {
+    served.collect() // ensure the stream ran (suite-ordered, usually warm)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val path = s"file:${new java.io.File(
+      s"target/parity/st20-results-$sfTag").getAbsolutePath}"
+    val v = graft.sources.SnapshotLog.latestVersion(spark, path).get
+    // all 4 batch keys survive maintenance (replay windows never reopen)
+    assert(graft.sources.SnapshotLog.commitKeys(spark, path)
+      .count(_.startsWith("batch-")) == 4)
+    // live manifests and live files are bounded regardless of batch count:
+    // compaction coalesces the accreted per-batch files once past the
+    // threshold, retention drops the superseded manifests
+    val liveVersions = (1 to v).filter { i =>
+      try { graft.sources.SnapshotLog.manifest(spark, path, i); true }
+      catch { case _: Throwable => false }
+    }
+    assert(liveVersions.size <= 3,
+      s"unbounded result-log history: ${liveVersions.size} live versions")
+    val mf = graft.sources.SnapshotLog.manifest(spark, path, v)
+    assert(mf.size <= 4 + 4,
+      s"result log never compacted: ${mf.size} live files")
   }
 
   test("st20: every query is answered with a full top-3") {

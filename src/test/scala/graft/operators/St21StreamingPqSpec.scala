@@ -25,11 +25,16 @@ class St21StreamingPqSpec extends SparkSpec {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val idxPath = s"file:${new java.io.File(
       s"target/parity/st21-index-$sfTag").getAbsolutePath}"
-    // the index is a SnapshotLog table now (batchId-keyed commits): read
-    // the latest manifest, and pin one commit per micro-batch
+    // the index is a SnapshotLog table (batchId-keyed commits) with
+    // IN-LOOP MAINTENANCE: one KEYED commit per micro-batch is pinned via
+    // the replay keys — maintenance compactions advance the version
+    // counter and retention drops superseded manifests, so the version
+    // number is deliberately NOT the batch count
     val v = graft.sources.SnapshotLog.latestVersion(spark, idxPath)
       .getOrElse(fail("st21 index has no commits"))
-    assert(v == 4, s"4 arrival files => 4 keyed commits, got version $v")
+    val keys = graft.sources.SnapshotLog.commitKeys(spark, idxPath)
+    assert(keys.count(_.startsWith("batch-")) == 4,
+      s"4 arrival files => 4 batch replay keys, got $keys")
     val idx = graft.sources.SnapshotLog.read(spark, idxPath, v)
     val n = RelationalQueries.table(spark, sfDir, "embeddings").count()
     // one code row per (vector, subspace) — the subspace count comes from
@@ -39,5 +44,35 @@ class St21StreamingPqSpec extends SparkSpec {
       s"expected ${n * VectorQueries.PqM} code rows, got ${idx.count()}")
     val dup = idx.groupBy("vec_id", "m").count().filter(col("count") > 1).count()
     assert(dup == 0, s"$dup duplicated (vec_id, m) code rows — a replayed batch leaked")
+  }
+
+  test("st21: in-loop maintenance bounds the index log and keeps the bin layout") {
+    // reads the index the first test's run left behind (suite-ordered)
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val idxPath = s"file:${new java.io.File(
+      s"target/parity/st21-index-$sfTag").getAbsolutePath}"
+    val v = graft.sources.SnapshotLog.latestVersion(spark, idxPath).get
+    // retention after each compaction keeps the live manifest count small
+    // regardless of arrival count (4 batches here; a year of hourly
+    // arrivals would otherwise accrete thousands): at most the compacted
+    // head plus the batches landed since the last compaction
+    val liveVersions = (1 to v).filter { i =>
+      try { graft.sources.SnapshotLog.manifest(spark, idxPath, i); true }
+      catch { case _: Throwable => false }
+    }
+    assert(liveVersions.size <= 3,
+      s"expected a bounded manifest set, got ${liveVersions.size} live versions")
+    // every live file still sits under a `_bin=` path level — serving's
+    // probed-bin manifest prune survives compaction rewrites
+    val mf = graft.sources.SnapshotLog.manifest(spark, idxPath, v)
+    assert(mf.nonEmpty && mf.forall(_.contains("/_bin=")),
+      s"compaction broke the bin-keyed manifest layout: ${mf.take(3)}")
+    // per-bin file count is bounded by the compaction threshold (2) plus
+    // deltas landed since the last compaction pass
+    val perBin = mf.groupBy(f =>
+      "/_bin=([^/]+)/".r.findFirstMatchIn(f).map(_.group(1)).getOrElse(""))
+    perBin.foreach { case (b, fs) =>
+      assert(fs.size <= 3, s"bin $b holds ${fs.size} files — compaction never ran")
+    }
   }
 }

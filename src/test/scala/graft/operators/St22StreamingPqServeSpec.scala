@@ -38,7 +38,25 @@ class St22StreamingPqServeSpec extends SparkSpec {
   }
 
   test("st22: one batchId-keyed result commit per arrival file") {
+    // n_commits counts distinct batch replay KEYS — invariant under the
+    // in-loop maintenance commits (which advance only the version counter)
     assert(streamed.forall(_.getAs[Int]("n_commits") == 4))
+  }
+
+  test("st22: in-loop maintenance bounds the result log") {
+    assert(streamed.nonEmpty) // ensure the stream ran
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val path = s"file:${new java.io.File(
+      s"target/parity/st22-results-$sfTag").getAbsolutePath}"
+    val v = graft.sources.SnapshotLog.latestVersion(spark, path).get
+    val liveVersions = (1 to v).filter { i =>
+      try { graft.sources.SnapshotLog.manifest(spark, path, i); true }
+      catch { case _: Throwable => false }
+    }
+    assert(liveVersions.size <= 3,
+      s"unbounded result-log history: ${liveVersions.size} live versions")
+    assert(graft.sources.SnapshotLog.manifest(spark, path, v).size <= 8,
+      s"result log never compacted")
   }
 
   test("st22: per-batch plan prunes bins, reads codes only, broadcasts the refine") {

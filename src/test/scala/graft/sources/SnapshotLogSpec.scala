@@ -206,4 +206,38 @@ class SnapshotLogSpec extends SparkSpec {
     assert(head == 2 + wonVersions.size)
     (1 to head).foreach { v => SnapshotLog.read(spark, path, v).count() }
   }
+
+  test("retention's empty-dir sweep is age-gated: a fresh staged dir survives") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-retain-dir").toString
+    val path = s"file:$dir"
+    val v1 = SnapshotLog.commit(spark, path, Seq(1L).toDF("id"), carried = Nil)
+    SnapshotLog.commit(spark, path, Seq(2L).toDF("id"),
+      carried = SnapshotLog.manifest(spark, path, v1))
+    // a concurrent committer that has just mkdir'd its staged commit dir
+    // but not yet landed a file: young and empty — must NOT be swept even
+    // though it is empty (the mid-write deletion the age gate closes)
+    val staged = new java.io.File(dir, "data/commit-v99999-inflight")
+    assert(staged.mkdirs())
+    // an OLD empty dir (a long-dead torn attempt) must still age out
+    val torn = new java.io.File(dir, "data/commit-v00042-torn")
+    assert(torn.mkdirs())
+    assert(torn.setLastModified(System.currentTimeMillis() - 48 * 3600 * 1000L))
+    val (_, deleted) = SnapshotLog.retainVersions(spark, path, keep = 2,
+      olderThanMillis = 3600 * 1000L)
+    assert(staged.isDirectory,
+      s"retention swept a fresh staged commit dir mid-write: $deleted")
+    assert(!torn.exists(), s"aged empty torn dir not reclaimed: $deleted")
+    // a dir the sweep ITSELF emptied is removed regardless of its entry
+    // mtime: commit v3 replacing everything, compact carries keys, then
+    // retention with a zero horizon on the now-quiescent table reclaims
+    // v1/v2's files AND their emptied commit dirs
+    SnapshotLog.compact(spark, path, None, maxFilesPerPartition = 1)
+    val before = new java.io.File(dir, "data").listFiles().count(_.isDirectory)
+    val (_, deleted2) = SnapshotLog.retainVersions(spark, path, keep = 1,
+      olderThanMillis = 0L)
+    val after = new java.io.File(dir, "data").listFiles().count(_.isDirectory)
+    assert(deleted2.nonEmpty && after < before,
+      s"sweep-emptied commit dirs not removed: before=$before after=$after")
+  }
 }
