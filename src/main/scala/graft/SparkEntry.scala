@@ -183,6 +183,7 @@ object SparkEntry {
     "c1_compact" -> (MaintenanceQueries.c1Compact _),
     "c2_manifest_skip" -> (MaintenanceQueries.c2ManifestSkip _),
     "c5_cluster_box_skip" -> (MaintenanceQueries.c5ClusterBoxSkip _),
+    "c6_cluster_maintain" -> (MaintenanceQueries.c6ClusterMaintain _),
     "s3_sql_catalog" -> (MaintenanceQueries.s3SqlCatalog _),
     "u4_snapshot_diff" -> (MaintenanceQueries.u4SnapshotDiff _),
     "u5_scd2" -> (MaintenanceQueries.u5Scd2 _),
@@ -1586,6 +1587,21 @@ object SparkEntry {
         | AND (SELECT mn + (mx - mn) // 2 FROM b)
         |GROUP BY user_id""".stripMargin,
     "c5_cluster_box_skip" ->
+      """WITH b AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
+        |  min(event_id) AS emn, max(event_id) AS emx FROM events)
+        |SELECT event_type, count(*) AS cnt,
+        | CAST(sum(event_id) AS BIGINT) AS sum_eid,
+        | CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN (SELECT umn + (umx - umn) // 4 FROM b)
+        |  AND (SELECT umn + (umx - umn) // 2 FROM b)
+        | AND event_id BETWEEN (SELECT emn + (emx - emn) // 8 FROM b)
+        |  AND (SELECT emn + 3 * (emx - emn) // 8 FROM b)
+        |GROUP BY event_type""".stripMargin,
+    // c6 is c5's oracle VERBATIM: the maintained layout (clustered base ∪
+    // re-clustered appends) must answer the identical box aggregate — hash
+    // equality states the recurring re-cluster job lost/duplicated nothing
+    "c6_cluster_maintain" ->
       """WITH b AS (SELECT min(user_id) AS umn, max(user_id) AS umx,
         |  min(event_id) AS emn, max(event_id) AS emx FROM events)
         |SELECT event_type, count(*) AS cnt,

@@ -495,6 +495,157 @@ object MaintenanceQueries {
         sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
   }
 
+  /** Diagnostics [[c6Run]] returns alongside the gate aggregate, so the
+    * spec can pin the maintenance CONTRACT (base-file identity, strict
+    * pruning improvement) without re-implementing the flow.
+    */
+  private[operators] case class C6Diag(
+      baseFilesBefore: Map[String, Long], baseFilesAfter: Map[String, Long],
+      selBefore: Int, totBefore: Int, selAfter: Int, totAfter: Int,
+      result: DataFrame)
+
+  /** c6: RECURRING Hilbert re-cluster under appends — c5's `OPTIMIZE
+    * ZORDER` layout run as the maintenance job a live ingest needs, proving
+    * layout maintenance COMPOSES with appends and manifest box pruning
+    * stays valid across re-cluster generations:
+    *
+    *  1. the historical corpus (days < 20) lands Hilbert-clustered (c5's
+    *     layout) and a [[FileStatsManifest]] is bootstrapped;
+    *  2. two append arrivals (days 20-25, days ≥ 26) land in ARRIVAL
+    *     ORDER — the ingest's natural layout, per-file boxes full-width —
+    *     each followed by an incremental [[FileStatsManifest.update]]
+    *     (scans only the new files; results stay exact regardless via the
+    *     staleness fallback);
+    *  3. the maintenance pass re-clusters ONLY the append generation:
+    *     the delta files rewrite under the FROZEN curve grid (bounds fixed
+    *     at table creation, so every generation keys consistently) into a
+    *     new clustered generation; the historical generation's files are
+    *     never read or rewritten (spec-pinned physical identity — the
+    *     copy-on-write discipline OPTIMIZE must follow at 100 TB, where
+    *     re-clustering the whole table per pass would be a full rewrite);
+    *  4. c5's box query runs over the maintained layout through
+    *     [[FileStatsManifest.prunedReadBox]].
+    *
+    * The oracle is c5's SQL verbatim (the box aggregate over `events`):
+    * correctness never depends on the layout, and hash equality states
+    * that clustered-base ∪ re-clustered-deltas lost and duplicated
+    * nothing. Scale shape: per pass the job reads/writes only the files
+    * appended since the last pass + one O(files) manifest join — never
+    * ∝ table size.
+    *
+    * Reference anchor: BigQuery re-clusters appended data in the
+    * background automatically for `CLUSTER BY` tables
+    * (`/root/reference/bq_create_table_ddl.sql:9`); this is that
+    * background job made explicit on plain parquet.
+    */
+  private[operators] def c6Run(spark: SparkSession, sfDir: String): C6Diag = {
+    val ev = RelationalQueries.eventsTable(spark, sfDir)
+      .select(col("ts"), col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    val dir = scratch("c6", sfDir)
+    val root = s"file:$dir"
+
+    // frozen curve grid: the key domain is fixed once (table-creation
+    // stats), so base and every later re-cluster generation key rows
+    // mutually consistently — c5's cell arithmetic
+    val b = ev.agg(min(col("user_id")), max(col("user_id")),
+      min(col("event_id")), max(col("event_id"))).collect()(0)
+    val (uMn, uMx, eMn, eMx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+    val order = 10
+    val side = (1L << order) - 1
+    def cell(c: org.apache.spark.sql.Column, mn: Long, mx: Long) =
+      if (mx <= mn) lit(0L)
+      else ((c - lit(mn)) * lit(side) / lit(mx - mn)).cast("long")
+    def clustered(df: DataFrame, nFiles: Int): DataFrame =
+      df.withColumn("hkey", graft.functions.GraftFunctions.hilbert(
+          cell(col("user_id"), uMn, uMx), cell(col("event_id"), eMn, eMx),
+          order))
+        .repartitionByRange(nFiles, col("hkey"))
+        .sortWithinPartitions(col("hkey"))
+        .drop("hkey")
+
+    // ---- 1. historical generation, clustered; manifest bootstrap
+    clustered(ev.filter(dayofmonth(col("ts")) < 20).drop("ts"), 12)
+      .write.mode("overwrite").parquet(s"$root/g=base")
+    FileStatsManifest.write(spark, root, Seq("user_id", "event_id"))
+
+    // ---- 2. append arrivals in arrival order + incremental manifest
+    ev.filter(dayofmonth(col("ts")).between(20, 25)).drop("ts")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/g=d1")
+    FileStatsManifest.update(spark, root, Seq("user_id", "event_id"))
+    ev.filter(dayofmonth(col("ts")) >= 26).drop("ts")
+      .repartition(4).write.mode("overwrite").parquet(s"$root/g=d2")
+    FileStatsManifest.update(spark, root, Seq("user_id", "event_id"))
+
+    // the query box (c5's arithmetic, restated verbatim by the oracle)
+    val (uLo, uHi) = (uMn + (uMx - uMn) / 4, uMn + (uMx - uMn) / 2)
+    val (eLo, eHi) = (eMn + (eMx - eMn) / 8, eMn + 3 * (eMx - eMn) / 8)
+    val box = Seq(("user_id", uLo, uHi), ("event_id", eLo, eHi))
+
+    // pruning-improvement diagnostic on a DELTA-REGION box: event_id is
+    // chronological in this table, so c5's (low-event) box never touches
+    // the appended generation and cannot observe the re-cluster. The probe
+    // box targets the middle of the deltas' own event span × the c5 user
+    // range — before maintenance every arrival-order delta file is
+    // full-width on user_id and must open; after, the Hilbert boxes are
+    // compact on both axes.
+    val db = spark.read.parquet(s"$root/g=d1", s"$root/g=d2")
+      .agg(min(col("event_id")), max(col("event_id"))).collect()(0)
+    val (dMn, dMx) = (db.getLong(0), db.getLong(1))
+    val probeBox = Seq(("user_id", uLo, uHi),
+      ("event_id", dMn + (dMx - dMn) / 4, dMn + (dMx - dMn) / 2))
+    val (_, selBefore, totBefore) = FileStatsManifest.prunedReadBox(
+      spark, root, probeBox)
+
+    def baseFiles(): Map[String, Long] = {
+      def rec(f: java.io.File): Seq[java.io.File] = {
+        val cs = Option(f.listFiles()).getOrElse(Array.empty)
+        cs.filter(_.isFile).toSeq ++ cs.filter(_.isDirectory).flatMap(rec)
+      }
+      rec(new java.io.File(dir, "g=base"))
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+    }
+    val baseBefore = baseFiles()
+
+    // ---- 3. maintenance: re-cluster ONLY the delta generation. The delta
+    // files rewrite into g=opt1 under the frozen grid; g=base is never
+    // opened (the scan below names the delta dirs, nothing else).
+    val deltas = spark.read
+      .parquet(s"$root/g=d1", s"$root/g=d2")
+      .select(col("event_id"), col("user_id"), col("value"),
+        col("event_type"))
+    clustered(deltas, 4)
+      .write.mode("overwrite").parquet(s"$root/g=opt1")
+    for (g <- Seq("g=d1", "g=d2")) {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$g")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    // incremental manifest maintenance after the rewrite: dead delta rows
+    // drop out, only the new generation's files are scanned
+    FileStatsManifest.update(spark, root, Seq("user_id", "event_id"))
+
+    // ---- 4. the probe box re-measured (the improvement diagnostic), then
+    // the gate's box query over the maintained layout
+    val (_, selAfter, totAfter) = FileStatsManifest.prunedReadBox(
+      spark, root, probeBox)
+    val (df, selRes, totRes) = FileStatsManifest.prunedReadBox(
+      spark, root, box)
+    require(selRes <= totRes,
+      s"box manifest selected $selRes of $totRes files")
+    val result = df.groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("event_id")).as("sum_eid"),
+        sum(col("value").cast("decimal(30,6)")).cast("double").as("sum_value"))
+    C6Diag(baseBefore, baseFiles(), selBefore, totBefore, selAfter, totAfter,
+      result)
+  }
+
+  def c6ClusterMaintain(spark: SparkSession, sfDir: String): DataFrame =
+    c6Run(spark, sfDir).result
+
   /** u4: snapshot CDC — land day-1, apply the full mutation suite (u1's
     * merge: value corrections for `event_id % 3 = 0`, inserts at shifted ids
     * for `% 5 = 0`; then u2's takedown of `% 7 = 0` over the ORIGINAL ids),
