@@ -120,6 +120,7 @@ object SparkEntry {
     "m8_resize_stats" -> (M.m8ResizeStats _),
     "m7_png_stats" -> (M.m7PngStats _),
     "m9_jpeg_stats" -> (M.m9JpegBlockStats _),
+    "m10_avi_frames" -> (M.m10AviFrameStats _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" ->
@@ -944,6 +945,37 @@ object SparkEntry {
         | CAST(max(lum) AS BIGINT) AS max_lum,
         | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
         |FROM lums GROUP BY doc_id, width, height""".stripMargin,
+    // m10: the m9 block formula extended with the per-frame term (f * 101)
+    // and avih's (33 + id mod 5) ms frame period — the oracle restates the
+    // generative math; the engine must recover it from the AVI bytes
+    "m10_avi_frames" ->
+      """WITH dims AS (
+        | SELECT doc_id, CAST(8 * (1 + doc_id % 3) AS INT) AS width,
+        |        CAST(8 * (1 + doc_id % 2) AS INT) AS height,
+        |        CAST(1 + doc_id % 3 AS INT) AS n_frames,
+        |        CAST(33 + doc_id % 5 AS BIGINT) AS ms_per_frame
+        | FROM documents),
+        |fr AS (
+        | SELECT doc_id, width, height, ms_per_frame,
+        |        CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+        | FROM dims),
+        |px AS (
+        | SELECT doc_id, frame_idx, ms_per_frame, width, height,
+        |        i % width AS x, i // width AS y
+        | FROM (SELECT doc_id, frame_idx, ms_per_frame, width, height,
+        |        unnest(range(0, width * height)) AS i FROM fr) t),
+        |lums AS (
+        | SELECT doc_id, frame_idx, ms_per_frame, width, height, y,
+        |  (doc_id * 37 + frame_idx * 101 + (x // 8) * 59 + (y // 8) * 83) % 256 AS lum
+        | FROM px)
+        |SELECT doc_id, frame_idx,
+        | CAST(frame_idx * ms_per_frame AS BIGINT) AS frame_t_ms,
+        | width, height, count(*) AS n_pixels,
+        | CAST(sum(lum) AS BIGINT) AS sum_lum,
+        | CAST(max(lum) AS BIGINT) AS max_lum,
+        | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
+        |FROM lums
+        |GROUP BY doc_id, frame_idx, ms_per_frame, width, height""".stripMargin,
     "d34_bigram_lm" ->
       """WITH toks AS (
         | SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

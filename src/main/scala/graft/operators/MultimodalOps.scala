@@ -554,12 +554,20 @@ object MultimodalOps {
   private[operators] def syntheticJpeg(id: Long): Array[Byte] = {
     val bw = (1 + id % 3).toInt
     val bh = (1 + id % 2).toInt
-    val w = 8 * bw
-    val h = 8 * bh
+    encodeGrayJpeg(8 * bw, 8 * bh, (x, y) => jpegBlockValue(id, x / 8, y / 8))
+  }
+
+  /** Encode one grayscale image through `javax.imageio`'s JPEG writer at
+    * quality 1.0 — the shared encoder behind [[syntheticJpeg]] and the m10
+    * MJPEG frames (same bit-exact round-trip argument: block-constant
+    * grayscale input, all AC coefficients exactly zero).
+    */
+  private def encodeGrayJpeg(w: Int, h: Int,
+      value: (Int, Int) => Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until h; x <- 0 until w)
-      img.getRaster.setSample(x, y, 0, jpegBlockValue(id, x / 8, y / 8))
+      img.getRaster.setSample(x, y, 0, value(x, y))
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
@@ -624,6 +632,165 @@ object MultimodalOps {
       .select(col("doc_id"), col("width"), col("height"),
         posexplode(col("lum")).as(Seq("i", "l")))
       .groupBy("doc_id", "width", "height")
+      .agg(count(lit(1)).as("n_pixels"),
+        sum(col("l").cast("long")).as("sum_lum"),
+        max(col("l")).cast("long").as("max_lum"),
+        sum(((floor(col("i") / col("width")) + 1) * col("l")).cast("long"))
+          .as("ysum"))
+  }
+
+  /** Deterministic block value of frame `f` of document `id`'s MJPEG/AVI
+    * fixture — m9's rule extended with a per-frame term so no two frames
+    * (and no m9 image) can be confused.
+    */
+  private[operators] def mjpegBlockValue(id: Long, f: Int, bx: Int,
+      by: Int): Int =
+    ((id * 37 + f * 101 + bx * 59 + by * 83) % 256).toInt
+
+  /** Deterministic REAL MJPEG/AVI fixture: a genuine RIFF/AVI container —
+    * `LIST hdrl` holding a 56-byte `avih` main header and a `LIST strl`
+    * with a `vids/MJPG` 56-byte `strh` + 40-byte BITMAPINFOHEADER `strf`,
+    * then (odd ids) a word-aligned `JUNK` chunk a real reader must skip,
+    * then `LIST movi` carrying `1 + id mod 3` entropy-coded `00dc` MJPEG
+    * frames (each an [[encodeGrayJpeg]] block-constant JPEG — the m9
+    * bit-exact corner, per frame). Assembled byte-for-byte little-endian;
+    * frame period `usPerFrame = (33 + id mod 5) ms` lands in `avih` so the
+    * walker's header parse is pinned through `frame_t_ms`.
+    */
+  private[operators] def syntheticMjpegAvi(id: Long): Array[Byte] = {
+    val w = 8 * (1 + id % 3).toInt
+    val h = 8 * (1 + id % 2).toInt
+    val nFrames = (1 + id % 3).toInt
+    val usPerFrame = (33 + id % 5).toInt * 1000
+    val frames = (0 until nFrames).map(f =>
+      encodeGrayJpeg(w, h, (x, y) => mjpegBlockValue(id, f, x / 8, y / 8)))
+    val avihSize = 56; val strhSize = 56; val strfSize = 40
+    val strlSize = 4 + 8 + strhSize + 8 + strfSize
+    val hdrlSize = 4 + 8 + avihSize + 8 + strlSize
+    val junk = id % 2 == 1
+    val junkLen = if (junk) 14 else 0
+    val moviSize = 4 + frames.map(fb => 8 + fb.length + (fb.length & 1)).sum
+    val total = 12 + 8 + hdrlSize + junkLen + 8 + moviSize
+    val buf = java.nio.ByteBuffer.allocate(total)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fcc(s: String): Unit = { buf.put(s.getBytes("US-ASCII")); () }
+    fcc("RIFF"); buf.putInt(total - 8); fcc("AVI ")
+    fcc("LIST"); buf.putInt(hdrlSize); fcc("hdrl")
+    fcc("avih"); buf.putInt(avihSize)
+    buf.putInt(usPerFrame).putInt(0).putInt(0).putInt(0)
+    buf.putInt(nFrames).putInt(0).putInt(1).putInt(0)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    fcc("LIST"); buf.putInt(strlSize); fcc("strl")
+    fcc("strh"); buf.putInt(strhSize)
+    fcc("vids"); fcc("MJPG"); buf.putInt(0)
+    buf.putShort(0).putShort(0).putInt(0)
+    buf.putInt(usPerFrame).putInt(1000000)      // scale/rate: fps = rate/scale
+    buf.putInt(0).putInt(nFrames)
+    buf.putInt(frames.map(_.length).max).putInt(10000).putInt(0)
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fcc("strf"); buf.putInt(strfSize)
+    buf.putInt(40).putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)
+    fcc("MJPG"); buf.putInt(w * h * 3)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    if (junk) { fcc("JUNK"); buf.putInt(6); buf.put(Array.fill[Byte](6)(0x6a)) }
+    fcc("LIST"); buf.putInt(moviSize); fcc("movi")
+    frames.foreach { fb =>
+      fcc("00dc"); buf.putInt(fb.length); buf.put(fb)
+      if ((fb.length & 1) == 1) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** Walk a RIFF/AVI container: recurse into `hdrl`/`strl`/`movi` LISTs,
+    * read the `avih` main header (frame period, declared frame count,
+    * dims), collect every video-data (`..dc`) chunk's payload, skip JUNK
+    * and unknown chunks word-aligned — the m4 RIFF discipline, one
+    * container generation up. Every chunk size is bounds-checked before
+    * use, and the declared frame count must equal the frames actually
+    * present in `movi` (a truncated container fails loudly, never
+    * silently serves fewer frames). Returns (width, height, usPerFrame,
+    * frame payloads).
+    */
+  private[operators] def aviMjpegFrames(docId: Long,
+      payload: Array[Byte]): (Int, Int, Int, Seq[Array[Byte]]) = {
+    def i32le(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+        ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+    def tagOf(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    require(payload.length >= 12 && tagOf(payload, 0) == "RIFF" &&
+      tagOf(payload, 8) == "AVI ",
+      s"doc $docId: not a RIFF/AVI payload")
+    var width = -1; var height = -1; var usPerFrame = -1; var declared = -1
+    val frames = Seq.newBuilder[Array[Byte]]
+    def walk(start: Int, end: Int): Unit = {
+      var off = start
+      while (off + 8 <= end) {
+        val id = tagOf(payload, off)
+        val size = i32le(payload, off + 4)
+        require(size >= 0 && off + 8 + size <= end,
+          s"doc $docId: AVI chunk '$id' claims $size bytes past its list end")
+        if (id == "LIST") {
+          val form = tagOf(payload, off + 8)
+          if (form == "hdrl" || form == "strl" || form == "movi")
+            walk(off + 12, off + 8 + size)
+          // unknown LIST forms are skipped whole, like any unknown chunk
+        } else if (id == "avih") {
+          require(size >= 40, s"doc $docId: avih chunk too small ($size)")
+          usPerFrame = i32le(payload, off + 8)
+          declared = i32le(payload, off + 8 + 16)
+          width = i32le(payload, off + 8 + 32)
+          height = i32le(payload, off + 8 + 36)
+        } else if (id.length == 4 && id.endsWith("dc")) {
+          frames += payload.slice(off + 8, off + 8 + size)
+        } // strh/strf/JUNK/idx1/...: skipped word-aligned
+        off += 8 + size + (size & 1)
+      }
+    }
+    walk(12, payload.length)
+    require(width > 0 && height > 0 && usPerFrame > 0,
+      s"doc $docId: AVI has no avih main header")
+    val got = frames.result()
+    require(got.size == declared,
+      s"doc $docId: avih declares $declared frames, movi carries ${got.size}")
+    (width, height, usPerFrame, got)
+  }
+
+  /** m10 gate query: MJPEG/AVI FRAME EXTRACT — the video-container class
+    * composed from the pieces already proven: the m4 RIFF chunk walk
+    * (recursing AVI's LIST structure, skipping JUNK) finds the `00dc`
+    * video chunks, the m9 JPEG decoder (real DCT + Huffman via
+    * `javax.imageio`) renders each frame, and the m6/m9 relational stat
+    * shape follows PER FRAME, with `frame_t_ms` derived from the `avih`
+    * frame period so the header parse is hash-pinned too. The oracle
+    * restates the generative per-frame block formula — hash equality
+    * proves container walk + per-frame entropy decode reproduced every
+    * pixel of every frame.
+    *
+    * Scale shape: identical to m9 — fixture build + container walk +
+    * per-frame decode are one partition-local `mapPartitions` pass (frame
+    * payloads never shuffle), stats partial-agg'd on the high-cardinality
+    * (doc, frame) key; what shuffles is 4 longs per frame, never pixels.
+    */
+  def m10AviFrameStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val (w, h, usPf, frames) = aviMjpegFrames(id, syntheticMjpegAvi(id))
+        frames.zipWithIndex.map { case (fb, f) =>
+          val (dw, dh, g) = jpegGray(id, fb)
+          require(dw == w && dh == h,
+            s"doc $id frame $f: decoded ${dw}x$dh != avih ${w}x$h")
+          (id, f, f.toLong * (usPf / 1000), dw, dh, g)
+        }
+      })
+      .toDF("doc_id", "frame_idx", "frame_t_ms", "width", "height", "lum")
+      .select(col("doc_id"), col("frame_idx"), col("frame_t_ms"),
+        col("width"), col("height"), posexplode(col("lum")).as(Seq("i", "l")))
+      .groupBy("doc_id", "frame_idx", "frame_t_ms", "width", "height")
       .agg(count(lit(1)).as("n_pixels"),
         sum(col("l").cast("long")).as("sum_lum"),
         max(col("l")).cast("long").as("max_lum"),

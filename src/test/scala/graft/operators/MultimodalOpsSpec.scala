@@ -210,6 +210,52 @@ class MultimodalOpsSpec extends SparkSpec {
     }
   }
 
+  test("m10: the AVI walk recovers every MJPEG frame bit-exactly, JUNK skipped") {
+    for (id <- 0L until 40L) {
+      val payload = MultimodalOps.syntheticMjpegAvi(id)
+      // a real RIFF/AVI container with an hdrl LIST before the movi data
+      assert(new String(payload, 0, 4, "US-ASCII") == "RIFF" &&
+        new String(payload, 8, 4, "US-ASCII") == "AVI ", s"doc $id: not AVI")
+      val (w, h, usPf, frames) =
+        MultimodalOps.aviMjpegFrames(id, payload)
+      assert(w == 8 * (1 + id % 3).toInt && h == 8 * (1 + id % 2).toInt,
+        s"doc $id: avih dims")
+      assert(usPf == (33 + id % 5).toInt * 1000, s"doc $id: avih frame period")
+      assert(frames.size == (1 + id % 3).toInt, s"doc $id: frame count")
+      frames.zipWithIndex.foreach { case (fb, f) =>
+        val (dw, dh, g) = MultimodalOps.jpegGray(id, fb)
+        assert(dw == w && dh == h, s"doc $id frame $f dims")
+        for (y <- 0 until h; x <- 0 until w)
+          assert(g(y * w + x) ==
+            MultimodalOps.mjpegBlockValue(id, f, x / 8, y / 8),
+            s"doc $id frame $f pixel ($x,$y) drifted")
+      }
+    }
+  }
+
+  test("m10 walker fails loudly when avih's frame count disagrees with movi") {
+    val payload = MultimodalOps.syntheticMjpegAvi(5L) // 3 frames declared
+    // truncate the container just after the second frame's chunk: find the
+    // third '00dc' tag and cut there, then fix up the RIFF/movi sizes by
+    // walking — simplest loud-failure probe: chop the last 00dc chunk out
+    def find(tag: String, from: Int): Int = {
+      var i = from
+      while (i + 4 <= payload.length &&
+        new String(payload, i, 4, "US-ASCII") != tag) i += 1
+      i
+    }
+    val third = {
+      var p = find("00dc", 12)
+      p = find("00dc", p + 4)
+      find("00dc", p + 4)
+    }
+    assert(third + 4 <= payload.length, "fixture should carry 3 frames")
+    val truncated = payload.take(third)
+    intercept[IllegalArgumentException] {
+      MultimodalOps.aviMjpegFrames(5L, truncated)
+    }
+  }
+
   test("m7 decoder rejects non-PNG payloads loudly") {
     val bad = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9)
     intercept[IllegalArgumentException] {
