@@ -115,6 +115,30 @@ class PlanShapeSpec extends SparkSpec {
     assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined, p)
   }
 
+  test("st20: the per-batch raw-list serving plan prunes bins and broadcasts the batch") {
+    import org.apache.spark.sql.functions._
+    // the exact plan the st20 stream's foreachBatch executes, via the
+    // factored ivfServeBatch helper (st22's pqServeRefineBatch discipline):
+    // partition-pruned index scan + the batch broadcast into it
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-st20-plan").toString
+    VectorQueries.assignToCentroids(spark, sfDir, emb)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"file:$dir")
+    val queries = VectorQueries.assignToCentroids(spark, sfDir,
+        emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+      .localCheckpoint(true)
+    val df = VectorQueries.ivfServeBatch(spark, queries, dir, 3)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*centroid_id""".r.findFirstIn(p).isDefined,
+      s"raw-list scan carries no centroid_id partition filter: $p")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    CorpusPipeline.freeCut(queries)
+  }
+
   test("e32: the persisted IVF-PQ code read is partition-pruned to probed bins") {
     // the codes live in the on-disk inverted lists (partitionBy bin) and
     // serving must read only the queries' coarse bins — at scale unprobed
