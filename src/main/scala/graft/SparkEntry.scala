@@ -147,6 +147,7 @@ object SparkEntry {
     "e25_trained_pq_search" -> ((s, d) => V.e25TrainedPqSearch(s, d)),
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
+    "e33_filtered_pq_serve" -> ((s, d) => V.e33FilteredPqServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
     "st22_streaming_pq_serve" -> ((s, d) => V.st22StreamingPqServe(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
@@ -1310,6 +1311,7 @@ object SparkEntry {
     // partition-pruned — same math, same rows as e26, different storage
     // path; the shared oracle IS the equivalence claim (the e18/st17 rule)
     "e32_persisted_ivfpq" -> e26OracleSql,
+    "e33_filtered_pq_serve" -> e33OracleSql,
     // st21 builds e32's compressed index from a stream under frozen
     // codebooks — batch-built ∪ batch-built ≡ one-shot build, so serving
     // answers e26's search exactly (the e18/st17 rule, compressed)
@@ -2313,6 +2315,73 @@ object SparkEntry {
        | FROM scored)
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS npq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
+  }
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e33FilteredPqServe]]
+    * — e28's trained nprobe=2 ADC chain with the label predicate applied
+    * to the candidate CODES (pre-filtering, the correctness-relevant
+    * choice), shortlisted to the top 10 per query, then e30's exact
+    * decimal-cosine re-rank to the final top-3.
+    */
+  private def e33OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${kmeansAssignCte("casg0", s"c$iters")},
+       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
+       |${pqAssignCte("pafin", s"pc$iters")},
+       |codes AS (
+       | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
+       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id
+       | JOIN embeddings le ON le.vec_id = p.vec_id
+       | WHERE le.label IN (1, 3, 5)),
+       |probes AS (
+       | SELECT vec_id AS query_id, centroid_id AS bin FROM (
+       |  SELECT e.vec_id, c.centroid_id,
+       |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |     CAST(list_aggregate(list_transform(range(1, len(e.embedding)+1),
+       |       i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i]), 'sum')
+       |      AS DECIMAL(20,6)) DESC,
+       |     c.centroid_id ASC) AS rk
+       |  FROM embeddings e, c$iters c WHERE e.vec_id < 10) t WHERE rk <= 2),
+       |qd AS (
+       | SELECT s.vec_id AS query_id, s.m, c.centroid_id,
+       |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
+       |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
+       | FROM sub s JOIN pc$iters c ON c.m = s.m WHERE s.vec_id < 10),
+       |scored AS (
+       | SELECT pr.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
+       | FROM codes c
+       | JOIN probes pr ON pr.bin = c.bin
+       | JOIN qd q ON q.query_id = pr.query_id AND q.m = c.m
+       |  AND q.centroid_id = c.centroid_id
+       | WHERE c.neighbor_id <> pr.query_id
+       | GROUP BY pr.query_id, c.neighbor_id),
+       |shortl AS (
+       | SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |   row_number() OVER (PARTITION BY query_id
+       |                      ORDER BY sim_sum DESC, neighbor_id ASC) AS rk
+       |  FROM scored) WHERE rk <= 10),
+       |refsc AS (
+       | SELECT s.query_id, s.neighbor_id,
+       |  CAST(
+       |   list_aggregate(list_transform(range(1, len(q.embedding)+1),
+       |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)), 'sum') /
+       |   (sqrt(list_aggregate(list_transform(q.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) *
+       |    sqrt(list_aggregate(list_transform(n.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')))
+       |  AS DECIMAL(20,6)) AS sim_dec
+       | FROM shortl s
+       | JOIN embeddings q ON q.vec_id = s.query_id
+       | JOIN embeddings n ON n.vec_id = s.neighbor_id)
+       |SELECT query_id, rank, neighbor_id,
+       | CAST(sim_dec AS DOUBLE) AS refined_sim
+       |FROM (SELECT query_id, neighbor_id, sim_dec,
+       |  row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank
+       | FROM refsc) WHERE rank <= 3""".stripMargin
   }
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e30TrainedRefine]]

@@ -2092,6 +2092,120 @@ object VectorQueries {
       .withColumn("n_commits", lit(nBatches))
   }
 
+  /** e33: FILTERED SERVING OVER THE PERSISTED COMPRESSED INDEX — the two
+    * production serving axes composed: e19 proved predicate-constrained
+    * ANN on raw inverted lists; e32/st22 proved compressed (PQ-code)
+    * serving with exact refine. A deployed system needs both at once:
+    * "nearest neighbors of q WHERE label ∈ …" against an index whose
+    * entries are M-byte codes. The filterable attribute rides IN the
+    * inverted lists (the Vespa/Qdrant payload-in-index design): the e33
+    * index persists (vec_id, m, code, label) partitioned by coarse bin,
+    * so serving's bin-pruned scan pushes the label predicate INTO the
+    * parquet read (PushedFilters — candidates outside the predicate are
+    * dropped at the scan, before any ADC work) and the candidate volume
+    * is ∝ selectivity × Σ(probed bin sizes). Chain: nprobe=2 trained
+    * probe ranking (e28) → label-filtered bin-pruned code scan → ADC
+    * shortlist (top-`shortlist` by sub-dot sum) → exact decimal-cosine
+    * refine of the Q×shortlist survivors (e30) → top-k. Pre-filtering
+    * (not post-filtering the final top-k) is the correctness-relevant
+    * choice: post-filtering an unfiltered top-k UNDER-fills results for
+    * selective predicates; filtering before the shortlist keeps k results
+    * whenever the predicate admits them.
+    *
+    * Scale shape: per query the scan reads nprobe/C of the CODE table
+    * with the predicate applied at the reader; the ADC build side stays
+    * Q·M·K broadcast rows; refine touches Q×shortlist vectors. The
+    * oracle composes e28's nprobe ADC chain (label-filtered) with e30's
+    * exact re-rank, verbatim arithmetic.
+    */
+  def e33FilteredPqServe(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, nprobe: Int = 2, shortlist: Int = 10): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    val fine = pqTrainedCodebooks(spark, sfDir, iters)
+    val coarseCents = kmeansCentroids(spark, sfDir, iters)
+
+    // build-once filtered-index artifact: codes + the filterable label
+    // payload, bin-partitioned (stamp-guarded; st17's job class)
+    val indexDir = new java.io.File(s"target/parity/e33-index-$sfTag")
+      .getAbsoluteFile.toString
+    val marker = new java.io.File(indexDir, "._index_ok")
+    val stamp = s"$sfDir|$iters|" +
+      RelationalQueries.sourceStamp(sfDir, "embeddings")
+    val ok = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      pqCodes(spark, sfDir, iters)
+        .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .join(assignTrained(vecs, coarseCents)
+          .select(col("vec_id"), col("centroid_id").as("bin")), "vec_id")
+        .write.mode("overwrite").partitionBy("bin")
+        .parquet(s"file:$indexDir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+
+    // nprobe nearest trained centroids per query (e28's probe ranking)
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
+    val probes = vecs.filter(col("vec_id") < 10)
+      .crossJoin(broadcast(coarseCents))
+      .withColumn("sim_dec", trainedDotDec)
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("query_id"),
+        col("centroid_id").cast("long").as("bin"))
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = subspaces(vecs.filter(col("vec_id") < 10))
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("centroid_id").as("code"), dotc.as("qd"))
+
+    // bin-pruned, label-filtered code scan: the probed-bin list drives
+    // partition pruning; the label predicate pushes into the reader
+    val probed = probes.select(col("bin").cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$indexDir")
+      .parquet(s"file:$indexDir")
+      .filter(col("bin").cast("int").isin(probed: _*))
+      .filter(col("label").isin(1, 3, 5))
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
+        col("bin").cast("long").as("bin"))
+
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    val short = idx.join(broadcast(probes), "bin")
+      .join(broadcast(qdots), Seq("query_id", "m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rk", row_number().over(wS))
+      .filter(col("rk") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // exact refine of the bounded shortlist (e30's recipe)
+    def dotOf(a: Column, b: Column): Column = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    def normOf(c: Column): Column = sqrt(aggregate(c, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+      .join(broadcast(short), "neighbor_id")
+      .join(broadcast(vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), "query_id")
+      .withColumn("sim_dec", (dotOf(col("q_emb"), col("n_emb")) /
+        (normOf(col("q_emb")) * normOf(col("n_emb")))).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wR))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("refined_sim"))
+  }
+
   /** Remove `doomed` (a vec_id frame) from a persisted IVF index in place:
     * probe the affected bins with a column-pruned semi-join scan, then one
     * dynamic partition overwrite rewrites exactly those bins anti-joined

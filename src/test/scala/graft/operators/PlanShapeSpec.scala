@@ -158,6 +158,25 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e33: filtered compressed serving prunes bins AND pushes the label " +
+      "predicate into the CODE scan") {
+    // the payload-in-index design's whole point: the label predicate is
+    // applied by the parquet reader of the code lists (PushedFilters),
+    // before any ADC work, and the scan still carries the bin partition
+    // filter and reads codes only — never vectors
+    val p = plan("e33_filtered_pq_serve")
+    val idxLines = p.linesIterator.filter(_.contains("e33-index")).toSeq
+    assert(idxLines.nonEmpty, p)
+    idxLines.foreach { l =>
+      assert("""PartitionFilters: \[bin""".r.findFirstIn(l).isDefined,
+        s"code scan carries no bin partition filter: $l")
+      assert("""PushedFilters: \[[^\]]*label""".r.findFirstIn(l).isDefined,
+        s"label predicate not pushed to the code scan: $l")
+      assert(!l.contains("embedding"),
+        s"code scan reads vectors, not codes: $l")
+    }
+  }
+
   test("e19: filtered serving prunes bins AND pushes the label predicate") {
     val p = plan("e19_filtered_ivf")
     // partition pruning to probed bins (e18's contract) ...
