@@ -21,7 +21,12 @@ class RepeatRunHygieneSpec extends SparkSpec {
       "d36" -> (() => DedupQueries.d36SemanticDedup(spark, sfDir)),
       "st18" -> (() => DedupQueries.st18StreamingSemanticDedup(spark, sfDir)),
       "st17" -> (() => VectorQueries.st17StreamingIndexIngest(spark, sfDir)),
-      "d37" -> (() => TextQueries.d37IncrementalDedup(spark, sfDir)))
+      "d37" -> (() => TextQueries.d37IncrementalDedup(spark, sfDir)),
+      // r16 stateful additions: e33 memoizes its filtered index behind a
+      // stamp (second run must REUSE it identically); c6 wipes its scratch
+      // layout per run (second run must rebuild identically)
+      "e33" -> (() => VectorQueries.e33FilteredPqServe(spark, sfDir)),
+      "c6" -> (() => MaintenanceQueries.c6ClusterMaintain(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())
