@@ -51,7 +51,7 @@ object Bench {
     * constant is the floor the anchor can never fall through; the file
     * below only ever LOWERS it if a healthier steady is observed.
     */
-  private val HistoricalAnchor = 0.358
+  private[graft] val HistoricalAnchor = 0.358
 
   /** A fresh norm more than this factor above the recorded anchor means the
     * whole run sits on a degraded host even if it clears the absolute
@@ -81,7 +81,7 @@ object Bench {
     */
   private val NormFile = java.nio.file.Paths.get(".bench-anchor")
 
-  private def readBestNorm(): Option[Double] =
+  private[graft] def readBestNorm(): Option[Double] =
     try {
       if (java.nio.file.Files.exists(NormFile))
         Some(java.nio.file.Files.readString(NormFile).trim.toDouble)
@@ -98,7 +98,7 @@ object Bench {
     * magnitude slower under the flap (which hits file ops and task dispatch,
     * not arithmetic).
     */
-  private def canary(spark: SparkSession): Double = {
+  private[graft] def canary(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     val dir = "target/bench-canary"
     spark.range(0, 48, 1, 48).write.mode("overwrite").parquet(dir)
@@ -182,7 +182,7 @@ object Bench {
       freshNorm > NormCeiling || freshNorm > DegradedFactor * recordedAnchor
     // Severe degradation (the whole run 3x+ off steady): retries cannot
     // recover a clean number and only multiply wall-clock. MILD degradation
-    // (1.25-3x) keeps the retry loop — the host may recover mid-run and
+    // (1.15-3x) keeps the retry loop — the host may recover mid-run and
     // min-of-reps then lands real steadies even though the run as a whole
     // stays stamped host_degraded.
     val severelyDegraded =

@@ -967,7 +967,7 @@ object SparkEntry {
         |        unnest(range(0, width * height)) AS i FROM fr) t),
         |lums AS (
         | SELECT doc_id, frame_idx, ms_per_frame, width, height, y,
-        |  (doc_id * 37 + frame_idx * 101 + (x // 8) * 59 + (y // 8) * 83) % 256 AS lum
+        |  (doc_id * 37 + (frame_idx + 1) * 101 + (x // 8) * 59 + (y // 8) * 83) % 256 AS lum
         | FROM px)
         |SELECT doc_id, frame_idx,
         | CAST(frame_idx * ms_per_frame AS BIGINT) AS frame_t_ms,

@@ -641,11 +641,14 @@ object MultimodalOps {
 
   /** Deterministic block value of frame `f` of document `id`'s MJPEG/AVI
     * fixture — m9's rule extended with a per-frame term so no two frames
-    * (and no m9 image) can be confused.
+    * can be confused. The term is (f + 1) * 101, NOT f * 101: with a zero
+    * frame term, frame 0 would be byte-identical to the m9 image (same
+    * formula, same id-derived dims) and a walker bug serving the m9
+    * fixture for frame 0 would hash-match undetected.
     */
   private[operators] def mjpegBlockValue(id: Long, f: Int, bx: Int,
       by: Int): Int =
-    ((id * 37 + f * 101 + bx * 59 + by * 83) % 256).toInt
+    ((id * 37 + (f + 1) * 101 + bx * 59 + by * 83) % 256).toInt
 
   /** Deterministic REAL MJPEG/AVI fixture: a genuine RIFF/AVI container —
     * `LIST hdrl` holding a 56-byte `avih` main header and a `LIST strl`
@@ -730,7 +733,9 @@ object MultimodalOps {
       while (off + 8 <= end) {
         val id = tagOf(payload, off)
         val size = i32le(payload, off + 4)
-        require(size >= 0 && off + 8 + size <= end,
+        // Long arithmetic: a corrupt size near Int.MaxValue would wrap
+        // `off + 8 + size` negative and slip past an Int comparison
+        require(size >= 0 && off.toLong + 8L + size.toLong <= end.toLong,
           s"doc $docId: AVI chunk '$id' claims $size bytes past its list end")
         if (id == "LIST") {
           val form = tagOf(payload, off + 8)

@@ -237,7 +237,7 @@ object ScaleSlope {
     // that 4 points on a marginal host could not adjudicate; 8 batches
     // with a canary stamp can. Flat = last-quartile mean ≤ ~1.2x
     // first-quartile mean on a healthy canary.
-    val flatJson = if (sections("flat")) {
+    val flatEntry = if (sections("flat")) {
       spark.catalog.clearCache()
       val dir10 = ensureScaled(spark, base, 10)
       val cF = canary()
@@ -256,8 +256,9 @@ object ScaleSlope {
       f""""st19_flatness":{"scale":"x10","canary":$cF%.3f,""" +
         f""""batch_sec":[${batches.map(b => f"$b%.3f").mkString(",")}],""" +
         f""""first_q_mean":$firstQ%.3f,"last_q_mean":$lastQ%.3f,""" +
-        f""""last_over_first_q":$ratio%.3f},"""
+        f""""last_over_first_q":$ratio%.3f}"""
     } else ""
+    val flatJson = if (flatEntry.isEmpty) "" else flatEntry + ","
 
     // ---- d38 BPE-dispatch crossover: classic (full-vocab window per
     // round) vs incremental (affected words only) at budget 50, on
@@ -308,10 +309,21 @@ object ScaleSlope {
       java.nio.file.Files.writeString(out, json + "\n")
       println(json)
     } else {
-      val out = java.nio.file.Paths.get("target/bpecrossover.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.writeString(out, s"{$crossoverJson}\n")
-      println(s"{$crossoverJson}")
+      // partial runs must not clobber sections they did not run: a
+      // d38-only iteration lands in its own file, a flat-only run in its
+      // own — and neither touches the other's artifact
+      if (sections("d38")) {
+        val out = java.nio.file.Paths.get("target/bpecrossover.json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, s"{$crossoverJson}\n")
+        println(s"{$crossoverJson}")
+      }
+      if (sections("flat") && flatEntry.nonEmpty) {
+        val out = java.nio.file.Paths.get("target/st19flatness.json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, s"{$flatEntry}\n")
+        println(s"{$flatEntry}")
+      }
     }
     spark.stop()
   }
