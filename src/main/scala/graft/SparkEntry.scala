@@ -148,6 +148,8 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
     "e33_filtered_pq_serve" -> ((s, d) => V.e33FilteredPqServe(s, d)),
+    "st23_streaming_filtered_serve" ->
+      ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
     "st22_streaming_pq_serve" -> ((s, d) => V.st22StreamingPqServe(s, d)),
     "e27_pq_k64" -> ((s, d) => V.e27PqK64(s, d)),
@@ -1312,6 +1314,8 @@ object SparkEntry {
     // path; the shared oracle IS the equivalence claim (the e18/st17 rule)
     "e32_persisted_ivfpq" -> e26OracleSql,
     "e33_filtered_pq_serve" -> e33OracleSql,
+    "st23_streaming_filtered_serve" ->
+      e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
     // codebooks — batch-built ∪ batch-built ≡ one-shot build, so serving
     // answers e26's search exactly (the e18/st17 rule, compressed)
@@ -2323,7 +2327,12 @@ object SparkEntry {
     * choice), shortlisted to the top 10 per query, then e30's exact
     * decimal-cosine re-rank to the final top-3.
     */
-  private def e33OracleSql: String = {
+  private def e33OracleSql: String = e33OracleSqlWith("")
+
+  /** e33's SQL with `extraCols` appended to the final SELECT — st23's
+    * oracle is e33's verbatim plus the exactly-once commit count.
+    */
+  private def e33OracleSqlWith(extraCols: String): String = {
     val iters = 2
     s"""WITH ${pqChainSql(iters)},
        |${kmeansChainSql(iters)},
@@ -2377,7 +2386,7 @@ object SparkEntry {
        | JOIN embeddings q ON q.vec_id = s.query_id
        | JOIN embeddings n ON n.vec_id = s.neighbor_id)
        |SELECT query_id, rank, neighbor_id,
-       | CAST(sim_dec AS DOUBLE) AS refined_sim
+       | CAST(sim_dec AS DOUBLE) AS refined_sim$extraCols
        |FROM (SELECT query_id, neighbor_id, sim_dec,
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY sim_dec DESC, neighbor_id ASC) AS rank

@@ -2132,14 +2132,27 @@ object VectorQueries {
     */
   def e33FilteredPqServe(spark: SparkSession, sfDir: String, k: Int = 3,
       iters: Int = 2, nprobe: Int = 2, shortlist: Int = 10): DataFrame = {
+    val vecs = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = filteredIvfPqIndexDir(spark, sfDir, iters)
+    filteredPqServeBatch(spark, sfDir, vecs.filter(col("vec_id") < 10),
+      pqTrainedCodebooks(spark, sfDir, iters),
+      kmeansCentroids(spark, sfDir, iters),
+      indexDir, k, nprobe, shortlist)
+  }
+
+  /** Build-once accessor for the FILTERED compressed index (e33's
+    * artifact): (vec_id, m, code, label) bin-partitioned inverted lists —
+    * the label payload rides in the lists so serving can push the
+    * predicate into the code scan. Stamp-guarded per corpus cut; e33's
+    * one-shot serving and st23's streaming serving both read this one
+    * artifact (the e32↔st22 pairing, filtered generation).
+    */
+  private[operators] def filteredIvfPqIndexDir(spark: SparkSession,
+      sfDir: String, iters: Int): String = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
     val vecs = emb.select(col("vec_id"), col("embedding"))
-    val fine = pqTrainedCodebooks(spark, sfDir, iters)
-    val coarseCents = kmeansCentroids(spark, sfDir, iters)
-
-    // build-once filtered-index artifact: codes + the filterable label
-    // payload, bin-partitioned (stamp-guarded; st17's job class)
     val indexDir = new java.io.File(s"target/parity/e33-index-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(indexDir, "._index_ok")
@@ -2151,18 +2164,132 @@ object VectorQueries {
       pqCodes(spark, sfDir, iters)
         .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
         .join(emb.select(col("vec_id"), col("label")), "vec_id")
-        .join(assignTrained(vecs, coarseCents)
+        .join(assignTrained(vecs, kmeansCentroids(spark, sfDir, iters))
           .select(col("vec_id"), col("centroid_id").as("bin")), "vec_id")
         .write.mode("overwrite").partitionBy("bin")
         .parquet(s"file:$indexDir")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
+    indexDir
+  }
 
+  /** st23: STREAMING FILTERED SERVING OVER THE COMPRESSED INDEX — the
+    * last serving composition: st22 streams query batches against the
+    * compressed index; e33 adds the predicate axis; st23 runs e33's exact
+    * per-batch plan ([[filteredPqServeBatch]] — nprobe probes →
+    * bin-pruned label-filtered code scan → ADC shortlist → exact refine)
+    * inside the micro-batched serving loop, with batchId-keyed result
+    * commits (replays no-op), in-loop log maintenance, and the batch
+    * count derived from replay keys. Streaming ≡ one-shot for the st20
+    * reason: each query's answer is a function of (its embedding, the
+    * frozen index, the frozen predicate) alone, so the log's union over
+    * any batching IS e33's one-shot answer — the oracle is e33's SQL plus
+    * the commit count.
+    */
+  def st23StreamingFilteredServe(spark: SparkSession, sfDir: String,
+      k: Int = 3, iters: Int = 2, nprobe: Int = 2,
+      shortlist: Int = 10): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val srcStamp = s"$sfDir|$iters|" +
+      RelationalQueries.sourceStamp(sfDir, "embeddings")
+
+    // the served artifact + frozen trained rows (st22's discipline)
+    val indexDir = filteredIvfPqIndexDir(spark, sfDir, iters)
+    val fineRows = pqTrainedCodebooks(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2))).toSeq
+    val coarseRows = kmeansCentroids(spark, sfDir, iters).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+
+    // query arrivals fixture: e33's query set, 4-way range-split
+    val qDir = new java.io.File(s"target/parity/st23-queries-$sfTag")
+      .getAbsoluteFile.toString
+    val qMarker = new java.io.File(qDir, "._queries_ok")
+    val qValid = qMarker.isFile && new String(
+      java.nio.file.Files.readAllBytes(qMarker.toPath), "UTF-8") == srcStamp
+    if (!qValid) {
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding"))
+        .repartitionByRange(4, col("vec_id"))
+        .write.mode("overwrite").parquet(s"file:$qDir")
+      java.nio.file.Files.write(qMarker.toPath, srcStamp.getBytes("UTF-8"))
+    }
+
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def wipeFs(path: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hconf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    val resultsPath = new java.io.File(s"target/parity/st23-results-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/st23-ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$qDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        import bs.implicits._
+        val fine = fineRows.toDF("m", "centroid_id", "c")
+        val cents = coarseRows.toDF("centroid_id", "c")
+        val qch = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint(true)
+        val res = filteredPqServeBatch(bs, sfDir, qch, fine, cents,
+          indexDir, k, nprobe, shortlist)
+        val prior = SnapshotLog.latestVersion(bs, s"file:$resultsPath")
+          .map(v => SnapshotLog.manifest(bs, s"file:$resultsPath", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$resultsPath", res.coalesce(1), prior,
+          commitKey = Some(s"batch-$batchId"))
+        maintainStreamLog(bs, s"file:$resultsPath", None,
+          maxFilesPerPartition = 2, batchId)
+        CorpusPipeline.freeCut(qch)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val v = SnapshotLog.latestVersion(spark, s"file:$resultsPath")
+      .getOrElse(sys.error("st23: no result commits"))
+    val nBatches = SnapshotLog.commitKeys(spark, s"file:$resultsPath")
+      .count(_.startsWith("batch-"))
+    SnapshotLog.read(spark, s"file:$resultsPath", v)
+      .withColumn("n_commits", lit(nBatches))
+  }
+
+  /** One query batch served against the frozen FILTERED compressed index —
+    * e33's per-batch plan, factored out beside [[ivfServeBatch]] and
+    * [[pqServeRefineBatch]] so the one-shot query and the st23 stream
+    * execute the identical plan: nprobe trained probe ranking →
+    * bin-pruned, label-filtered code scan (partition prune from the
+    * probed-bin driver list; the predicate pushes into the reader) → ADC
+    * shortlist → exact decimal-cosine refine. `queries` is a (vec_id,
+    * embedding) frame the caller may localCheckpoint (it feeds the probe
+    * ranking, the ADC table, AND the refine join) and free afterward.
+    */
+  private[operators] def filteredPqServeBatch(bs: SparkSession,
+      sfDir: String, queries: DataFrame, fine: DataFrame, cents: DataFrame,
+      indexDir: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
     // nprobe nearest trained centroids per query (e28's probe ranking)
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
-    val probes = vecs.filter(col("vec_id") < 10)
-      .crossJoin(broadcast(coarseCents))
+    val probes = queries
+      .crossJoin(broadcast(cents))
       .withColumn("sim_dec", trainedDotDec)
       .withColumn("rk", row_number().over(wp))
       .filter(col("rk") <= nprobe)
@@ -2170,7 +2297,7 @@ object VectorQueries {
         col("centroid_id").cast("long").as("bin"))
     val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
       lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
-    val qdots = subspaces(vecs.filter(col("vec_id") < 10))
+    val qdots = subspaces(queries)
       .join(broadcast(fine), "m")
       .select(col("vec_id").as("query_id"), col("m"),
         col("centroid_id").as("code"), dotc.as("qd"))
@@ -2179,7 +2306,7 @@ object VectorQueries {
     // partition pruning; the label predicate pushes into the reader
     val probed = probes.select(col("bin").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
-    val idx = spark.read.option("basePath", s"file:$indexDir")
+    val idx = bs.read.option("basePath", s"file:$indexDir")
       .parquet(s"file:$indexDir")
       .filter(col("bin").cast("int").isin(probed: _*))
       .filter(col("label").isin(1, 3, 5))
@@ -2205,9 +2332,10 @@ object VectorQueries {
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val wR = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-    vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
+    table(bs, sfDir, "embeddings")
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"))
       .join(broadcast(short), "neighbor_id")
-      .join(broadcast(vecs.filter(col("vec_id") < 10)
+      .join(broadcast(queries
         .select(col("vec_id").as("query_id"),
           col("embedding").as("q_emb"))), "query_id")
       .withColumn("sim_dec", (dotOf(col("q_emb"), col("n_emb")) /
