@@ -423,7 +423,13 @@ object SnapshotLog {
           if (subEmpty && (subSwept || entryAged)) {
             fs.delete(st.getPath, false)
             deleted += st.getPath.toString
-            swept = true
+            // Only FILE deletions qualify a parent for the "the sweep
+            // itself emptied it" removal. Removing an already-empty AGED
+            // subdir must not mark the parent swept: a FRESH parent that
+            // merely contained an old empty subdir is indistinguishable
+            // from an in-flight staged commit dir, and the staged-dir
+            // guard above must keep protecting it.
+            if (subSwept) swept = true
           } else empty = false
         } else if (!live.contains(st.getPath.toString) &&
             st.getModificationTime < cutoff) {

@@ -258,7 +258,6 @@ object ScaleSlope {
         f""""first_q_mean":$firstQ%.3f,"last_q_mean":$lastQ%.3f,""" +
         f""""last_over_first_q":$ratio%.3f}"""
     } else ""
-    val flatJson = if (flatEntry.isEmpty) "" else flatEntry + ","
 
     // ---- d38 BPE-dispatch crossover: classic (full-vocab window per
     // round) vs incremental (affected words only) at budget 50, on
@@ -298,12 +297,46 @@ object ScaleSlope {
       s""""d38_crossover":{"budget":$bpeBudget,""" +
         s""""threshold":${graft.operators.TextQueries.IncrementalVocabThreshold},""" +
         s""""rows":$bpeRows}"""
-    // a partial run (one section) must not clobber the other section's
-    // recorded artifact: the full gate file only rewrites when the slope
-    // sweep ran; a d38-only iteration lands in its own file
+    // a partial run (one section) must not clobber the other sections'
+    // recorded artifacts: the full gate file only rewrites when the slope
+    // sweep ran, and even then a skipped flat/d38 section's entry is
+    // CARRIED FORWARD from the existing artifact (or omitted when none
+    // was ever recorded) rather than overwritten with an empty shell
     if (sections("slope")) {
-      val json =
-        s"""{"samples":$sampleJson,"x10_over_sf01_slope":{$slopes},$flatJson$crossoverJson}"""
+      // extract `"key":{...}` (balanced braces; these entries hold only
+      // numbers and fixed labels, never brace-bearing strings) from the
+      // previously written artifact
+      def carryForward(key: String): Option[String] = {
+        val p = java.nio.file.Paths.get("target/scaleslope.json")
+        if (!java.nio.file.Files.exists(p)) return None
+        val s = java.nio.file.Files.readString(p)
+        val tag = s""""$key":"""
+        val at = s.indexOf(tag)
+        val start = at + tag.length
+        if (at < 0 || start >= s.length || s.charAt(start) != '{') return None
+        var depth = 0
+        var i = start
+        while (i < s.length) {
+          s.charAt(i) match {
+            case '{' => depth += 1
+            case '}' =>
+              depth -= 1
+              if (depth == 0) return Some(s.substring(at, i + 1))
+            case _ =>
+          }
+          i += 1
+        }
+        None
+      }
+      val parts = Seq(
+        Some(s""""samples":$sampleJson"""),
+        Some(s""""x10_over_sf01_slope":{$slopes}"""),
+        if (flatEntry.nonEmpty) Some(flatEntry)
+        else carryForward("st19_flatness"),
+        if (sections("d38")) Some(crossoverJson)
+        else carryForward("d38_crossover")
+      ).flatten
+      val json = parts.mkString("{", ",", "}")
       val out = java.nio.file.Paths.get("target/scaleslope.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.writeString(out, json + "\n")

@@ -240,4 +240,29 @@ class SnapshotLogSpec extends SparkSpec {
     assert(deleted2.nonEmpty && after < before,
       s"sweep-emptied commit dirs not removed: before=$before after=$after")
   }
+
+  test("an aged empty subdir does not mark a FRESH parent sweepable") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-retain-nested").toString
+    val path = s"file:$dir"
+    val v1 = SnapshotLog.commit(spark, path, Seq(1L).toDF("id"), carried = Nil)
+    SnapshotLog.commit(spark, path, Seq(2L).toDF("id"),
+      carried = SnapshotLog.manifest(spark, path, v1))
+    // a concurrent committer mid-write: a FRESH staged commit dir that
+    // happens to contain an aged EMPTY subdir (e.g. a partition dir
+    // inherited from a resumed attempt). Removing the aged empty child is
+    // correct — but that removal is not a file deletion, so it must NOT
+    // flag the fresh parent as "emptied by the sweep" and take it down
+    // mid-write with it.
+    val staged = new java.io.File(dir, "data/commit-v99999-inflight")
+    val oldSub = new java.io.File(staged, "part=stale")
+    assert(oldSub.mkdirs())
+    assert(oldSub.setLastModified(
+      System.currentTimeMillis() - 48 * 3600 * 1000L))
+    val (_, deleted) = SnapshotLog.retainVersions(spark, path, keep = 2,
+      olderThanMillis = 3600 * 1000L)
+    assert(!oldSub.exists(), s"aged empty subdir not reclaimed: $deleted")
+    assert(staged.isDirectory,
+      s"fresh staged parent swept because its aged empty subdir was: $deleted")
+  }
 }
