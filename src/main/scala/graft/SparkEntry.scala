@@ -121,6 +121,7 @@ object SparkEntry {
     "m7_png_stats" -> (M.m7PngStats _),
     "m9_jpeg_stats" -> (M.m9JpegBlockStats _),
     "m10_avi_frames" -> (M.m10AviFrameStats _),
+    "m11_wav_spectra" -> (M.m11WavSpectra _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" ->
@@ -148,6 +149,8 @@ object SparkEntry {
     "e26_trained_ivfpq_full" -> ((s, d) => V.e26TrainedIvfPqFull(s, d)),
     "e32_persisted_ivfpq" -> ((s, d) => V.e32PersistedIvfPq(s, d)),
     "e33_filtered_pq_serve" -> ((s, d) => V.e33FilteredPqServe(s, d)),
+    "e34_filtered_serve_range" -> ((s, d) => V.e34FilteredServeRange(s, d)),
+    "e35_bin_split_maintain" -> ((s, d) => V.e35BinSplitMaintain(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -212,6 +215,7 @@ object SparkEntry {
     "q46_variant_shredded" -> (R.q46VariantShredded _),
     "q44_recursive_cte" -> (R.q44RecursiveCte _),
     "q45_listagg" -> (R.q45Listagg _),
+    "q50_gap_fill" -> (R.q50GapFill _),
     "d22_segment_dedup" -> (T.d22SegmentDedup _),
     "d23_packing" -> (T.d23Packing _),
     "d24_pii_redact" -> (T.d24PiiRedact _),
@@ -439,6 +443,19 @@ object SparkEntry {
         | count(*) AS n_nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name""".stripMargin,
+    // q50: IGNORE NULLS carry-forward — the window order is total
+    // (line numbers DUPLICATE within an order in this synthetic lineitem,
+    // so l_quantity tiebreaks; residual ties carry equal values); rows
+    // before an order's first kept line fill as NULL in both engines
+    "q50_gap_fill" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END AS sparse_qty,
+        | last_value(CASE WHEN l_linenumber % 3 = 1 THEN l_quantity END
+        |            IGNORE NULLS)
+        |  OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |  AS filled_qty
+        |FROM lineitem""".stripMargin,
     "q13_cube" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(30,2))) AS DOUBLE) AS total
@@ -863,6 +880,30 @@ object SparkEntry {
         | CAST(sum(s * s) AS BIGINT) AS sum_sq,
         | CAST(max(abs(s)) AS BIGINT) AS peak
         |FROM samples GROUP BY doc_id, i // 8""".stripMargin,
+    // m11: the generative PCM formula pushed through the even-bin 8-point
+    // DFT coefficient pattern (k∈{0,2,4} ⇒ twiddles in {-1,0,1}: pure
+    // int64). Window position is i mod 8, so i%4 / i%2 ARE the in-window
+    // phases; the engine recovered the samples from the WAV bytes
+    "m11_wav_spectra" ->
+      """WITH params AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        |samples AS (
+        | SELECT doc_id, i, ((doc_id * 31 + i * 7919) % 65536) - 32768 AS s
+        | FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM params) t),
+        |sums AS (
+        | SELECT doc_id, CAST(i // 8 AS INT) AS window_idx,
+        |  count(*) AS n_in_window,
+        |  sum(s) AS re0,
+        |  sum(CASE WHEN i % 4 = 0 THEN s WHEN i % 4 = 2 THEN -s
+        |      ELSE 0 END) AS re2,
+        |  sum(CASE WHEN i % 4 = 1 THEN s WHEN i % 4 = 3 THEN -s
+        |      ELSE 0 END) AS im2,
+        |  sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS re4
+        | FROM samples GROUP BY doc_id, i // 8)
+        |SELECT doc_id, window_idx, n_in_window,
+        | CAST(re0 * re0 AS BIGINT) AS mag2_dc,
+        | CAST(re2 * re2 + im2 * im2 AS BIGINT) AS mag2_k2,
+        | CAST(re4 * re4 AS BIGINT) AS mag2_k4
+        |FROM sums""".stripMargin,
     // the m6 generative formula restated in IMAGE coordinates (y top-down):
     // the Spark side recovered (x, y, BGR) from the BYTES (data offset,
     // stride padding, signed-height row order), so hash equality proves the
@@ -948,7 +989,9 @@ object SparkEntry {
         | CAST(max(lum) AS BIGINT) AS max_lum,
         | CAST(sum((y + 1) * lum) AS BIGINT) AS ysum
         |FROM lums GROUP BY doc_id, width, height""".stripMargin,
-    // m10: the m9 block formula extended with the per-frame term (f * 101)
+    // m10: the m9 block formula extended with the per-frame term
+    // ((f + 1) * 101) — 1-based so frame 0 is NOT byte-identical to the
+    // m9 fixture (see MultimodalOps.mjpegBlockValue)
     // and avih's (33 + id mod 5) ms frame period — the oracle restates the
     // generative math; the engine must recover it from the AVI bytes
     "m10_avi_frames" ->
@@ -1314,6 +1357,14 @@ object SparkEntry {
     // path; the shared oracle IS the equivalence claim (the e18/st17 rule)
     "e32_persisted_ivfpq" -> e26OracleSql,
     "e33_filtered_pq_serve" -> e33OracleSql,
+    // e34 shares e33's entire serving chain; only the codes-CTE predicate
+    // differs — exactly the axis the parameterized engine plan exposes
+    "e34_filtered_serve_range" -> e33OracleSqlWith("", "le.label >= 6"),
+    // e35: bin splitting must be INVISIBLE to search — the oracle is
+    // e18's full-corpus restatement for the fourth time (persist e18,
+    // append e20, compact e23, now split); children partition the parent
+    // so the merged lists hold exactly the corpus
+    "e35_bin_split_maintain" -> e18OracleSql,
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
@@ -2330,9 +2381,13 @@ object SparkEntry {
   private def e33OracleSql: String = e33OracleSqlWith("")
 
   /** e33's SQL with `extraCols` appended to the final SELECT — st23's
-    * oracle is e33's verbatim plus the exactly-once commit count.
+    * oracle is e33's verbatim plus the exactly-once commit count — and
+    * `predSql` as the codes-CTE attribute predicate (e34 swaps in its
+    * range predicate; everything else is shared, mirroring the engine
+    * side's single parameterized filteredPqServeBatch plan).
     */
-  private def e33OracleSqlWith(extraCols: String): String = {
+  private def e33OracleSqlWith(extraCols: String,
+      predSql: String = "le.label IN (1, 3, 5)"): String = {
     val iters = 2
     s"""WITH ${pqChainSql(iters)},
        |${kmeansChainSql(iters)},
@@ -2343,7 +2398,7 @@ object SparkEntry {
        | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
        | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id
        | JOIN embeddings le ON le.vec_id = p.vec_id
-       | WHERE le.label IN (1, 3, 5)),
+       | WHERE $predSql),
        |probes AS (
        | SELECT vec_id AS query_id, centroid_id AS bin FROM (
        |  SELECT e.vec_id, c.centroid_id,

@@ -864,6 +864,49 @@ object MultimodalOps {
         max(abs(col("s"))).cast("long").as("peak"))
   }
 
+  /** m11 gate query: SPECTRAL FEATURES — the frequency-domain step of the
+    * audio path (m4 walks the container, m5 measures time-domain energy;
+    * this measures WHERE the energy sits). Per 8-sample window of every
+    * document's decoded PCM signal, an 8-point DFT evaluated at the even
+    * bins k ∈ {0, 2, 4} — DC, quarter-band, and Nyquist — whose twiddle
+    * factors are EXACTLY {-1, 0, 1}, so the magnitudes-squared
+    * (re² + im²) are pure int64 arithmetic and the oracle (the generative
+    * sample formula pushed through the same coefficient pattern) is
+    * bit-exact with no float routing. A production pipeline swaps a
+    * radix-2 FFT into the same relational slot (the conditional-sum
+    * aggregate becomes a mapPartitions over sample arrays); the window →
+    * group-by → integer-sum shape, which is what scales, is identical.
+    *
+    * Scale shape: decode is mapPartitions (m2's contract, payloads never
+    * shuffle); the conditional sums are partial before their shuffle and
+    * keyed on (doc_id, window) — high cardinality, no skew; 4 longs per
+    * window flow, never samples.
+    */
+  def m11WavSpectra(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val sL = col("s").cast("long")
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id => (id, pcmSamples(id, syntheticPcmWav(id))) })
+      .toDF("doc_id", "samples")
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("i", "s")))
+      .groupBy(col("doc_id"),
+        floor(col("i") / 8).cast("int").as("window_idx"))
+      .agg(count(lit(1)).as("n_in_window"),
+        sum(sL).as("re0"),
+        // k=2: cos(πn/2) cycles 1,0,-1,0; sin(πn/2) cycles 0,1,0,-1
+        sum(when(col("i") % 4 === 0, sL)
+          .when(col("i") % 4 === 2, -sL).otherwise(lit(0L))).as("re2"),
+        sum(when(col("i") % 4 === 1, sL)
+          .when(col("i") % 4 === 3, -sL).otherwise(lit(0L))).as("im2"),
+        // k=4 (Nyquist): cos(πn) = (-1)^n, sin(πn) = 0
+        sum(when(col("i") % 2 === 0, sL).otherwise(-sL)).as("re4"))
+      .select(col("doc_id"), col("window_idx"), col("n_in_window"),
+        (col("re0") * col("re0")).as("mag2_dc"),
+        (col("re2") * col("re2") + col("im2") * col("im2")).as("mag2_k2"),
+        (col("re4") * col("re4")).as("mag2_k4"))
+  }
+
   /** m4 gate query: REAL container decode — the de-stubbed half of the
     * multimodal story. Each document id deterministically becomes a valid
     * BMP (even ids) or RIFF/WAV (odd ids; every other one carrying a JUNK

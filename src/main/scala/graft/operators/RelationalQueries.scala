@@ -1132,4 +1132,35 @@ object RelationalQueries {
       .agg(
         expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").as("nations"),
         count(lit(1)).as("n_nations"))
+
+  /** q50: gap-fill — carry the LAST NON-NULL observation forward over an
+    * ordered window (`last(..., ignoreNulls)` / SQL `IGNORE NULLS`), the
+    * canonical sparse-timeseries densification op (sensor readings, slowly
+    * changing attributes observed only on change). The sparse column keeps
+    * a value on every third line; the fill must reach back past the
+    * intervening nulls, so plain `lag` cannot express it. The window
+    * order is TOTAL — (l_linenumber, l_quantity), because this synthetic
+    * lineitem duplicates line numbers within an order and a carry-forward
+    * over a partial order is nondeterministic by construction (any
+    * remaining tie carries equal values, so it cannot show). Rows before
+    * an order's first kept line fill as NULL (the honest gap-fill
+    * semantics — no observation yet), stated identically by both engines.
+    *
+    * Scale shape: one hash-partition shuffle on l_orderkey, running-frame
+    * window (no full-partition buffering), partitions are order-sized —
+    * bounded and skew-free at any corpus scale.
+    */
+  def q50GapFill(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_orderkey").orderBy("l_linenumber", "l_quantity")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    table(spark, sfDir, "lineitem")
+      .withColumn("sparse_qty",
+        when(col("l_linenumber") % 3 === 1, col("l_quantity")))
+      .withColumn("filled_qty",
+        last(col("sparse_qty"), ignoreNulls = true).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("sparse_qty"),
+        col("filled_qty"))
+  }
 }

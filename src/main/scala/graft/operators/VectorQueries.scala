@@ -2141,6 +2141,26 @@ object VectorQueries {
       indexDir, k, nprobe, shortlist)
   }
 
+  /** e34: a SECOND predicate through the identical filtered-serving plan —
+    * the proof that [[filteredPqServeBatch]]'s predicate axis is generic
+    * rather than baked to the e33 fixture: a range-shaped predicate
+    * (`label >= 6`) over the SAME persisted filtered index, same probe
+    * ranking / ADC shortlist / exact refine. Any Column over the payload
+    * attributes riding in the inverted lists slots in unchanged and still
+    * pushes into the bin-pruned code scan; the oracle is e33's SQL with
+    * only the codes-CTE predicate swapped.
+    */
+  def e34FilteredServeRange(spark: SparkSession, sfDir: String, k: Int = 3,
+      iters: Int = 2, nprobe: Int = 2, shortlist: Int = 10): DataFrame = {
+    val vecs = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val indexDir = filteredIvfPqIndexDir(spark, sfDir, iters)
+    filteredPqServeBatch(spark, sfDir, vecs.filter(col("vec_id") < 10),
+      pqTrainedCodebooks(spark, sfDir, iters),
+      kmeansCentroids(spark, sfDir, iters),
+      indexDir, k, nprobe, shortlist, pred = col("label") >= 6)
+  }
+
   /** Build-once accessor for the FILTERED compressed index (e33's
     * artifact): (vec_id, m, code, label) bin-partitioned inverted lists —
     * the label payload rides in the lists so serving can push the
@@ -2281,10 +2301,16 @@ object VectorQueries {
     * shortlist → exact decimal-cosine refine. `queries` is a (vec_id,
     * embedding) frame the caller may localCheckpoint (it feeds the probe
     * ranking, the ADC table, AND the refine join) and free afterward.
+    * `pred` is the serving-time attribute predicate — the axis this plan
+    * exists to demonstrate is generic: ANY Column over the payload
+    * attributes persisted in the lists pushes into the code scan the same
+    * way (e33/st23 serve the gate fixture's `label IN (1,3,5)`; e34
+    * proves a second, range-shaped predicate through the identical plan).
     */
   private[operators] def filteredPqServeBatch(bs: SparkSession,
       sfDir: String, queries: DataFrame, fine: DataFrame, cents: DataFrame,
-      indexDir: String, k: Int, nprobe: Int, shortlist: Int): DataFrame = {
+      indexDir: String, k: Int, nprobe: Int, shortlist: Int,
+      pred: Column = col("label").isin(1, 3, 5)): DataFrame = {
     // nprobe nearest trained centroids per query (e28's probe ranking)
     val wp = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("sim_dec").desc, col("centroid_id").asc)
@@ -2302,14 +2328,14 @@ object VectorQueries {
       .select(col("vec_id").as("query_id"), col("m"),
         col("centroid_id").as("code"), dotc.as("qd"))
 
-    // bin-pruned, label-filtered code scan: the probed-bin list drives
-    // partition pruning; the label predicate pushes into the reader
+    // bin-pruned, attribute-filtered code scan: the probed-bin list drives
+    // partition pruning; the caller's predicate pushes into the reader
     val probed = probes.select(col("bin").cast("int").as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val idx = bs.read.option("basePath", s"file:$indexDir")
       .parquet(s"file:$indexDir")
       .filter(col("bin").cast("int").isin(probed: _*))
-      .filter(col("label").isin(1, 3, 5))
+      .filter(pred)
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
         col("bin").cast("long").as("bin"))
 
@@ -2468,6 +2494,172 @@ object VectorQueries {
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
     val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
       .filter(col("centroid_id").cast("int").isin(bins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
+  /** Split every physical bin of a persisted IVF index holding more than
+    * `bound` vectors into two balanced halves, repeatedly, until every bin
+    * is at or under the bound (the SPFresh/DiskANN bin-split discipline:
+    * appends are cheap because they never rebalance, so SOME maintenance
+    * must keep per-bin partitions bounded or the hottest bin eventually
+    * makes every rewrite — compact, delete, re-cluster — a full-partition
+    * monster). Physical layout: partition column `pbin`, initially equal
+    * to the logical coarse bin `centroid_id`; a split rewrites ONLY the
+    * overflowing partition (dynamic partition overwrite — untouched bins
+    * keep file identity, spec-pinned) into two balanced halves along the
+    * bin's own mean direction (dot with the bin mean, vec_id tiebreak) —
+    * geometry-aware, so children stay locally coherent. The logical →
+    * physical map lands as a tiny parquet at `mapPath`; serving probes a
+    * logical bin and reads its physical children via the map. Query
+    * results are INVARIANT by construction (children partition the
+    * parent), which is exactly what the e35 oracle states.
+    *
+    * Scale shape: sizes come from one zero-column counting scan; each
+    * round rewrites only overflowing partitions (cost ∝ overflow volume,
+    * never index size); sizes halve per round so the loop is logarithmic;
+    * the map is bounded by physical-bin count. Split-key determinism is
+    * NOT load-bearing: any assignment of a parent's rows to its children
+    * serves identically.
+    */
+  def splitIvfBins(spark: SparkSession, indexPath: String, mapPath: String,
+      bound: Long): Seq[(Long, Long)] = {
+    // logical bin per physical bin: derived once (column-pruned, output
+    // bounded by bin count) — a production deploy persists this
+    // incrementally instead
+    val logicalOf = scala.collection.mutable.Map.empty[Long, Long]
+    spark.read.option("basePath", indexPath).parquet(indexPath)
+      .select(col("pbin").cast("long"), col("centroid_id").cast("long"))
+      .distinct().collect()
+      .foreach(r => logicalOf(r.getLong(0)) = r.getLong(1))
+    val sizes = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .groupBy(col("pbin").cast("long").as("pbin")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val over = sizes.filter(_._2 > bound).keys.toSeq.sorted
+    val splits = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    if (over.nonEmpty) {
+      // Recursive median splitting halves a bin per level, so t levels
+      // yield 2^t balanced children — computable ANALYTICALLY from the
+      // bin size alone: one ranking range-partitioned into
+      // 2^ceil(log2(m/bound)) contiguous chunks (every chunk is
+      // floor/ceil(m/n) ≤ bound). One scan, one rewrite — never a
+      // rewrite per level.
+      var nextId = logicalOf.keys.max + 1
+      val plan = over.map { b =>
+        val m = sizes(b)
+        var n = 1L
+        while (m > n * bound) n *= 2
+        val childIds = b +: (1L until n).map { _ =>
+          val id = nextId; nextId += 1
+          logicalOf(id) = logicalOf(b); splits += ((b, id)); id
+        }
+        (b, (n, childIds))
+      }.toMap
+      val childArr = typedLit(plan.map { case (b, (_, ids)) =>
+        b -> ids.toSeq }.toSeq.sortBy(_._1).toMap)
+      // one partition-pruned read of the overflowing bins; rank along each
+      // bin's own mean direction (geometry-aware, children stay locally
+      // coherent), then balanced contiguous chunks
+      val rows = spark.read.option("basePath", indexPath)
+        .parquet(indexPath)
+        .filter(col("pbin").cast("long").isin(over: _*))
+        .select(col("vec_id"), col("embedding"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          col("pbin").cast("long").as("pbin"))
+      val means = rows
+        .select(col("pbin"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .groupBy("pbin", "i").agg(avg(col("x")).as("mx"))
+        .groupBy("pbin").agg(sort_array(
+          collect_list(struct(col("i"), col("mx")))).as("p"))
+        .select(col("pbin"), expr("transform(p, e -> e.mx)").as("mean"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("pbin").orderBy(col("d").desc, col("vec_id").asc)
+      val wBin = org.apache.spark.sql.expressions.Window.partitionBy("pbin")
+      val rewritten = rows.join(broadcast(means), "pbin")
+        .withColumn("d", aggregate(
+          zip_with(col("embedding"), col("mean"),
+            (x, y) => x.cast("double") * y),
+          lit(0.0), (acc, t) => acc + t))
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("m", count(lit(1)).over(wBin))
+        .withColumn("kids", element_at(childArr, col("pbin")))
+        // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1
+        .withColumn("pbin", element_at(col("kids"),
+          floor(((col("rn") - 1) * size(col("kids"))) / col("m"))
+            .cast("int") + 1))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          col("pbin"))
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.get(conf, "static")
+      spark.conf.set(conf, "dynamic")
+      try rewritten.repartition(col("pbin"))
+        .write.mode("overwrite").partitionBy("pbin").parquet(indexPath)
+      finally spark.conf.set(conf, prev)
+    }
+    val mapDf = spark.createDataFrame(
+      logicalOf.toSeq.map { case (p, l) => (l, p) }).toDF("bin", "pbin")
+    mapDf.coalesce(1).write.mode("overwrite").parquet(mapPath)
+    splits.toSeq
+  }
+
+  /** e35: BIN-SPLIT MAINTENANCE — the missing piece between e20 (append
+    * never rebalances) and e23 (compaction collapses files but not BINS):
+    * under sustained appends the hottest coarse bin grows without bound,
+    * and with it the cost of every per-bin rewrite and every probe that
+    * touches it. e35 builds the index with e20's base+append, then
+    * [[splitIvfBins]] caps every physical bin at corpus/5 (the 4-bin demo
+    * layout guarantees an overflow by pigeonhole), then serves e20's
+    * query set THROUGH the persisted logical→physical map: probed coarse
+    * bins map to their physical children, the scan partition-prunes on
+    * the children, and the ranking math is e20's verbatim. The oracle is
+    * e18's full-corpus SQL for the FOURTH time — persist, append, compact,
+    * and now split must each be invisible to results; hash equality proves
+    * the split lost nothing and the map routes every probe correctly.
+    *
+    * Scale shape: maintenance cost ∝ overflow volume (only oversized
+    * partitions rewrite, logarithmic rounds); serving adds one broadcast-
+    * sized map lookup; bounded bins keep delete/compact/re-cluster
+    * rewrites bounded forever after.
+    */
+  def e35BinSplitMaintain(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val dir = new java.io.File(
+      s"target/parity/ivf-bindex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    val oldCorpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val newBatch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+    assignToCentroids(spark, sfDir, oldCorpus)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("overwrite").partitionBy("pbin").parquet(s"file:$dir")
+    assignToCentroids(spark, sfDir, newBatch)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("append").partitionBy("pbin").parquet(s"file:$dir")
+
+    val bound = math.max(1L, emb.count() / 5)
+    val mapPath = s"file:$dir-map"
+    splitIvfBins(spark, s"file:$dir", mapPath, bound)
+
+    val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // logical → physical through the persisted map (bounded rows)
+    val pbins = spark.read.parquet(mapPath)
+      .filter(col("bin").isin(probed: _*))
+      .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("pbin").cast("long").isin(pbins: _*))
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
     val wRank = org.apache.spark.sql.expressions.Window

@@ -116,6 +116,114 @@ class PipelineQueriesSpec extends SparkSpec {
     assert(merged.select("vec_id").distinct().count() == emb.count())
   }
 
+  test("e35: split rewrites only overflowing bins, bounds all bins, loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bidx").toString
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    VectorQueries.assignToCentroids(spark, sfDir, emb)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("overwrite").partitionBy("pbin").parquet(s"file:$dir")
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("pbin=")).map { b =>
+          b.getName -> b.listFiles().filter(f => f.isFile &&
+            f.getName.startsWith("part-"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = files()
+    val sizesBefore = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+      .groupBy(col("pbin").cast("long").as("p")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bound = math.max(1L, emb.count() / 5)
+    val calm = sizesBefore.filter(_._2 <= bound).keySet
+
+    val mapPath = s"file:$dir-map"
+    val splits = VectorQueries.splitIvfBins(spark, s"file:$dir", mapPath, bound)
+    assert(splits.nonEmpty, "fixture produced no overflow — bound too high")
+
+    // calm partitions keep file identity (name + mtime)
+    val after = files()
+    calm.foreach { p =>
+      assert(before(s"pbin=$p") == after(s"pbin=$p"),
+        s"calm bin $p was rewritten by the split")
+    }
+    // every physical bin is now at or under the bound
+    val sizesAfter = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+      .groupBy(col("pbin").cast("long").as("p")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sizesAfter.foreach { case (p, n) =>
+      assert(n <= bound, s"bin $p still holds $n > $bound after split")
+    }
+    // nothing lost, nothing duplicated
+    val merged = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+    assert(merged.count() == emb.count())
+    assert(merged.select("vec_id").distinct().count() == emb.count())
+    // the persisted map routes every physical bin to exactly one logical
+    // bin, and children carry only vectors of their parent's logical bin
+    val map = spark.read.parquet(mapPath)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(map.keySet == sizesAfter.keySet,
+      s"map bins ${map.keySet} != physical bins ${sizesAfter.keySet}")
+    val mismade = merged
+      .select(col("pbin").cast("long").as("p"),
+        col("centroid_id").cast("long").as("l"))
+      .distinct().collect()
+      .filter(r => map(r.getLong(0)) != r.getLong(1))
+    assert(mismade.isEmpty, s"rows filed under a foreign logical bin: " +
+      mismade.take(3).mkString(","))
+  }
+
+  test("m11: even-bin DFT magnitudes match a driver-side per-window fold") {
+    val got = MultimodalOps.m11WavSpectra(spark, sfDir)
+      .filter(col("doc_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    (0L until 6L).foreach { id =>
+      val n = (16 + id % 17).toInt
+      val s = (0 until n).map(i => ((id * 31 + i.toLong * 7919) % 65536 - 32768))
+      s.grouped(8).zipWithIndex.foreach { case (w, wi) =>
+        def c(f: Int => Long): Long =
+          w.zipWithIndex.map { case (x, j) => x * f(wi * 8 + j) }.sum
+        val re0 = c(_ => 1L)
+        val re2 = c(i => Seq(1L, 0L, -1L, 0L)(i % 4))
+        val im2 = c(i => Seq(0L, 1L, 0L, -1L)(i % 4))
+        val re4 = c(i => if (i % 2 == 0) 1L else -1L)
+        assert(got((id, wi)) ==
+          ((w.size.toLong, re0 * re0, re2 * re2 + im2 * im2, re4 * re4)),
+          s"doc $id window $wi")
+      }
+    }
+  }
+
+  test("q50: filled_qty is the most recent kept quantity at or before each line") {
+    val rows = RelationalQueries.q50GapFill(spark, sfDir)
+      .filter(col("l_orderkey") % 97 === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, lines) =>
+      // before an order's first kept line the fill is honestly NULL; line
+      // numbers duplicate within an order, so walk the TOTAL window order
+      // (l_linenumber, l_quantity) the operator declares
+      var lastKept: Option[Double] = None
+      lines.sortBy(r => (r._2, r._3.getOrElse(Double.NegativeInfinity)))
+        .foreach { case (ok, ln, sparse, filled) =>
+          if (ln % 3 == 1) {
+            assert(sparse.nonEmpty, s"order $ok line $ln lost its kept value")
+            assert(filled == sparse,
+              s"kept row must fill itself: order $ok line $ln")
+            lastKept = sparse
+          } else {
+            assert(sparse.isEmpty, s"order $ok line $ln kept a dropped value")
+            assert(filled == lastKept, s"order $ok line $ln filled=$filled")
+          }
+        }
+    }
+  }
+
   test("e21: delete rewrites only bins holding a doomed vector; empty bins drop") {
     val dir = java.nio.file.Files.createTempDirectory("graft-didx").toString
     val emb = RelationalQueries.table(spark, sfDir, "embeddings")
