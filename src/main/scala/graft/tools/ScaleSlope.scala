@@ -27,6 +27,35 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSlope {
 
+  /** Extract `"key":{...}` (balanced braces; these artifact entries hold
+    * only numbers and fixed labels, never brace-bearing strings) from a
+    * previously written scaleslope artifact — a combined rewrite whose run
+    * skipped a section carries the prior entry forward instead of
+    * clobbering it with an empty shell.
+    */
+  private[tools] def carryForward(path: java.nio.file.Path,
+      key: String): Option[String] = {
+    if (!java.nio.file.Files.exists(path)) return None
+    val s = java.nio.file.Files.readString(path)
+    val tag = s""""$key":"""
+    val at = s.indexOf(tag)
+    val start = at + tag.length
+    if (at < 0 || start >= s.length || s.charAt(start) != '{') return None
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '{' => depth += 1
+        case '}' =>
+          depth -= 1
+          if (depth == 0) return Some(s.substring(at, i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
   private[graft] def replicateDocs(spark: SparkSession, src: String, out: String,
       factor: Int): Unit = {
     val docs = spark.read.parquet(s"$src/documents.parquet")
@@ -303,38 +332,14 @@ object ScaleSlope {
     // CARRIED FORWARD from the existing artifact (or omitted when none
     // was ever recorded) rather than overwritten with an empty shell
     if (sections("slope")) {
-      // extract `"key":{...}` (balanced braces; these entries hold only
-      // numbers and fixed labels, never brace-bearing strings) from the
-      // previously written artifact
-      def carryForward(key: String): Option[String] = {
-        val p = java.nio.file.Paths.get("target/scaleslope.json")
-        if (!java.nio.file.Files.exists(p)) return None
-        val s = java.nio.file.Files.readString(p)
-        val tag = s""""$key":"""
-        val at = s.indexOf(tag)
-        val start = at + tag.length
-        if (at < 0 || start >= s.length || s.charAt(start) != '{') return None
-        var depth = 0
-        var i = start
-        while (i < s.length) {
-          s.charAt(i) match {
-            case '{' => depth += 1
-            case '}' =>
-              depth -= 1
-              if (depth == 0) return Some(s.substring(at, i + 1))
-            case _ =>
-          }
-          i += 1
-        }
-        None
-      }
+      val prior = java.nio.file.Paths.get("target/scaleslope.json")
       val parts = Seq(
         Some(s""""samples":$sampleJson"""),
         Some(s""""x10_over_sf01_slope":{$slopes}"""),
         if (flatEntry.nonEmpty) Some(flatEntry)
-        else carryForward("st19_flatness"),
+        else carryForward(prior, "st19_flatness"),
         if (sections("d38")) Some(crossoverJson)
-        else carryForward("d38_crossover")
+        else carryForward(prior, "d38_crossover")
       ).flatten
       val json = parts.mkString("{", ",", "}")
       val out = java.nio.file.Paths.get("target/scaleslope.json")

@@ -177,6 +177,36 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e34: the range predicate pushes into the code scan exactly like e33's") {
+    // the predicate axis is generic: swapping the fixture IN-list for a
+    // range predicate must keep every scan property — bin partition
+    // pruning, the predicate applied by the parquet reader, codes only
+    val p = plan("e34_filtered_serve_range")
+    val idxLines = p.linesIterator.filter(_.contains("e33-index")).toSeq
+    assert(idxLines.nonEmpty, p)
+    idxLines.foreach { l =>
+      assert("""PartitionFilters: \[bin""".r.findFirstIn(l).isDefined,
+        s"code scan carries no bin partition filter: $l")
+      assert("""PushedFilters: \[[^\]]*label""".r.findFirstIn(l).isDefined,
+        s"range predicate not pushed to the code scan: $l")
+      assert(!l.contains("embedding"),
+        s"code scan reads vectors, not codes: $l")
+    }
+  }
+
+  test("e35: serving after a bin split is partition-pruned to mapped children") {
+    // the split must not cost serving its pruning: the scan reads only the
+    // PHYSICAL bins the logical→physical map routes the probes to
+    val p = plan("e35_bin_split_maintain")
+    val idxLines = p.linesIterator
+      .filter(l => l.contains("ivf-bindex") && !l.contains("-map")).toSeq
+    assert(idxLines.nonEmpty, p)
+    idxLines.foreach { l =>
+      assert("""PartitionFilters: \[[^\]]*pbin""".r.findFirstIn(l).isDefined,
+        s"post-split serving scan carries no pbin partition filter: $l")
+    }
+  }
+
   test("e19: filtered serving prunes bins AND pushes the label predicate") {
     val p = plan("e19_filtered_ivf")
     // partition pruning to probed bins (e18's contract) ...

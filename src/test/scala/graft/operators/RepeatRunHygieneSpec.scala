@@ -26,7 +26,13 @@ class RepeatRunHygieneSpec extends SparkSpec {
       // stamp (second run must REUSE it identically); c6 wipes its scratch
       // layout per run (second run must rebuild identically)
       "e33" -> (() => VectorQueries.e33FilteredPqServe(spark, sfDir)),
-      "c6" -> (() => MaintenanceQueries.c6ClusterMaintain(spark, sfDir)))
+      "c6" -> (() => MaintenanceQueries.c6ClusterMaintain(spark, sfDir)),
+      // r17 stateful additions: e34 REUSES e33's stamp-memoized filtered
+      // index; e35 rebuilds its split index per run via a STATIC overwrite
+      // (the base write truncates the whole dir, so a prior run's split
+      // children and map can never leak into the next)
+      "e34" -> (() => VectorQueries.e34FilteredServeRange(spark, sfDir)),
+      "e35" -> (() => VectorQueries.e35BinSplitMaintain(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())
