@@ -79,6 +79,8 @@ object SparkEntry {
     "e6_ivf_search" -> ((s, d) => D.e6IvfSearch(s, d)),
     "e18_persisted_ivf" -> ((s, d) => V.e18PersistedIvf(s, d)),
     "st17_streaming_index_ingest" -> ((s, d) => V.st17StreamingIndexIngest(s, d)),
+    "st24_streaming_split_maintain" ->
+      ((s, d) => V.st24StreamingSplitMaintain(s, d)),
     "st20_streaming_ann_serve" -> ((s, d) => V.st20StreamingAnnServe(s, d)),
     "q20_pivot" -> (R.q20Pivot _),
     "q21_unpivot" -> (R.q21Unpivot _),
@@ -583,6 +585,12 @@ object SparkEntry {
     // the stream-built index must serve IDENTICALLY to the one-shot build:
     // e18's full-corpus restatement, verbatim, is the equivalence oracle
     "st17_streaming_index_ingest" -> e18OracleSql,
+    // st24: stream-built ∪ batch-keyed appends with in-loop bin splits —
+    // children partition parents, so ingest+maintenance must answer e18's
+    // full-corpus search verbatim; n_commits pins exactly-once appends
+    // (split/compaction commits are maintenance, counted by KEY prefix)
+    "st24_streaming_split_maintain" ->
+      ivfServeOracleSql("vec_id < 10", ", 4 AS n_commits"),
     "st20_streaming_ann_serve" -> st20OracleSql,
     // e20: THE SAME SQL as e18 — coarse assignment is per-vector, so the
     // base-build ∪ appended-batch index must serve exactly what a full

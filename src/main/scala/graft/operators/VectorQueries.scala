@@ -1442,13 +1442,15 @@ object VectorQueries {
     * to); the index never rewrites an existing file, so a day's stream
     * accretes files compacted later by e23's bin-scoped sweep.
     */
-  def st17StreamingIndexIngest(spark: SparkSession, sfDir: String,
-      k: Int = 3): DataFrame = {
+  /** Fixture shared by the corpus-arrival streams (st17/st24): the
+    * embeddings table split into 4 range-partitioned parquet files so a
+    * file stream genuinely runs multiple micro-batches; memoized on the
+    * source stamp across JVMs.
+    */
+  private[operators] def embSplitFixture(spark: SparkSession,
+      sfDir: String): String = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
-    // fixture: the embeddings table split into 4 range-partitioned parquet
-    // files so the file stream genuinely runs multiple micro-batches;
-    // memoized on row count across JVMs
     val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(splitDir, "._split_ok")
@@ -1462,6 +1464,14 @@ object VectorQueries {
         .write.mode("overwrite").parquet(s"file:$splitDir")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
+    splitDir
+  }
+
+  def st17StreamingIndexIngest(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val splitDir = embSplitFixture(spark, sfDir)
     val indexDir = new java.io.File(s"target/parity/ivf-sindex-$sfTag")
       .getAbsoluteFile.toString
     val ckptDir = new java.io.File(s"target/parity/ivf-sckpt-$sfTag")
@@ -1543,6 +1553,122 @@ object VectorQueries {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
+  /** st24: STREAMING INGEST WITH IN-LOOP BIN-SPLIT MAINTENANCE — e35's
+    * maintenance composed with st17's stream-built index (c6's
+    * "maintenance under live appends" discipline on the ANN side): the
+    * corpus arrives as a file stream, every batch appends its assigned
+    * vectors as a batchId-keyed SnapshotLog commit into `pbin`-keyed
+    * inverted lists, and every other batch [[splitSnapshotBins]] caps the
+    * accreting bins — the split is itself a keyed commit (replay no-ops;
+    * only overflowing bins' files are replaced, the rest carried by
+    * reference), exactly the bounded-rewrite guarantee a long-lived
+    * ingest needs: without it the hottest bin's list grows with the
+    * stream and every future split/compact/delete rewrite grows with it.
+    * Serving probes logical bins THROUGH the persisted map and reads only
+    * the mapped physical bins' manifest files. Splits are invisible to
+    * results by construction (children partition parents), so the oracle
+    * is e18's full-corpus serving SQL plus the exactly-once batch count —
+    * the strongest statement that ingest+maintenance lost nothing.
+    */
+  def st24StreamingSplitMaintain(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val splitDir = embSplitFixture(spark, sfDir)
+    // corpus/8: tight enough that the 4-logical-bin demo layout overflows
+    // by pigeonhole already at the half-corpus mark, so a split lands
+    // MID-stream and later appends re-concentrate into a split landscape
+    val bound = math.max(1L, emb.count() / 8)
+    val indexDir = new java.io.File(s"target/parity/ivf-st24index-$sfTag")
+      .getAbsoluteFile.toString
+    val mapDirF = new java.io.File(s"target/parity/ivf-st24map-$sfTag")
+      .getAbsoluteFile.toString
+    val mapPath = s"file:$mapDirF"
+    val ckptDir = new java.io.File(s"target/parity/ivf-st24ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    def wipe(d: String): Unit = {
+      def rec(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+      }
+      rec(new java.io.File(d))
+    }
+    wipe(indexDir); wipe(ckptDir); wipe(mapDirF)
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        // appends target the LOGICAL bin id, which is always a live
+        // physical bin (child 0 of every split keeps the parent's id) —
+        // the production dynamic: appends re-concentrate, splits re-cap
+        val delta = assignToCentroids(bs, sfDir, batch)
+          .withColumn("pbin", col("centroid_id"))
+        val prior = SnapshotLog.latestVersion(bs, s"file:$indexDir")
+          .map(v => SnapshotLog.manifest(bs, s"file:$indexDir", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
+          commitKey = Some(s"batch-$batchId"),
+          partitionBy = Some("pbin"))
+        maintainStreamLog(bs, s"file:$indexDir", Some("pbin"),
+          maxFilesPerPartition = 2, batchId)
+        if (batchId % 2 == 1) {
+          splitSnapshotBins(bs, s"file:$indexDir", mapPath, bound,
+            commitKey = s"split-$batchId")
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // serving through the persisted logical→physical map: probed logical
+    // bins resolve to physical children, whose manifest files are selected
+    // by their `_pbin=` path level — unmapped bins' files are never opened
+    val queries = assignToCentroids(spark, sfDir, emb.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val pbins = spark.read.parquet(mapPath)
+      .filter(col("bin").isin(probed.toSeq: _*))
+      .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted
+    val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
+      .getOrElse(sys.error("st24: no index commits"))
+    val mf = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val idxFiles = mf.filter(f => pbins.exists(p => f.contains(s"/_pbin=$p/")))
+    val nBatches = SnapshotLog.commitKeys(spark, s"file:$indexDir")
+      .count(_.startsWith("batch-"))
+    val idxRaw =
+      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
+      else spark.read.parquet(idxFiles: _*)
+    val idx = idxRaw
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+      .withColumn("n_commits", lit(nBatches))
   }
 
   /** Bounded-log MAINTENANCE for a streaming loop's SnapshotLog (result
@@ -2547,57 +2673,15 @@ object VectorQueries {
     val over = sizes.filter(_._2 > bound).keys.toSeq.sorted
     val splits = scala.collection.mutable.Buffer.empty[(Long, Long)]
     if (over.nonEmpty) {
-      // Recursive median splitting halves a bin per level, so t levels
-      // yield 2^t balanced children — computable ANALYTICALLY from the
-      // bin size alone: one ranking range-partitioned into
-      // 2^ceil(log2(m/bound)) contiguous chunks (every chunk is
-      // floor/ceil(m/n) ≤ bound). One scan, one rewrite — never a
-      // rewrite per level.
-      var nextId = logicalOf.keys.max + 1
-      val plan = over.map { b =>
-        val m = sizes(b)
-        var n = 1L
-        while (m > n * bound) n *= 2
-        val childIds = b +: (1L until n).map { _ =>
-          val id = nextId; nextId += 1
-          logicalOf(id) = logicalOf(b); splits += ((b, id)); id
-        }
-        (b, (n, childIds))
-      }.toMap
-      val childArr = typedLit(plan.map { case (b, (_, ids)) =>
-        b -> ids.toSeq }.toSeq.sortBy(_._1).toMap)
-      // one partition-pruned read of the overflowing bins; rank along each
-      // bin's own mean direction (geometry-aware, children stay locally
-      // coherent), then balanced contiguous chunks
+      // one partition-pruned read of the overflowing bins
       val rows = spark.read.option("basePath", indexPath)
         .parquet(indexPath)
         .filter(col("pbin").cast("long").isin(over: _*))
         .select(col("vec_id"), col("embedding"),
           col("centroid_id").cast("long").as("centroid_id"),
           col("pbin").cast("long").as("pbin"))
-      val means = rows
-        .select(col("pbin"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .groupBy("pbin", "i").agg(avg(col("x")).as("mx"))
-        .groupBy("pbin").agg(sort_array(
-          collect_list(struct(col("i"), col("mx")))).as("p"))
-        .select(col("pbin"), expr("transform(p, e -> e.mx)").as("mean"))
-      val wRank = org.apache.spark.sql.expressions.Window
-        .partitionBy("pbin").orderBy(col("d").desc, col("vec_id").asc)
-      val wBin = org.apache.spark.sql.expressions.Window.partitionBy("pbin")
-      val rewritten = rows.join(broadcast(means), "pbin")
-        .withColumn("d", aggregate(
-          zip_with(col("embedding"), col("mean"),
-            (x, y) => x.cast("double") * y),
-          lit(0.0), (acc, t) => acc + t))
-        .withColumn("rn", row_number().over(wRank))
-        .withColumn("m", count(lit(1)).over(wBin))
-        .withColumn("kids", element_at(childArr, col("pbin")))
-        // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1
-        .withColumn("pbin", element_at(col("kids"),
-          floor(((col("rn") - 1) * size(col("kids"))) / col("m"))
-            .cast("int") + 1))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          col("pbin"))
+      val rewritten = splitAssign(rows, over.map(b => b -> sizes(b)).toMap,
+        bound, logicalOf, splits)
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(conf, "static")
       spark.conf.set(conf, "dynamic")
@@ -2605,9 +2689,113 @@ object VectorQueries {
         .write.mode("overwrite").partitionBy("pbin").parquet(indexPath)
       finally spark.conf.set(conf, prev)
     }
-    val mapDf = spark.createDataFrame(
+    writeBinMap(spark, mapPath, logicalOf.toMap)
+    splits.toSeq
+  }
+
+  /** The split core shared by [[splitIvfBins]] (directory-partitioned
+    * index) and [[splitSnapshotBins]] (SnapshotLog-backed index): given
+    * the rows of the OVERFLOWING bins and their sizes, return the same
+    * rows with `pbin` reassigned to 2^t balanced children per bin.
+    * Recursive median splitting halves a bin per level, so t levels are
+    * computable ANALYTICALLY from the bin size alone: one ranking along
+    * the bin's own mean direction (geometry-aware — children stay locally
+    * coherent), range-partitioned into 2^ceil(log2(m/bound)) contiguous
+    * chunks, every chunk floor/ceil(m/n) ≤ bound. One scan, one rewrite —
+    * never a rewrite per level. Mutates `logicalOf`/`splits` with the
+    * fresh child ids.
+    */
+  private def splitAssign(rows: DataFrame, sizes: Map[Long, Long],
+      bound: Long,
+      logicalOf: scala.collection.mutable.Map[Long, Long],
+      splits: scala.collection.mutable.Buffer[(Long, Long)]): DataFrame = {
+    var nextId = logicalOf.keys.max + 1
+    val childIds = sizes.keys.toSeq.sorted.map { b =>
+      val m = sizes(b)
+      var n = 1L
+      while (m > n * bound) n *= 2
+      b -> (b +: (1L until n).map { _ =>
+        val id = nextId; nextId += 1
+        logicalOf(id) = logicalOf(b); splits += ((b, id)); id
+      }).toSeq
+    }.toMap
+    val childArr = typedLit(childIds)
+    val means = rows
+      .select(col("pbin"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("pbin", "i").agg(avg(col("x")).as("mx"))
+      .groupBy("pbin").agg(sort_array(
+        collect_list(struct(col("i"), col("mx")))).as("p"))
+      .select(col("pbin"), expr("transform(p, e -> e.mx)").as("mean"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("pbin").orderBy(col("d").desc, col("vec_id").asc)
+    val wBin = org.apache.spark.sql.expressions.Window.partitionBy("pbin")
+    rows.join(broadcast(means), "pbin")
+      .withColumn("d", aggregate(
+        zip_with(col("embedding"), col("mean"),
+          (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, t) => acc + t))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wBin))
+      .withColumn("kids", element_at(childArr, col("pbin")))
+      // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1
+      .withColumn("pbin", element_at(col("kids"),
+        floor(((col("rn") - 1) * size(col("kids"))) / col("m"))
+          .cast("int") + 1))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        col("pbin"))
+  }
+
+  private def writeBinMap(spark: SparkSession, mapPath: String,
+      logicalOf: Map[Long, Long]): Unit =
+    spark.createDataFrame(
       logicalOf.toSeq.map { case (p, l) => (l, p) }).toDF("bin", "pbin")
-    mapDf.coalesce(1).write.mode("overwrite").parquet(mapPath)
+      .coalesce(1).write.mode("overwrite").parquet(mapPath)
+
+  /** [[splitIvfBins]] for a SnapshotLog-backed stream-built index (st24):
+    * the split is itself a keyed SnapshotLog COMMIT — the overflowing
+    * bins' files are read (selected by their `_pbin=` manifest path level,
+    * pure string matching), the reassigned children land as the commit's
+    * fresh files, and every other file is CARRIED by reference, so replay
+    * no-ops on the key and untouched bins keep physical identity. The
+    * logical→physical map re-persists from the post-split data (bounded
+    * distinct over two int columns) so serving always reads a map
+    * consistent with the live manifest.
+    */
+  def splitSnapshotBins(spark: SparkSession, tablePath: String,
+      mapPath: String, bound: Long, commitKey: String): Seq[(Long, Long)] = {
+    val v = SnapshotLog.latestVersion(spark, tablePath)
+      .getOrElse(return Nil)
+    val replayed = SnapshotLog.commitKeys(spark, tablePath).contains(commitKey)
+    val mf = SnapshotLog.manifest(spark, tablePath, v)
+    // ONE bounded aggregation yields both the logical map (each physical
+    // bin holds a single logical bin — appends target logical ids, splits
+    // inherit the parent's) and the per-bin sizes
+    val agg = spark.read.parquet(mf: _*)
+      .groupBy(col("pbin").cast("long").as("pbin"),
+        col("centroid_id").cast("long").as("l")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val logicalOf = scala.collection.mutable.Map.empty[Long, Long]
+    agg.foreach { case (p, l, _) => logicalOf(p) = l }
+    val splits = scala.collection.mutable.Buffer.empty[(Long, Long)]
+    if (!replayed) {
+      val sizes = agg.groupBy(_._1).map { case (p, rs) =>
+        p -> rs.map(_._3).sum }
+      val over = sizes.filter(_._2 > bound).keys.toSeq.sorted
+      if (over.nonEmpty) {
+        val parentFiles = mf.filter(f =>
+          over.exists(b => f.contains(s"/_pbin=$b/")))
+        val rows = spark.read.parquet(parentFiles: _*)
+          .select(col("vec_id"), col("embedding"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            col("pbin").cast("long").as("pbin"))
+        val rewritten = splitAssign(rows,
+          over.map(b => b -> sizes(b)).toMap, bound, logicalOf, splits)
+        SnapshotLog.commit(spark, tablePath, rewritten,
+          carried = mf.filterNot(parentFiles.toSet),
+          commitKey = Some(commitKey), partitionBy = Some("pbin"))
+      }
+    }
+    writeBinMap(spark, mapPath, logicalOf.toMap)
     splits.toSeq
   }
 
