@@ -2737,9 +2737,12 @@ object VectorQueries {
       .withColumn("rn", row_number().over(wRank))
       .withColumn("m", count(lit(1)).over(wBin))
       .withColumn("kids", element_at(childArr, col("pbin")))
-      // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1
+      // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1.
+      // rn·n is long arithmetic — int would overflow once a bin holds
+      // more than 2^31/n rows, exactly the oversized-bin case this
+      // operator exists for
       .withColumn("pbin", element_at(col("kids"),
-        floor(((col("rn") - 1) * size(col("kids"))) / col("m"))
+        floor(((col("rn").cast("long") - 1) * size(col("kids"))) / col("m"))
           .cast("int") + 1))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         col("pbin"))
