@@ -1442,20 +1442,60 @@ object VectorQueries {
     * to); the index never rewrites an existing file, so a day's stream
     * accretes files compacted later by e23's bin-scoped sweep.
     */
+  /** e18's ranking over an explicit manifest-file list — the serving tail
+    * shared by st17 (logical-bin file selection) and st24 (map-routed
+    * physical-bin selection), factored so the two generations cannot
+    * drift (the ivfServeBatch rule): queries whose probed bins match NO
+    * manifest file (only reachable for queries outside the indexed
+    * corpus) degrade to an empty result, not an AnalysisException from a
+    * zero-path read — the schema comes from the full manifest, filtered
+    * false so no data file is opened (the lshPrior rule); then the bin
+    * equi-join with the broadcast query set and the deterministic top-k.
+    */
+  private def serveManifestFiles(spark: SparkSession, queries: DataFrame,
+      mf: Seq[String], idxFiles: Seq[String], k: Int): DataFrame = {
+    val idxRaw =
+      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
+      else spark.read.parquet(idxFiles: _*)
+    val idx = idxRaw
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
+  /** Depth-first local-dir wipe for the streaming fixtures' scratch state
+    * (index/checkpoint/map dirs are rebuilt per gate run).
+    */
+  private def wipeLocalDir(d: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
+    }
+    rec(new java.io.File(d))
+  }
+
   /** Fixture shared by the corpus-arrival streams (st17/st24): the
     * embeddings table split into 4 range-partitioned parquet files so a
     * file stream genuinely runs multiple micro-batches; memoized on the
     * source stamp across JVMs.
     */
   private[operators] def embSplitFixture(spark: SparkSession,
-      sfDir: String): String = {
+      sfDir: String): (String, Long) = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
     val splitDir = new java.io.File(s"target/parity/emb-split-$sfTag")
       .getAbsoluteFile.toString
     val marker = new java.io.File(splitDir, "._split_ok")
+    val nEmb = emb.count()
     val stamp =
-      s"$sfDir|${emb.count()}|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
+      s"$sfDir|$nEmb|${RelationalQueries.sourceStamp(sfDir, "embeddings")}"
     val markerValid = marker.isFile && new String(
       java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
     if (!markerValid) {
@@ -1464,25 +1504,21 @@ object VectorQueries {
         .write.mode("overwrite").parquet(s"file:$splitDir")
       java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
     }
-    splitDir
+    // the count rides back so callers deriving size-scaled bounds don't
+    // pay a second count job over the same table
+    (splitDir, nEmb)
   }
 
   def st17StreamingIndexIngest(spark: SparkSession, sfDir: String,
       k: Int = 3): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
-    val splitDir = embSplitFixture(spark, sfDir)
+    val (splitDir, _) = embSplitFixture(spark, sfDir)
     val indexDir = new java.io.File(s"target/parity/ivf-sindex-$sfTag")
       .getAbsoluteFile.toString
     val ckptDir = new java.io.File(s"target/parity/ivf-sckpt-$sfTag")
       .getAbsoluteFile.toString
-    def wipe(d: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-      }
-      rec(new java.io.File(d))
-    }
-    wipe(indexDir); wipe(ckptDir)
+    wipeLocalDir(indexDir); wipeLocalDir(ckptDir)
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1533,26 +1569,7 @@ object VectorQueries {
     val mf = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
     val idxFiles = mf
       .filter(f => bins.exists(b => f.contains(s"/_centroid_id=$b/")))
-    // queries whose probed bins match NO manifest file (only reachable for
-    // queries outside the indexed corpus) must degrade to an empty result,
-    // not an AnalysisException from a zero-path read — the schema comes
-    // from the full manifest (never empty here: vIdx exists), filtered
-    // false so no data file is opened (the lshPrior rule)
-    val idxRaw =
-      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
-      else spark.read.parquet(idxFiles: _*)
-    val idx = idxRaw
-      .select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("centroid_id").cast("long").as("centroid_id"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-    idx.join(broadcast(queries), "centroid_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim_dec").cast("double").as("ivf_sim"))
+    serveManifestFiles(spark, queries, mf, idxFiles, k)
   }
 
   /** st24: STREAMING INGEST WITH IN-LOOP BIN-SPLIT MAINTENANCE — e35's
@@ -1576,11 +1593,13 @@ object VectorQueries {
       k: Int = 3): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val emb = table(spark, sfDir, "embeddings")
-    val splitDir = embSplitFixture(spark, sfDir)
-    // corpus/8: tight enough that the 4-logical-bin demo layout overflows
-    // by pigeonhole already at the half-corpus mark, so a split lands
-    // MID-stream and later appends re-concentrate into a split landscape
-    val bound = math.max(1L, emb.count() / 8)
+    val (splitDir, nEmb) = embSplitFixture(spark, sfDir)
+    // (N-1)/8: tight enough that the 4-logical-bin demo layout overflows
+    // by pigeonhole already at the half-corpus mark — STRICTLY, for any N
+    // (ceil(N/8) > (N-1)/8 always; a plain N/8 bound admits the perfectly
+    // balanced 8|N case with no overflow) — so a split lands MID-stream
+    // and later appends re-concentrate into a split landscape
+    val bound = math.max(1L, (nEmb - 1) / 8)
     val indexDir = new java.io.File(s"target/parity/ivf-st24index-$sfTag")
       .getAbsoluteFile.toString
     val mapDirF = new java.io.File(s"target/parity/ivf-st24map-$sfTag")
@@ -1588,13 +1607,7 @@ object VectorQueries {
     val mapPath = s"file:$mapDirF"
     val ckptDir = new java.io.File(s"target/parity/ivf-st24ckpt-$sfTag")
       .getAbsoluteFile.toString
-    def wipe(d: String): Unit = {
-      def rec(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(rec); f.delete()
-      }
-      rec(new java.io.File(d))
-    }
-    wipe(indexDir); wipe(ckptDir); wipe(mapDirF)
+    wipeLocalDir(indexDir); wipeLocalDir(ckptDir); wipeLocalDir(mapDirF)
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1653,21 +1666,7 @@ object VectorQueries {
     val idxFiles = mf.filter(f => pbins.exists(p => f.contains(s"/_pbin=$p/")))
     val nBatches = SnapshotLog.commitKeys(spark, s"file:$indexDir")
       .count(_.startsWith("batch-"))
-    val idxRaw =
-      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
-      else spark.read.parquet(idxFiles: _*)
-    val idx = idxRaw
-      .select(col("vec_id").as("neighbor_id"), col("embedding"),
-        col("centroid_id").cast("long").as("centroid_id"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
-    idx.join(broadcast(queries), "centroid_id")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        col("sim_dec").cast("double").as("ivf_sim"))
+    serveManifestFiles(spark, queries, mf, idxFiles, k)
       .withColumn("n_commits", lit(nBatches))
   }
 
@@ -2659,17 +2658,17 @@ object VectorQueries {
     */
   def splitIvfBins(spark: SparkSession, indexPath: String, mapPath: String,
       bound: Long): Seq[(Long, Long)] = {
-    // logical bin per physical bin: derived once (column-pruned, output
-    // bounded by bin count) — a production deploy persists this
-    // incrementally instead
+    // ONE bounded aggregation (column-pruned, output bounded by bin
+    // count) yields both the logical map and the per-bin sizes — a
+    // production deploy persists the map incrementally instead
+    val agg = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .groupBy(col("pbin").cast("long").as("pbin"),
+        col("centroid_id").cast("long").as("l")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     val logicalOf = scala.collection.mutable.Map.empty[Long, Long]
-    spark.read.option("basePath", indexPath).parquet(indexPath)
-      .select(col("pbin").cast("long"), col("centroid_id").cast("long"))
-      .distinct().collect()
-      .foreach(r => logicalOf(r.getLong(0)) = r.getLong(1))
-    val sizes = spark.read.option("basePath", indexPath).parquet(indexPath)
-      .groupBy(col("pbin").cast("long").as("pbin")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    agg.foreach { case (p, l, _) => logicalOf(p) = l }
+    val sizes = agg.groupBy(_._1).map { case (p, rs) =>
+      p -> rs.map(_._3).sum }
     val over = sizes.filter(_._2 > bound).keys.toSeq.sorted
     val splits = scala.collection.mutable.Buffer.empty[(Long, Long)]
     if (over.nonEmpty) {
@@ -2696,14 +2695,16 @@ object VectorQueries {
   /** The split core shared by [[splitIvfBins]] (directory-partitioned
     * index) and [[splitSnapshotBins]] (SnapshotLog-backed index): given
     * the rows of the OVERFLOWING bins and their sizes, return the same
-    * rows with `pbin` reassigned to 2^t balanced children per bin.
-    * Recursive median splitting halves a bin per level, so t levels are
-    * computable ANALYTICALLY from the bin size alone: one ranking along
-    * the bin's own mean direction (geometry-aware — children stay locally
-    * coherent), range-partitioned into 2^ceil(log2(m/bound)) contiguous
-    * chunks, every chunk floor/ceil(m/n) ≤ bound. One scan, one rewrite —
-    * never a rewrite per level. Mutates `logicalOf`/`splits` with the
-    * fresh child ids.
+    * rows with `pbin` reassigned to c = ceil(m/bound) balanced children
+    * per bin — the child count computed ANALYTICALLY from the bin size
+    * alone (what repeated median splitting converges to, without paying
+    * a rewrite per level, and without the empty trailing children a
+    * power-of-two count would mint when m < 2^t): one ranking along the
+    * bin's own mean direction (geometry-aware — children stay locally
+    * coherent), range-partitioned into c contiguous chunks, every chunk
+    * floor/ceil(m/c) ≤ bound and NONEMPTY (c ≤ m for bound ≥ 1, so the
+    * persisted map never names a rowless bin). One scan, one rewrite.
+    * Mutates `logicalOf`/`splits` with the fresh child ids.
     */
   private def splitAssign(rows: DataFrame, sizes: Map[Long, Long],
       bound: Long,
@@ -2712,9 +2713,8 @@ object VectorQueries {
     var nextId = logicalOf.keys.max + 1
     val childIds = sizes.keys.toSeq.sorted.map { b =>
       val m = sizes(b)
-      var n = 1L
-      while (m > n * bound) n *= 2
-      b -> (b +: (1L until n).map { _ =>
+      val c = (m + bound - 1) / bound
+      b -> (b +: (1L until c).map { _ =>
         val id = nextId; nextId += 1
         logicalOf(id) = logicalOf(b); splits += ((b, id)); id
       }).toSeq

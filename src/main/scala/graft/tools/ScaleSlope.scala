@@ -333,13 +333,24 @@ object ScaleSlope {
     // was ever recorded) rather than overwritten with an empty shell
     if (sections("slope")) {
       val prior = java.nio.file.Paths.get("target/scaleslope.json")
+      // a skipped section's entry comes from the FRESHEST record of it: a
+      // partial run writes its own artifact (st19flatness/bpecrossover),
+      // and when that is newer than the combined file it must win — else
+      // a slope-only run would republish superseded measurements
+      def newest(key: String, sectionFile: String): Option[String] = {
+        val sf = java.nio.file.Paths.get(sectionFile)
+        Seq(sf, prior).filter(java.nio.file.Files.exists(_))
+          .sortBy(p =>
+            -java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .view.flatMap(p => carryForward(p, key)).headOption
+      }
       val parts = Seq(
         Some(s""""samples":$sampleJson"""),
         Some(s""""x10_over_sf01_slope":{$slopes}"""),
         if (flatEntry.nonEmpty) Some(flatEntry)
-        else carryForward(prior, "st19_flatness"),
+        else newest("st19_flatness", "target/st19flatness.json"),
         if (sections("d38")) Some(crossoverJson)
-        else carryForward(prior, "d38_crossover")
+        else newest("d38_crossover", "target/bpecrossover.json")
       ).flatten
       val json = parts.mkString("{", ",", "}")
       val out = java.nio.file.Paths.get("target/scaleslope.json")

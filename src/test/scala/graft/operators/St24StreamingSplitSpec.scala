@@ -36,7 +36,7 @@ class St24StreamingSplitSpec extends SparkSpec {
       s"no mid-stream split commit: $keys")
 
     // final physical bins are capped and the map routes each one
-    val bound = math.max(1L, emb.count() / 8)
+    val bound = math.max(1L, (emb.count() - 1) / 8)
     val v = SnapshotLog.latestVersion(spark, s"file:$indexDir").get
     val mf = SnapshotLog.manifest(spark, s"file:$indexDir", v)
     val byBin = spark.read.parquet(mf: _*)
