@@ -70,8 +70,25 @@ object Bench {
     * transient — r8/r13 logs show multi-minute episodes, not multi-hour).
     * If the host never recovers, the run proceeds stamped host_degraded.
     */
-  private val HealthyWaitRounds = 10
+  private val HealthyWaitRounds =
+    sys.env.get("SPARK_GRAFT_BENCH_START_WAIT_ROUNDS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).getOrElse(10)
   private val HealthyWaitSleepMs = 30000L
+
+  /** Shared MID-RUN wait budget (ms): when a segment stays flapped through
+    * MaxAttempts, the bench no longer certifies `flap_residual` straight
+    * away — it PAUSES until the canary reads healthy again (the same
+    * criterion as the start-of-run gate), then re-runs the segment with
+    * fresh attempts. All three r17 artifacts were host-flagged end to end;
+    * the ≤2x gate should rest on a healthy-window artifact, not on
+    * min-of-reps steadies recovered from a flapping run. The budget is
+    * global across segments and bounded so a driver-invoked run always
+    * terminates on a permanently sick host (it then stamps flap_residual
+    * exactly as before).
+    */
+  private val MidRunWaitBudgetMs =
+    sys.env.get("SPARK_GRAFT_BENCH_WAIT_BUDGET_MS")
+      .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(900000L)
 
   /** Best canary norm ever observed on this host, persisted across runs so a
     * run that starts mid-flap still compares its probes against the healthy
@@ -225,10 +242,14 @@ object Bench {
     // nonsense. (4 gate batches sit far under the 100-entry
     // recentProgress ring, so no truncation concern.)
     var st19BestBatches: Seq[Long] = Nil
+    // mid-run healthy-window budget, shared across segments, plus a
+    // counter surfaced in the emitted JSON so a reader can see how much
+    // of the run's wall-clock was waiting rather than measuring
+    var waitBudgetMs = MidRunWaitBudgetMs
+    var midRunWaits = 0
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .grouped(SegmentSize).flatMap { segment =>
         var best = Map.empty[String, Double]
-        var attempt = 0
         var clean = false
         // On a host that is SEVERELY degraded for the whole run (fresh norm
         // 3x+ above the recorded anchor) segment retries cannot recover a
@@ -237,8 +258,7 @@ object Bench {
         // re-run the bench in a healthy window.
         val attemptCap = if (severelyDegraded) 1 else MaxAttempts
         if (severelyDegraded) residualFlap = true
-        while (!clean && attempt < attemptCap) {
-          attempt += 1
+        def runSegmentOnce(attemptLabel: String): Unit = {
           segment.foreach { case (name, fn) =>
             val sec = runOnce(name, fn)
             if (name == "st19_streaming_corpus_build" &&
@@ -255,10 +275,35 @@ object Bench {
             flapRetries += 1
             System.err.println(f"[bench] canary probe ${probe}%.3fs > " +
               f"${FlapFactor}x norm after ${segment.head._1}..${segment.last._1}" +
-              f" — host flapping, re-running segment (attempt $attempt)")
-            if (attempt == attemptCap) residualFlap = true
+              f" — host flapping, re-running segment ($attemptLabel)")
           }
         }
+        var attempt = 0
+        while (!clean && attempt < attemptCap) {
+          attempt += 1
+          runSegmentOnce(s"attempt $attempt")
+        }
+        // Whole-run healthy gating: a segment still dirty after its
+        // attempts no longer stamps flap_residual immediately — pause
+        // until the canary reads HEALTHY (the start-of-run criterion, not
+        // merely under the 3x flap line), then give the segment one fresh
+        // attempt, repeating while the shared budget lasts.
+        while (!clean && !severelyDegraded && waitBudgetMs > 0) {
+          var probe = canary(spark)
+          while (probe > DegradedFactor * recordedAnchor && waitBudgetMs > 0) {
+            System.err.println(f"[bench] mid-run canary ${probe}%.3fs > " +
+              f"$DegradedFactor x anchor ${recordedAnchor}%.3fs — pausing " +
+              f"for a healthy window (${waitBudgetMs / 1000}s budget left)")
+            Thread.sleep(HealthyWaitSleepMs)
+            waitBudgetMs -= HealthyWaitSleepMs
+            probe = canary(spark)
+          }
+          if (probe <= DegradedFactor * recordedAnchor) {
+            midRunWaits += 1
+            runSegmentOnce("healthy-window retry")
+          }
+        }
+        if (!clean) residualFlap = true
         segment.map { case (name, _) =>
           val sec = best(name)
           if (sec == Double.MaxValue) {
@@ -296,7 +341,8 @@ object Bench {
       f""""canary_anchor":$recordedAnchor%.3f,""" +
       f""""canary_worst":$worstProbe%.3f,""" +
       s""""healthy_waits":$healthyWaits,"x1_model_warm":$st19Warm,""" +
-      s""""flap_retries":$flapRetries,"flap_residual":$residualFlap,""" +
+      s""""flap_retries":$flapRetries,"midrun_waits":$midRunWaits,""" +
+      s""""flap_residual":$residualFlap,""" +
       s""""host_degraded":$hostDegraded,"failed":$failedJson"""
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir",$flap}"""

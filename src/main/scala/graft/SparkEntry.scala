@@ -124,6 +124,7 @@ object SparkEntry {
     "m9_jpeg_stats" -> (M.m9JpegBlockStats _),
     "m10_avi_frames" -> (M.m10AviFrameStats _),
     "m11_wav_spectra" -> (M.m11WavSpectra _),
+    "m12_radix_fft" -> (M.m12RadixTransform _),
     "d34_bigram_lm" -> (T.d34BigramLm _),
     "d35_segment_rewrite" -> (T.d35SegmentRewrite _),
     "d36_semantic_dedup" ->
@@ -153,6 +154,7 @@ object SparkEntry {
     "e33_filtered_pq_serve" -> ((s, d) => V.e33FilteredPqServe(s, d)),
     "e34_filtered_serve_range" -> ((s, d) => V.e34FilteredServeRange(s, d)),
     "e35_bin_split_maintain" -> ((s, d) => V.e35BinSplitMaintain(s, d)),
+    "e36_split_lifecycle" -> ((s, d) => V.e36SplitLifecycle(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -912,6 +914,27 @@ object SparkEntry {
         | CAST(re2 * re2 + im2 * im2 AS BIGINT) AS mag2_k2,
         | CAST(re4 * re4 AS BIGINT) AS mag2_k4
         |FROM sums""".stripMargin,
+    // the DIRECT O(n²) DFT over the NTT field (X_k = Σ s_n·ω^{nk} mod p,
+    // twiddle powers from a recursive CTE, samples restated generatively
+    // and lifted into the field) against the engine's radix-2 FFT — hash
+    // equality is the FFT≡DFT identity checked bit-for-bit on decoded data
+    "m12_radix_fft" ->
+      """WITH RECURSIVE pw(j, v) AS (
+        | SELECT 0, CAST(1 AS BIGINT)
+        | UNION ALL
+        | SELECT j + 1, (v * 8224) % 65537 FROM pw WHERE j < 63),
+        |pwl AS (SELECT list(v ORDER BY j) AS w FROM pw),
+        |params AS (SELECT doc_id, 16 + doc_id % 17 AS n FROM documents),
+        |samples AS (
+        | SELECT doc_id, i,
+        |  (((doc_id * 31 + i * 7919) % 65536) - 32768 + 65537) % 65537 AS s
+        | FROM (SELECT doc_id, unnest(range(0, n)) AS i FROM params) t),
+        |terms AS (
+        | SELECT doc_id, k, s * w[CAST((i * k) % 64 AS INT) + 1] AS term
+        | FROM samples, pwl, (SELECT unnest(range(0, 64)) AS k) ks)
+        |SELECT doc_id, CAST(k AS INT) AS k,
+        | CAST(sum(term) % 65537 AS BIGINT) AS x
+        |FROM terms GROUP BY doc_id, k""".stripMargin,
     // the m6 generative formula restated in IMAGE coordinates (y top-down):
     // the Spark side recovered (x, y, BGR) from the BYTES (data offset,
     // stride padding, signed-height row order), so hash equality proves the
@@ -1373,6 +1396,10 @@ object SparkEntry {
     // append e20, compact e23, now split); children partition the parent
     // so the merged lists hold exactly the corpus
     "e35_bin_split_maintain" -> e18OracleSql,
+    // e36 composes append→split→delete→compact→map-refresh; results must
+    // equal the plain search over corpus minus the doomed set — which is
+    // exactly e21's SQL (the split/compact/map machinery is invisible)
+    "e36_split_lifecycle" -> e21OracleSql,
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen

@@ -1347,8 +1347,17 @@ object CorpusPipeline {
     * distinguish from host noise. The fixture is stamp-guarded; state and
     * checkpoint are wiped per call (the measurement is the replay itself).
     */
+  /** Run st19's ingest half over an `nBatches`-way equal arrival split of
+    * the corpus and return (per-batch trigger seconds, freeze seconds) —
+    * the instrument behind the ScaleSlope flatness sections: equal batches
+    * whose per-batch cost does not TREND as state accretes are the
+    * batch-proportional-state-reads claim measured, and the separately
+    * timed corpus-freeze pass (the linear hash-join composition) completes
+    * the decomposition of a full st19 run's wall time into
+    * fixtures (stamp-warmed, untimed) + Σ batches + freeze.
+    */
   private[graft] def st19BatchFlatness(spark: SparkSession, sfDir: String,
-      nBatches: Int): Seq[Double] = {
+      nBatches: Int): (Seq[Double], Double) = {
     val cfg = st19Config(spark, sfDir, stateTag = s"-flat$nBatches")
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val dir = new java.io.File(s"target/parity/x1s-split$nBatches-$sfTag")
@@ -1368,6 +1377,9 @@ object CorpusPipeline {
     wipeFsPath(spark, s"file:${cfg.stateRoot}")
     wipeFsPath(spark, s"file:${cfg.ckptDir}")
     st19RunStream(spark, cfg, dir)
-    lastStreamBatchMillis.map(_ / 1000.0)
+    val t0 = System.nanoTime()
+    st19Freeze(spark, cfg).write.format("noop").mode("overwrite").save()
+    val freezeSec = (System.nanoTime() - t0) / 1e9
+    (lastStreamBatchMillis.map(_ / 1000.0), freezeSec)
   }
 }

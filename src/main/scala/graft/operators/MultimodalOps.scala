@@ -907,6 +907,98 @@ object MultimodalOps {
         (col("re4") * col("re4")).as("mag2_k4"))
   }
 
+  /** The NTT field for [[m12RadixTransform]]: Z_65537 (the Fermat prime
+    * F4) with ω = 3^1024 mod p — 3 is a primitive root of 65537, so ω has
+    * order exactly 64 (ω^32 = −1, verified in the spec). 16-bit PCM maps
+    * injectively into the field, and every butterfly product stays under
+    * 65536² < 2^63, so the whole transform is exact long arithmetic.
+    */
+  private[operators] val NttP = 65537L
+  private[operators] val NttW = 8224L
+
+  private def modpow(b: Long, e: Long, p: Long): Long = {
+    var r = 1L; var bb = b % p; var ee = e
+    while (ee > 0) {
+      if ((ee & 1L) == 1L) r = r * bb % p
+      bb = bb * bb % p; ee >>= 1
+    }
+    r
+  }
+
+  /** 64-point radix-2 decimation-in-time Cooley–Tukey transform over
+    * Z_65537: bit-reversal permutation, then log2(64) = 6 butterfly
+    * stages, each stage's twiddle the (n/len)-th power of ω — the textbook
+    * iterative FFT, with the complex field swapped for the NTT field so
+    * every value is integer-exact (which is what lets the DuckDB oracle
+    * hash-match it against the direct O(n²) DFT).
+    */
+  private[operators] def ntt64(a: Array[Long]): Array[Long] = {
+    val n = 64
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var r = 0; var b = i; var j = 0
+      while (j < 6) { r = (r << 1) | (b & 1); b >>= 1; j += 1 }
+      x(r) = a(i); i += 1
+    }
+    var len = 2
+    while (len <= n) {
+      val wl = modpow(NttW, (n / len).toLong, NttP)
+      var base = 0
+      while (base < n) {
+        var wj = 1L
+        var j = 0
+        while (j < len / 2) {
+          val u = x(base + j)
+          val v = x(base + j + len / 2) * wj % NttP
+          x(base + j) = (u + v) % NttP
+          x(base + j + len / 2) = (u - v + NttP) % NttP
+          wj = wj * wl % NttP
+          j += 1
+        }
+        base += len
+      }
+      len <<= 1
+    }
+    x
+  }
+
+  /** m12 gate query: RADIX-2 FFT — the transform m11's doc promised for
+    * its mapPartitions slot, realized as an ACTUAL 64-point radix-2
+    * Cooley–Tukey FFT ([[ntt64]]) rather than per-bin conditional sums:
+    * each document's decoded PCM signal, zero-padded to 64, is transformed
+    * in one partition-local pass and all 64 spectral bins flow out (m11
+    * could only reach the 3 bins whose twiddles are {−1,0,1}; the FFT
+    * reaches every bin). Exactness comes from running the identical
+    * butterfly/bit-reversal structure over the NTT field Z_65537 instead
+    * of ℂ — the standard exact-arithmetic instantiation of the FFT — so
+    * the oracle (the direct O(n²) DFT, X_k = Σ s_n·ω^{nk} mod p, restated
+    * generatively with a recursive twiddle-power CTE) is bit-exact:
+    * hash equality IS the FFT≡DFT theorem checked on real decoded data,
+    * which a float fixture could only approximate.
+    *
+    * Scale shape: decode + transform are one mapPartitions pass (payload
+    * bytes and sample arrays never shuffle — only the 64 (doc, bin, coeff)
+    * longs flow); O(n log n) per window replaces m11's per-bin passes,
+    * which is the whole point of the FFT at production window sizes.
+    */
+  def m12RadixTransform(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    RelationalQueries.table(spark, sfDir, "documents")
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val s = pcmSamples(id, syntheticPcmWav(id))
+        val a = new Array[Long](64)
+        var i = 0
+        while (i < s.length && i < 64) {
+          a(i) = Math.floorMod(s(i).toLong, NttP); i += 1
+        }
+        val x = ntt64(a)
+        (0 until 64).iterator.map(k => (id, k, x(k)))
+      })
+      .toDF("doc_id", "k", "x")
+  }
+
   /** m4 gate query: REAL container decode — the de-stubbed half of the
     * multimodal story. Each document id deterministically becomes a valid
     * BMP (even ids) or RIFF/WAV (odd ids; every other one carrying a JUNK

@@ -2331,10 +2331,18 @@ object VectorQueries {
     * any batching IS e33's one-shot answer — the oracle is e33's SQL plus
     * the commit count.
     */
+  /** `pred` is the serving-time predicate threaded into every batch's
+    * [[filteredPqServeBatch]] — the loop's predicate axis is as generic as
+    * the one-shot path's (the spec drives e34's range predicate through
+    * this exact loop and matches it against e34's one-shot answer).
+    * `stateTag` namespaces the results/checkpoint dirs so a
+    * non-default-predicate run never collides with the gate run's state.
+    */
   def st23StreamingFilteredServe(spark: SparkSession, sfDir: String,
       k: Int = 3, iters: Int = 2, nprobe: Int = 2,
-      shortlist: Int = 10): DataFrame = {
-    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+      shortlist: Int = 10, pred: Column = col("label").isin(1, 3, 5),
+      stateTag: String = ""): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + stateTag
     val emb = table(spark, sfDir, "embeddings")
     val srcStamp = s"$sfDir|$iters|" +
       RelationalQueries.sourceStamp(sfDir, "embeddings")
@@ -2393,7 +2401,7 @@ object VectorQueries {
         val qch = batch.select(col("vec_id"), col("embedding"))
           .localCheckpoint(true)
         val res = filteredPqServeBatch(bs, sfDir, qch, fine, cents,
-          indexDir, k, nprobe, shortlist)
+          indexDir, k, nprobe, shortlist, pred = pred)
         val prior = SnapshotLog.latestVersion(bs, s"file:$resultsPath")
           .map(v => SnapshotLog.manifest(bs, s"file:$resultsPath", v))
           .getOrElse(Nil)
@@ -2502,35 +2510,39 @@ object VectorQueries {
     * dynamic partition overwrite rewrites exactly those bins anti-joined
     * against the tombstones. Bins without a doomed vector keep their files
     * physically intact (pinned in `PipelineQueriesSpec`). Returns the
-    * rewritten bin ids.
+    * rewritten bin ids. `partCol` names the index's partition column —
+    * `centroid_id` for the flat e18/e20 layout, `pbin` for a split-
+    * maintained (e35/e36) layout; the same bounded-rewrite discipline
+    * holds either way, which is exactly what lets a takedown land in a
+    * split CHILD without touching its calm siblings.
     */
   def deleteFromIvfIndex(spark: SparkSession, indexPath: String,
-      doomed: DataFrame): Seq[Int] = {
+      doomed: DataFrame, partCol: String = "centroid_id"): Seq[Long] = {
     val scanned = spark.read.option("basePath", indexPath).parquet(indexPath)
     val affected = scanned
       .join(broadcast(doomed), Seq("vec_id"), "left_semi")
-      .select(col("centroid_id").cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      .select(col(partCol).cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     if (affected.nonEmpty) {
       // rewrite projection = the scanned schema (partition col cast back to
       // long), NOT a hardcoded column list — a metadata-bearing index (e19's
       // label column in the inverted lists) must round-trip its extra
       // columns through a delete, or rewritten bins drop them and the index
       // ends up mixed-schema (the deleteFromBucketTable rule)
-      val dataCols = scanned.columns.filterNot(_ == "centroid_id").toSeq
+      val dataCols = scanned.columns.filterNot(_ == partCol).toSeq
       val kept = scanned
-        .filter(col("centroid_id").cast("int").isin(affected: _*))
+        .filter(col(partCol).cast("long").isin(affected: _*))
         .join(broadcast(doomed), Seq("vec_id"), "left_anti")
         .select(dataCols.map(col) :+
-          col("centroid_id").cast("long").as("centroid_id"): _*)
+          col(partCol).cast("long").as(partCol): _*)
       // survivor probe BEFORE the overwrite mutates the directories
-      val survivorBins = kept.select(col("centroid_id").cast("int"))
-        .distinct().collect().map(_.getInt(0)).toSet
+      val survivorBins = kept.select(col(partCol).cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
       val key = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(key, "static")
       spark.conf.set(key, "dynamic")
-      try kept.repartition(col("centroid_id"))
-        .write.mode("overwrite").partitionBy("centroid_id")
+      try kept.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
         .parquet(indexPath)
       finally spark.conf.set(key, prev)
       // a bin whose vectors were ALL doomed writes zero rows above, which
@@ -2543,7 +2555,7 @@ object VectorQueries {
         val root = new Path(indexPath)
         val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
         emptiedBins.foreach(b =>
-          fs.delete(new Path(root, s"centroid_id=$b"), true))
+          fs.delete(new Path(root, s"$partCol=$b"), true))
       }
     }
     affected
@@ -2558,34 +2570,35 @@ object VectorQueries {
     * the partition column ⇒ one writer task's output per bin, the
     * scd2WriteTable layout rule). Bins at or under the threshold keep
     * their files (pinned in `PipelineQueriesSpec`). Returns compacted bins.
+    * `partCol` names the partition column, as in [[deleteFromIvfIndex]].
     */
   def compactIvfIndex(spark: SparkSession, indexPath: String,
-      maxFiles: Int = 1): Seq[Int] = {
+      maxFiles: Int = 1, partCol: String = "centroid_id"): Seq[Long] = {
     import org.apache.hadoop.fs.Path
     val root = new Path(indexPath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val frag = (if (fs.exists(root)) fs.listStatus(root).toSeq else Nil)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("centroid_id="))
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith(s"$partCol="))
       .filter(d => fs.listStatus(d.getPath).count { f =>
         val n = f.getPath.getName
         f.isFile && n.startsWith("part-") && n.endsWith(".parquet")
       } > maxFiles)
-      .map(_.getPath.getName.stripPrefix("centroid_id=").toInt)
+      .map(_.getPath.getName.stripPrefix(s"$partCol=").toLong)
       .sorted
     if (frag.isEmpty) return Nil
     val scanned = spark.read.option("basePath", indexPath).parquet(indexPath)
     // schema-derived projection, like deleteFromIvfIndex: metadata columns
     // in the inverted lists must survive a compaction rewrite
-    val dataCols = scanned.columns.filterNot(_ == "centroid_id").toSeq
+    val dataCols = scanned.columns.filterNot(_ == partCol).toSeq
     val kept = scanned
-      .filter(col("centroid_id").cast("int").isin(frag: _*))
+      .filter(col(partCol).cast("long").isin(frag: _*))
       .select(dataCols.map(col) :+
-        col("centroid_id").cast("long").as("centroid_id"): _*)
+        col(partCol).cast("long").as(partCol): _*)
     val conf = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.get(conf, "static")
     spark.conf.set(conf, "dynamic")
-    try kept.repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(indexPath)
+    try kept.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(indexPath)
     finally spark.conf.set(conf, prev)
     frag
   }
@@ -2633,15 +2646,15 @@ object VectorQueries {
   }
 
   /** Split every physical bin of a persisted IVF index holding more than
-    * `bound` vectors into two balanced halves, repeatedly, until every bin
-    * is at or under the bound (the SPFresh/DiskANN bin-split discipline:
-    * appends are cheap because they never rebalance, so SOME maintenance
-    * must keep per-bin partitions bounded or the hottest bin eventually
-    * makes every rewrite — compact, delete, re-cluster — a full-partition
-    * monster). Physical layout: partition column `pbin`, initially equal
-    * to the logical coarse bin `centroid_id`; a split rewrites ONLY the
-    * overflowing partition (dynamic partition overwrite — untouched bins
-    * keep file identity, spec-pinned) into two balanced halves along the
+    * `bound` vectors into ceil(m/bound) balanced children in ONE pass (the
+    * SPFresh/DiskANN bin-split discipline: appends are cheap because they
+    * never rebalance, so SOME maintenance must keep per-bin partitions
+    * bounded or the hottest bin eventually makes every rewrite — compact,
+    * delete, re-cluster — a full-partition monster). Physical layout:
+    * partition column `pbin`, initially equal to the logical coarse bin
+    * `centroid_id`; a split rewrites ONLY the overflowing partitions
+    * (dynamic partition overwrite — untouched bins keep file identity,
+    * spec-pinned) into analytically-counted balanced children along each
     * bin's own mean direction (dot with the bin mean, vec_id tiebreak) —
     * geometry-aware, so children stay locally coherent. The logical →
     * physical map lands as a tiny parquet at `mapPath`; serving probes a
@@ -2649,12 +2662,12 @@ object VectorQueries {
     * results are INVARIANT by construction (children partition the
     * parent), which is exactly what the e35 oracle states.
     *
-    * Scale shape: sizes come from one zero-column counting scan; each
-    * round rewrites only overflowing partitions (cost ∝ overflow volume,
-    * never index size); sizes halve per round so the loop is logarithmic;
-    * the map is bounded by physical-bin count. Split-key determinism is
-    * NOT load-bearing: any assignment of a parent's rows to its children
-    * serves identically.
+    * Scale shape: sizes come from one zero-column counting scan; the
+    * single rewrite touches only overflowing partitions (cost ∝ overflow
+    * volume, never index size — the child count is computed analytically,
+    * so there is no per-level loop to pay); the map is bounded by
+    * physical-bin count. Split-key determinism is NOT load-bearing: any
+    * assignment of a parent's rows to its children serves identically.
     */
   def splitIvfBins(spark: SparkSession, indexPath: String, mapPath: String,
       bound: Long): Seq[(Long, Long)] = {
@@ -2679,14 +2692,23 @@ object VectorQueries {
         .select(col("vec_id"), col("embedding"),
           col("centroid_id").cast("long").as("centroid_id"),
           col("pbin").cast("long").as("pbin"))
+      // MATERIALIZE the reassignment before the destructive overwrite:
+      // `rewritten`'s lineage lazily reads the very partitions the write
+      // below replaces (read-modify-overwrite of one parquet dir in a
+      // single plan). The current writer materializes the whole task
+      // output before committing, but that is the writer's private
+      // behavior — a localCheckpoint pins the rows first so no future
+      // re-read of a source partition can race the destructive commit.
       val rewritten = splitAssign(rows, over.map(b => b -> sizes(b)).toMap,
         bound, logicalOf, splits)
+        .repartition(col("pbin")).localCheckpoint(true)
       val conf = "spark.sql.sources.partitionOverwriteMode"
       val prev = spark.conf.get(conf, "static")
       spark.conf.set(conf, "dynamic")
-      try rewritten.repartition(col("pbin"))
+      try rewritten
         .write.mode("overwrite").partitionBy("pbin").parquet(indexPath)
       finally spark.conf.set(conf, prev)
+      graft.operators.CorpusPipeline.freeCut(rewritten)
     }
     writeBinMap(spark, mapPath, logicalOf.toMap)
     splits.toSeq
@@ -2740,9 +2762,12 @@ object VectorQueries {
       // chunk k = rows with (rn-1)*n in [k*m, (k+1)*m): balanced to ±1.
       // rn·n is long arithmetic — int would overflow once a bin holds
       // more than 2^31/n rows, exactly the oversized-bin case this
-      // operator exists for
+      // operator exists for — and the division is integer DIV, not
+      // fractional `/`: a double quotient is exact only while the
+      // product stays under 2^53, past which a boundary row can round
+      // into the wrong chunk and push a child one over `bound`
       .withColumn("pbin", element_at(col("kids"),
-        floor(((col("rn").cast("long") - 1) * size(col("kids"))) / col("m"))
+        expr("(CAST(rn AS BIGINT) - 1L) * CAST(size(kids) AS BIGINT) div m")
           .cast("int") + 1))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         col("pbin"))
@@ -2846,6 +2871,115 @@ object VectorQueries {
     val probed = queries.select(col("centroid_id").cast("long").as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // logical → physical through the persisted map (bounded rows)
+    val pbins = spark.read.parquet(mapPath)
+      .filter(col("bin").isin(probed: _*))
+      .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted
+    val idx = spark.read.option("basePath", s"file:$dir").parquet(s"file:$dir")
+      .filter(col("pbin").cast("long").isin(pbins: _*))
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("centroid_id").cast("long").as("centroid_id"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_dec").desc, col("neighbor_id").asc)
+    idx.join(broadcast(queries), "centroid_id")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sim_dec", dot(col("q_emb"), col("embedding")).cast("decimal(20,6)"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_dec").cast("double").as("ivf_sim"))
+  }
+
+  /** Re-derive a split index's logical→physical map from the LIVE index
+    * contents (one bounded, column-pruned aggregation — output ∝ physical
+    * bin count) and re-persist it at `mapPath`. This is the map-refresh
+    * half of every destructive maintenance pass: a delete can empty a
+    * physical child entirely (its directory is dropped), and a map that
+    * still names the dead child would make serving probe paths that no
+    * longer exist. Deriving from the data itself — each physical bin holds
+    * exactly one logical bin, an invariant appends (target logical ids)
+    * and splits (children inherit the parent's) both preserve — keeps the
+    * persisted map consistent with the live manifest by construction, the
+    * same discipline [[splitSnapshotBins]] applies per commit.
+    */
+  def refreshBinMap(spark: SparkSession, indexPath: String,
+      mapPath: String): Unit = {
+    val live = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .select(col("pbin").cast("long").as("pbin"),
+        col("centroid_id").cast("long").as("l"))
+      .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    writeBinMap(spark, mapPath, live)
+  }
+
+  /** e36: THE FULL SPLIT-BIN MAINTENANCE LIFECYCLE — e35 proved
+    * append→split leaves results invariant; the remaining maintenance
+    * interaction is a TAKEDOWN landing in a split CHILD routed through the
+    * logical→physical map, followed by a compaction — the e21/u8 deletion
+    * discipline and the e23 compaction discipline composed onto the split
+    * layout. Chain: e20's base+append build (pbin = centroid_id) →
+    * [[splitIvfBins]] caps every physical bin at corpus/5 (pigeonhole
+    * guarantees at least one coarse bin splits) → [[deleteFromIvfIndex]]
+    * over `pbin` removes a scattered doomed set (vec_id % 10 = 3 — ids in
+    * every coarse bin, so deletions land in split children, not just
+    * un-split parents) rewriting only the children that actually hold a
+    * doomed vector → [[compactIvfIndex]] over `pbin` collapses fragmented
+    * children → [[refreshBinMap]] re-derives the map from the live index
+    * (a fully-doomed child's directory is gone; the map must not name it)
+    * → e35's serving path through the refreshed map. The oracle is e21's
+    * SQL (the e18 search over corpus MINUS the doomed set): split,
+    * delete-routing, compaction, and the map refresh must each be
+    * invisible to results — hash equality proves no deleted vector
+    * survives, no innocent one is lost, and the map routes every probe
+    * to the surviving children. (The reference analogue is the idempotent
+    * partition-rewrite discipline of `bigquery_interaction.py:19-20` —
+    * rewrite exactly the affected partition, leave the rest byte-stable —
+    * applied to index bins.)
+    *
+    * Scale shape: every stage's rewrite is bounded — split ∝ overflow
+    * volume, delete ∝ bins holding doomed ids, compact ∝ fragmented bins,
+    * map refresh ∝ physical-bin count — so the full maintenance lifecycle
+    * of a 10^10-vector index never pays an index-sized rewrite; that is
+    * the property bounded bins exist to buy.
+    */
+  def e36SplitLifecycle(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+    val dir = new java.io.File(
+      s"target/parity/ivf-lindex-${sfDir.replaceAll("[^A-Za-z0-9.]+", "_")}")
+      .getAbsoluteFile.toString
+    val oldCorpus = emb.filter(pmod(col("vec_id"), lit(10)) =!= 7)
+    val newBatch = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+    assignToCentroids(spark, sfDir, oldCorpus)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("overwrite").partitionBy("pbin").parquet(s"file:$dir")
+    assignToCentroids(spark, sfDir, newBatch)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("append").partitionBy("pbin").parquet(s"file:$dir")
+
+    val bound = math.max(1L, emb.count() / 5)
+    val mapPath = s"file:$dir-map"
+    splitIvfBins(spark, s"file:$dir", mapPath, bound)
+
+    // takedown routed through the split layout: only children holding a
+    // doomed vector rewrite (calm siblings keep file identity — pinned in
+    // PipelineQueriesSpec on the isolated-bin variant), then compaction
+    // collapses whatever the delete fragmented, then the map refreshes
+    // off the live index
+    val doomed = emb.filter(pmod(col("vec_id"), lit(10)) === 3)
+      .select("vec_id")
+    deleteFromIvfIndex(spark, s"file:$dir", doomed, partCol = "pbin")
+    compactIvfIndex(spark, s"file:$dir", maxFiles = 1, partCol = "pbin")
+    refreshBinMap(spark, s"file:$dir", mapPath)
+
+    // e35's serving path, verbatim, over the post-lifecycle index: probe
+    // logical bins, map to surviving physical children, partition-prune
+    // the scan to those children (queries exclude the doomed ids, the e21
+    // convention)
+    val queries = assignToCentroids(spark, sfDir,
+      emb.filter(col("vec_id") < 10 && pmod(col("vec_id"), lit(10)) =!= 3))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val pbins = spark.read.parquet(mapPath)
       .filter(col("bin").isin(probed: _*))
       .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted

@@ -205,11 +205,32 @@ object ScaleSlope {
     }
     canary() // warm
 
-    // section selection (default all): GRAFT_SLOPE_SECTIONS=slope,d38,flat —
-    // the d38 crossover alone takes minutes and iterating on it should not
-    // re-pay the four-scale slope sweep (and vice versa)
+    // section selection (default all but flatx100): GRAFT_SLOPE_SECTIONS=
+    // slope,d38,flat,flatx100 — the d38 crossover alone takes minutes and
+    // iterating on it should not re-pay the four-scale slope sweep (and
+    // vice versa); flatx100 is the ~10-minute x100 adjudication run and is
+    // opt-in because it insists on a HEALTHY host window first
     val sections = sys.env.getOrElse("GRAFT_SLOPE_SECTIONS", "slope,d38,flat")
       .split(",").map(_.trim).toSet
+
+    // wait (bounded) for the host to sit at or under healthyFactor x the
+    // bench's historical canary anchor before a timed section that cannot
+    // be min-of-reps'd — the r17 st19@x100 sample (13.9x decade on a
+    // 1.48x-anchor canary) is exactly the number this loop exists to
+    // prevent recording again
+    def waitHealthy(maxRounds: Int, healthyFactor: Double = 1.2): Double = {
+      var c = canary()
+      var rounds = 0
+      while (c > healthyFactor * graft.Bench.HistoricalAnchor &&
+          rounds < maxRounds) {
+        rounds += 1
+        println(f"[healthy-wait] canary $c%.3f > $healthyFactor x " +
+          f"${graft.Bench.HistoricalAnchor}%.3f — waiting ($rounds/$maxRounds)")
+        Thread.sleep(30000)
+        c = canary()
+      }
+      c
+    }
 
     println(f"${"scale"}%-8s ${"rows(doc/emb)"}%-16s ${"canary"}%-7s " +
       queries.map(_._1).map(n => f"$n%-18s").mkString)
@@ -266,27 +287,46 @@ object ScaleSlope {
     // that 4 points on a marginal host could not adjudicate; 8 batches
     // with a canary stamp can. Flat = last-quartile mean ≤ ~1.2x
     // first-quartile mean on a healthy canary.
-    val flatEntry = if (sections("flat")) {
+    def flatnessEntry(key: String, scaleLabel: String, dir: String,
+        waitRounds: Int): String = {
       spark.catalog.clearCache()
-      val dir10 = ensureScaled(spark, base, 10)
-      val cF = canary()
-      val batches =
-        graft.operators.CorpusPipeline.st19BatchFlatness(spark, dir10, 8)
+      val cF = waitHealthy(waitRounds)
+      val (batches, freezeSec) =
+        graft.operators.CorpusPipeline.st19BatchFlatness(spark, dir, 8)
+      // close the sample with a second probe: a mid-run flap inflates
+      // batches without touching the PRE-run canary, so both ends stamp
+      val cA = canary()
       val q = math.max(1, batches.size / 4)
       val firstQ = batches.take(q).sum / q
       val lastQ = batches.takeRight(q).sum / q
       val ratio = lastQ / firstQ
-      println(f"[flat] st19@x10 8 batches: " +
+      println(f"[flat] st19@$scaleLabel 8 batches: " +
         batches.map(b => f"$b%.2f").mkString(",") +
         f" firstQ=${firstQ}%.2f lastQ=${lastQ}%.2f ratio=${ratio}%.2f" +
-        f" canary=${cF}%.2f" +
+        f" freeze=${freezeSec}%.2f canary=${cF}%.2f/${cA}%.2f" +
         (if (ratio > 1.2) " — NOT FLAT (investigate or discount by canary)"
          else " — flat"))
-      f""""st19_flatness":{"scale":"x10","canary":$cF%.3f,""" +
+      f""""$key":{"scale":"$scaleLabel","canary":$cF%.3f,""" +
+        f""""canary_after":$cA%.3f,""" +
         f""""batch_sec":[${batches.map(b => f"$b%.3f").mkString(",")}],""" +
+        f""""stream_sec":${batches.sum}%.3f,"freeze_sec":$freezeSec%.3f,""" +
         f""""first_q_mean":$firstQ%.3f,"last_q_mean":$lastQ%.3f,""" +
         f""""last_over_first_q":$ratio%.3f}"""
-    } else ""
+    }
+    val flatEntry =
+      if (sections("flat"))
+        flatnessEntry("st19_flatness", "x10", ensureScaled(spark, base, 10), 4)
+      else ""
+    // the r17 adjudication section: st19's x100 decade was the one
+    // superlinear number in the sweep (13.9x for 10x docs) but its canary
+    // sat at 1.48x anchor — this section re-measures the decade on an
+    // INSISTED-healthy window with per-batch seconds, so the artifact
+    // either shows the decade ≈ linear or names a real per-batch trend
+    val flatX100Entry =
+      if (sections("flatx100"))
+        flatnessEntry("st19_flatness_x100", "x100",
+          ensureScaled(spark, base, 100), 20)
+      else ""
 
     // ---- d38 BPE-dispatch crossover: classic (full-vocab window per
     // round) vs incremental (affected words only) at budget 50, on
@@ -349,6 +389,8 @@ object ScaleSlope {
         Some(s""""x10_over_sf01_slope":{$slopes}"""),
         if (flatEntry.nonEmpty) Some(flatEntry)
         else newest("st19_flatness", "target/st19flatness.json"),
+        if (flatX100Entry.nonEmpty) Some(flatX100Entry)
+        else newest("st19_flatness_x100", "target/st19flatnessx100.json"),
         if (sections("d38")) Some(crossoverJson)
         else newest("d38_crossover", "target/bpecrossover.json")
       ).flatten
@@ -372,6 +414,12 @@ object ScaleSlope {
         java.nio.file.Files.createDirectories(out.getParent)
         java.nio.file.Files.writeString(out, s"{$flatEntry}\n")
         println(s"{$flatEntry}")
+      }
+      if (sections("flatx100") && flatX100Entry.nonEmpty) {
+        val out = java.nio.file.Paths.get("target/st19flatnessx100.json")
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.writeString(out, s"{$flatX100Entry}\n")
+        println(s"{$flatX100Entry}")
       }
     }
     spark.stop()

@@ -175,6 +175,102 @@ class PipelineQueriesSpec extends SparkSpec {
       mismade.take(3).mkString(","))
   }
 
+  test("e36: a takedown routed to one split child rewrites only that child; " +
+      "the map refresh drops the emptied child") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lidx").toString
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    VectorQueries.assignToCentroids(spark, sfDir, emb)
+      .withColumn("pbin", col("centroid_id"))
+      .write.mode("overwrite").partitionBy("pbin").parquet(s"file:$dir")
+    val bound = math.max(1L, emb.count() / 5)
+    val mapPath = s"file:$dir-map"
+    val splits = VectorQueries.splitIvfBins(spark, s"file:$dir", mapPath, bound)
+    assert(splits.nonEmpty, "fixture produced no overflow — bound too high")
+
+    def files(): Map[String, Set[String]] =
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("pbin=")).map { b =>
+          b.getName -> b.listFiles().filter(f => f.isFile &&
+            f.getName.startsWith("part-"))
+            .map(f => f.getName + ":" + f.lastModified()).toSet
+        }.toMap
+    val before = files()
+
+    // doom EXACTLY the contents of one child minted by the split — the
+    // takedown must route through the physical layout and rewrite (here:
+    // empty and drop) only that child, leaving every sibling — including
+    // the doomed child's own split siblings — byte-identical
+    val child = splits.head._2
+    import spark.implicits._
+    val doomedIds = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+      .filter(col("pbin").cast("long") === child)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(doomedIds.nonEmpty)
+    val rewritten = VectorQueries.deleteFromIvfIndex(
+      spark, s"file:$dir", doomedIds.toDF("vec_id"), partCol = "pbin")
+    assert(rewritten == Seq(child), s"rewrote $rewritten, expected $child")
+
+    val after = files()
+    assert(!after.contains(s"pbin=$child"), "emptied child dir survives")
+    before.keys.filterNot(_ == s"pbin=$child").foreach { b =>
+      assert(after(b) == before(b), s"calm bin $b changed under the takedown")
+    }
+    // survivors are exactly corpus minus the doomed child
+    val left = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir").select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(left == all -- doomedIds)
+
+    // the map refresh re-derives from the live index: the dead child is
+    // gone, every live physical bin is named, and each maps to the
+    // logical bin its rows carry
+    VectorQueries.refreshBinMap(spark, s"file:$dir", mapPath)
+    val map = spark.read.parquet(mapPath)
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val livePbins = spark.read.option("basePath", s"file:$dir")
+      .parquet(s"file:$dir")
+      .select(col("pbin").cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(!map.contains(child), "refreshed map still names the dead child")
+    assert(map.keySet == livePbins,
+      s"map bins ${map.keySet} != live bins $livePbins")
+  }
+
+  test("m12: the radix-2 NTT equals a driver-side direct DFT; field params hold") {
+    // the root really has order 64 in Z_65537 (ω^32 = −1, ω^64 = 1) —
+    // the property every butterfly stage leans on
+    def modpow(b: Long, e: Long): Long = {
+      var r = 1L; var bb = b % 65537L; var ee = e
+      while (ee > 0) {
+        if ((ee & 1L) == 1L) r = r * bb % 65537L
+        bb = bb * bb % 65537L; ee >>= 1
+      }
+      r
+    }
+    assert(modpow(8224L, 32) == 65536L && modpow(8224L, 64) == 1L)
+
+    // FFT ≡ direct DFT on the real decoded signals (the oracle restates
+    // the direct side generatively; here the engine's own decode feeds a
+    // literal O(n²) fold)
+    val got = MultimodalOps.m12RadixTransform(spark, sfDir)
+      .filter(col("doc_id") < 6)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    (0L until 6L).foreach { id =>
+      val n = (16 + id % 17).toInt
+      val s = Array.tabulate(64) { i =>
+        if (i < n) Math.floorMod((id * 31 + i.toLong * 7919) % 65536 - 32768,
+          65537L)
+        else 0L
+      }
+      (0 until 64).foreach { k =>
+        val direct = (0 until 64).map(i =>
+          s(i) * modpow(8224L, (i.toLong * k) % 64) % 65537L).sum % 65537L
+        assert(got((id, k)) == direct, s"doc $id bin $k: FFT != DFT")
+      }
+    }
+  }
+
   test("m11: even-bin DFT magnitudes match a driver-side per-window fold") {
     val got = MultimodalOps.m11WavSpectra(spark, sfDir)
       .filter(col("doc_id") < 6)
@@ -249,7 +345,7 @@ class PipelineQueriesSpec extends SparkSpec {
     import spark.implicits._
     val rewrittenBins = VectorQueries.deleteFromIvfIndex(
       spark, s"file:$dir", doomedIds.toDF("vec_id"))
-    assert(rewrittenBins.toSet == Set(wholeBin.toInt, partialBin.toInt))
+    assert(rewrittenBins.toSet == Set(wholeBin, partialBin))
 
     val after = files()
     // untouched bins keep their exact files

@@ -32,7 +32,11 @@ class RepeatRunHygieneSpec extends SparkSpec {
       // (the base write truncates the whole dir, so a prior run's split
       // children and map can never leak into the next)
       "e34" -> (() => VectorQueries.e34FilteredServeRange(spark, sfDir)),
-      "e35" -> (() => VectorQueries.e35BinSplitMaintain(spark, sfDir)))
+      "e35" -> (() => VectorQueries.e35BinSplitMaintain(spark, sfDir)),
+      // r18: e36 rebuilds per run via the same static-overwrite base write
+      // as e35, so a prior run's split children, tombstoned bins, and
+      // refreshed map can never leak into the next
+      "e36" -> (() => VectorQueries.e36SplitLifecycle(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())

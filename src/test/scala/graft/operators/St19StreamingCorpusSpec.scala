@@ -60,8 +60,9 @@ class St19StreamingCorpusSpec extends SparkSpec {
     // split runs 8 micro-batches and yields 8 positive per-batch samples
     // (the timing assertion itself lives in target/scaleslope.json where
     // the canary can contextualize it — sf0.001 wall times are noise)
-    val batches = CorpusPipeline.st19BatchFlatness(spark, sfDir, 8)
+    val (batches, freezeSec) = CorpusPipeline.st19BatchFlatness(spark, sfDir, 8)
     assert(batches.size == 8, s"expected 8 per-batch samples, got $batches")
     assert(batches.forall(_ > 0), s"non-positive batch seconds: $batches")
+    assert(freezeSec > 0, s"non-positive freeze seconds: $freezeSec")
   }
 }

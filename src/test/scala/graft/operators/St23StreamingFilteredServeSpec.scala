@@ -41,6 +41,19 @@ class St23StreamingFilteredServeSpec extends SparkSpec {
     }
   }
 
+  test("st23: a non-default predicate through the loop equals e34's one-shot") {
+    // the loop's predicate axis is generic, not baked to the gate fixture:
+    // e34's range predicate threaded through the SAME streaming loop
+    // (namespaced state) must reproduce e34's one-shot answer exactly
+    val got = VectorQueries.st23StreamingFilteredServe(spark, sfDir,
+        pred = col("label") >= 6, stateTag = "-e34pred")
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    val exp = VectorQueries.e34FilteredServeRange(spark, sfDir)
+      .collect().map(key).sortBy(t => (t._1, t._2))
+    assert(got.length == exp.length && got.nonEmpty)
+    assert(got.sameElements(exp))
+  }
+
   test("st23: one batchId-keyed commit per arrival file; log stays bounded") {
     assert(streamed.forall(_.getAs[Int]("n_commits") == 4))
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
