@@ -133,6 +133,8 @@ object SparkEntry {
       ((s, d) => D.d36SemanticDedup(s, d, forceK = Some(16))),
     "x1_corpus_pipeline" ->
       ((s, d) => X.x1CorpusPipeline(s, d, requireFlatOracle = oracleGate(s))),
+    "x2_bpe_tokenized_corpus" ->
+      ((s, d) => X.x2BpeTokenizedCorpus(s, d, requireFlatOracle = oracleGate(s))),
     "st19_streaming_corpus_build" ->
       ((s, d) => X.st19StreamingCorpusBuild(s, d, requireFlatOracle = oracleGate(s))),
     "d41_imi_cobin_recall" -> (V.d41ImiCobinRecall(_, _)),
@@ -1414,6 +1416,7 @@ object SparkEntry {
     "e31_pq_k256" -> e25OracleSqlK(256),
     "d36_semantic_dedup" -> d36OracleSql,
     "x1_corpus_pipeline" -> x1OracleSql,
+    "x2_bpe_tokenized_corpus" -> x2OracleSql(),
     "st19_streaming_corpus_build" -> st19OracleSql,
     "d41_imi_cobin_recall" -> d41OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
@@ -2182,12 +2185,14 @@ object SparkEntry {
        |WHERE len(c.w) > 0
        |GROUP BY c.source""".stripMargin
 
-  /** The shared d38/d39 CTE chain: char-split vocabulary seg0 through
+  /** The shared d38/d39/x2 CTE chain: char-split vocabulary seg0 through
     * `budget` merge rounds (seg$budget = the trained segmentation), plus
     * per-round st$i trajectory rows. No leading WITH, trailing comma
-    * omitted — callers append their final SELECT.
+    * omitted — callers append their final SELECT. `src` is the corpus the
+    * trainer reads (`documents` for d38/d39; x2 rebases it onto the x1
+    * survivor CTE so the tokenizer trains on the CLEANED corpus).
     */
-  private def d38ChainCtes(budget: Int): String = {
+  private def d38ChainCtes(budget: Int, src: String = "documents"): String = {
     def round(i: Int): String = {
       val prev = s"seg${i - 1}"
       s"""p$i AS (
@@ -2227,7 +2232,7 @@ object SparkEntry {
     val rounds = (1 to budget).map(round).mkString(",\n")
     s"""toks AS (
        | SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
-       | FROM documents),
+       | FROM $src),
        |words AS (SELECT w, count(*) AS freq FROM toks
        |          WHERE len(w) > 0 GROUP BY w),
        |seg0 AS MATERIALIZED (
@@ -2787,6 +2792,42 @@ object SparkEntry {
     materializeCtes(x1ChainSql("4 AS n_commits"))
 
   private def x1OracleSqlInlined: String = x1ChainSql("1 AS snapshot_version")
+
+  /** x2 (BPE-tokenized corpus): x1's survivor chain — the verbatim CTE
+    * prefix of [[x1ChainSql]], cut before its packing CTEs — composed with
+    * the d38 merge chain rebased onto `surv4` (the tokenizer trains on the
+    * CLEANED corpus; an engine training on the raw table diverges here),
+    * then the piece census per d33 split. The prefix is extracted by
+    * marker rather than duplicated so x1/st19/x2 can never drift apart.
+    */
+  private def x2OracleSql(budget: Int = 10): String = {
+    val full = x1ChainSql("0 AS unused")
+    val cut = full.indexOf(",\nsp AS (")
+    require(cut > 0, "x1ChainSql shape changed: packing-CTE marker not found")
+    val prefix = full.substring(0, cut)
+    // stripMargin runs on the TAIL template only — re-stripping the
+    // already-stripped prefix would eat the first pipe of its
+    // continuation lines that begin with `||` (string concatenation)
+    val tail = s""",
+       |${d38ChainCtes(budget, "surv4")},
+       |csp AS (
+       | SELECT doc_id, text,
+       |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
+       |       THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90
+       |       THEN 'valid' ELSE 'test' END AS split
+       | FROM surv4),
+       |ctoks AS (
+       | SELECT split, unnest(string_split_regex(trim(text), '\\s+')) AS w
+       | FROM csp)
+       |SELECT c.split, count(*) AS n_pieces,
+       | count(DISTINCT s.sym) AS n_distinct_pieces,
+       | CAST(sum(len(s.sym)) AS BIGINT) AS sum_piece_chars
+       |FROM ctoks c JOIN seg$budget s ON s.w_id = c.w
+       |WHERE len(c.w) > 0
+       |GROUP BY c.split""".stripMargin
+    materializeCtes(prefix + tail)
+  }
 
   private def x1ChainSql(finalCol: String): String = {
     val iters = 2

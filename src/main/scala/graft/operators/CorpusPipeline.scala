@@ -393,6 +393,34 @@ object CorpusPipeline {
       requireFlatOracle: Boolean = false,
       cuts: scala.collection.mutable.Buffer[DataFrame] =
         scala.collection.mutable.Buffer.empty): DataFrame = {
+    val surv4 = x1Survivors(spark, sfDir, requireFlatOracle, cuts)
+
+    // ---- Stage P: split assignment (d33's content-keyed buckets) + d23's
+    // 2048-token sequence packing + per-split census via the two-pass
+    // distributed prefix-sum ([[packCensus]] — no window partition ever
+    // holds more than PackShardW rows, regardless of #splits × #sources).
+    // The census hash (bit_xor of per-doc h60) pins the exact survivor
+    // SET — of REDACTED text.
+    val b = pmod(h60(col("text")), lit(100L))
+    val assigned = surv4.select(
+      col("doc_id"), col("source"), size(col("t")).as("n"),
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"),
+      h60(col("text")).as("h60"))
+    packCensus(assigned)
+  }
+
+  /** The corpus pipeline's SURVIVOR frame — stages S through D4 (ingest,
+    * PII scrub + quality, fluency, exact/LSH/semantic dedup,
+    * decontamination), shared by [[x1Census]] (which packs + censuses it)
+    * and [[x2BpeTokenizedCorpus]] (which trains a tokenizer on it and
+    * tokenizes it — the stage after decontamination in a real
+    * pretraining-data path). Columns: (doc_id, text, source, t) with
+    * `text` REDACTED and `t` its shared token array.
+    */
+  private[operators] def x1Survivors(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false,
+      cuts: scala.collection.mutable.Buffer[DataFrame] =
+        scala.collection.mutable.Buffer.empty): DataFrame = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
 
     // ---- Stage S (S1/S2): hive ingest — land the corpus partitioned by
@@ -547,19 +575,54 @@ object CorpusPipeline {
     val surv4 = surv3
       .filter(pmod(col("doc_id"), lit(40L)) =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
+    surv4.select(col("doc_id"), col("text"), col("source"), col("t"))
+  }
 
-    // ---- Stage P: split assignment (d33's content-keyed buckets) + d23's
-    // 2048-token sequence packing + per-split census via the two-pass
-    // distributed prefix-sum ([[packCensus]] — no window partition ever
-    // holds more than PackShardW rows, regardless of #splits × #sources).
-    // The census hash (bit_xor of per-doc h60) pins the exact survivor
-    // SET — of REDACTED text.
+  /** x2: BPE-TOKENIZED CORPUS — the stage a real pretraining-data path
+    * runs between decontamination and packing, composed onto the x1
+    * survivor chain (the d39 tokenize-apply discipline, trained on and
+    * applied to the CLEANED corpus rather than the raw table): train a
+    * `budget`-merge BPE segmentation on the x1 survivors' redacted texts
+    * (classic full-window trainer — the measured-optimal dispatch at gate
+    * vocabularies, `TextQueries.IncrementalVocabThreshold`), then tokenize
+    * every survivor under the trained segmentation and census the pieces
+    * per d33 split: piece count, distinct piece vocabulary, summed piece
+    * chars. The oracle restates x1's whole survivor chain (verbatim CTE
+    * prefix) composed with d38's merge-round chain rebased onto `surv4` —
+    * training on survivors is semantically load-bearing (a tokenizer
+    * trained pre-cleaning learns merges from boilerplate/PII the corpus
+    * no longer contains), so the oracle would catch an engine that trains
+    * on the raw table.
+    *
+    * Scale shape: the survivor chain is x1's (localCheckpoint stage cuts);
+    * BPE training cost is the d38 story (classic: per-round full-window
+    * pass, job-overhead-bound at gate scale, dispatchable to the
+    * incremental trainer past the measured vocab threshold); the apply is
+    * one hash-join of corpus words against the trained segmentation
+    * (words ⋈ seg, both ∝ vocabulary) followed by a 3-group aggregate.
+    */
+  def x2BpeTokenizedCorpus(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, budget: Int = 10): DataFrame = {
+    val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
+    val surv4 = x1Survivors(spark, sfDir, requireFlatOracle, cuts)
+      .localCheckpoint(true)
+    cuts.foreach(freeCut)
+    val (_, seg, _) =
+      TextQueries.bpeTrainClassicFrom(surv4.select(col("text")), budget)
     val b = pmod(h60(col("text")), lit(100L))
-    val assigned = surv4.select(
-      col("doc_id"), col("source"), size(col("t")).as("n"),
-      when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"),
-      h60(col("text")).as("h60"))
-    packCensus(assigned)
+    val ctoks = surv4.select(
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        .as("split"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    // surv4/seg are localCheckpointed leaves the result still reads — the
+    // caller's action materializes them; blocks free when unreferenced
+    // (the d28/d34 rule: never freeCut a frame the returned plan reads)
+    ctoks.join(seg, ctoks("w") === seg("w_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_pieces"),
+        countDistinct(col("sym")).as("n_distinct_pieces"),
+        sum(length(col("sym")).cast("long")).as("sum_piece_chars"))
   }
 
   /** st19: the STREAMING TWIN of [[x1CorpusPipeline]] — the same corpus

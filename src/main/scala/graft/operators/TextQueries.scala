@@ -824,10 +824,22 @@ object TextQueries {
     */
   private def bpeTrainClassic(spark: SparkSession, sfDir: String, budget: Int)
       : (Seq[(Int, String, String, Long, Long, Long)],
+         org.apache.spark.sql.DataFrame, Seq[Long]) =
+    bpeTrainClassicFrom(
+      table(spark, sfDir, "documents").select(col("text")), budget)
+
+  /** [[bpeTrainClassic]] over an arbitrary corpus frame (one `text`
+    * column) instead of the sfDir documents table — x2 trains its
+    * tokenizer on the CLEANED survivor corpus through this entry; the
+    * sfDir path above is the d38/d39 raw-table case.
+    */
+  private[operators] def bpeTrainClassicFrom(
+      docs: org.apache.spark.sql.DataFrame, budget: Int)
+      : (Seq[(Int, String, String, Long, Long, Long)],
          org.apache.spark.sql.DataFrame, Seq[Long]) = {
     val W = org.apache.spark.sql.expressions.Window
     val wWin = W.partitionBy("w_id").orderBy("pos")
-    val words = table(spark, sfDir, "documents")
+    val words = docs
       .select(explode(split(trim(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("freq"))

@@ -130,4 +130,37 @@ class X1PipelineSpec extends SparkSpec {
       s"$missing documents lost their typed placeholders — the salt or " +
         "redaction stage is broken")
   }
+
+  test("x2: the trained segmentation PARTITIONS every survivor word, " +
+      "and the tokenizer trains on the cleaned corpus") {
+    // BPE merges only ever concatenate adjacent pieces of the same word,
+    // so the piece chars of a word must sum to the word's chars — per
+    // split, sum_piece_chars must equal the total chars of that split's
+    // word occurrences. A dropped or doubled piece breaks the equality.
+    val out = CorpusPipeline.x2BpeTokenizedCorpus(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out.nonEmpty)
+    val surv = CorpusPipeline.x1Survivors(spark, sfDir)
+    val b = pmod(graft.functions.GraftFunctions.h60(col("text")), lit(100L))
+    val expChars = surv.select(
+        when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+          .as("split"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("split")
+      .agg(sum(length(col("w")).cast("long")).as("chars"),
+        count(lit(1)).as("n_words"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet == expChars.keySet)
+    out.foreach { case (split, (nPieces, _, sumChars)) =>
+      val (chars, nWords) = expChars(split)
+      assert(sumChars == chars,
+        s"$split: piece chars $sumChars != word chars $chars — " +
+          "segmentation does not partition the words")
+      assert(nPieces >= nWords,
+        s"$split: fewer pieces than words — some word lost its pieces")
+    }
+  }
 }
