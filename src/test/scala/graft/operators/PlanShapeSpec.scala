@@ -207,6 +207,21 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("e36: serving after the full split lifecycle stays partition-pruned " +
+      "through the refreshed map") {
+    // split → delete → compact → map refresh must not cost serving its
+    // pruning: the final scan reads only the SURVIVING physical children
+    // the refreshed map routes the probes to
+    val p = plan("e36_split_lifecycle")
+    val idxLines = p.linesIterator
+      .filter(l => l.contains("ivf-lindex") && !l.contains("-map")).toSeq
+    assert(idxLines.nonEmpty, p)
+    idxLines.foreach { l =>
+      assert("""PartitionFilters: \[[^\]]*pbin""".r.findFirstIn(l).isDefined,
+        s"post-lifecycle serving scan carries no pbin partition filter: $l")
+    }
+  }
+
   test("e19: filtered serving prunes bins AND pushes the label predicate") {
     val p = plan("e19_filtered_ivf")
     // partition pruning to probed bins (e18's contract) ...
@@ -232,6 +247,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("d39: tokenization joins by broadcast against the vocabulary-sized segmentation") {
     val p = plan("d39_bpe_tokenize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("x2: tokenize-apply joins by broadcast against the trained segmentation") {
+    // the apply side is corpus-sized, the segmentation vocabulary-sized —
+    // the join must broadcast the small side (d39's rule, on the cleaned
+    // corpus), never sort-merge the corpus
+    val p = plan("x2_bpe_tokenized_corpus")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
