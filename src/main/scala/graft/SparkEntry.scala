@@ -157,6 +157,8 @@ object SparkEntry {
     "e34_filtered_serve_range" -> ((s, d) => V.e34FilteredServeRange(s, d)),
     "e35_bin_split_maintain" -> ((s, d) => V.e35BinSplitMaintain(s, d)),
     "e36_split_lifecycle" -> ((s, d) => V.e36SplitLifecycle(s, d)),
+    "st25_streaming_split_takedown" ->
+      ((s, d) => V.st25StreamingSplitTakedown(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -1402,6 +1404,10 @@ object SparkEntry {
     // equal the plain search over corpus minus the doomed set — which is
     // exactly e21's SQL (the split/compact/map machinery is invisible)
     "e36_split_lifecycle" -> e21OracleSql,
+    // st25 is the STREAMING takedown: ingest + two split passes + a
+    // mid-stream tombstoned erasure compose to e21's corpus-minus-doomed
+    // search, plus the exactly-once batch count
+    "st25_streaming_split_takedown" -> e21OracleSqlWith(", 4 AS n_commits"),
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
@@ -3613,8 +3619,14 @@ object SparkEntry {
     * e18 serving SQL over the corpus MINUS the doomed set: a deleted vector
     * surviving anywhere (or an innocent one lost) fails the hash.
     */
-  private def e21OracleSql: String =
-    """WITH cents AS (
+  private def e21OracleSql: String = e21OracleSqlWith("")
+
+  /** e21's corpus-minus-doomed serving restated with an optional extra
+    * constant column — st25 (the streaming takedown) appends the
+    * exactly-once batch count, the st20/st24 convention.
+    */
+  private def e21OracleSqlWith(extraCol: String): String =
+    s"""WITH cents AS (
       | SELECT vec_id AS centroid_id, embedding AS c_emb
       | FROM embeddings WHERE vec_id < 4),
       |corp AS (SELECT * FROM embeddings WHERE vec_id % 10 <> 3),
@@ -3643,7 +3655,7 @@ object SparkEntry {
       | SELECT query_id, neighbor_id, sim_dec,
       |  row_number() OVER (PARTITION BY query_id
       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
-      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim
+      |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim$extraCol
       |FROM r WHERE rank <= 3""".stripMargin
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e22FilteredRecall]] —

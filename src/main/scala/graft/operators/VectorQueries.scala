@@ -1670,6 +1670,139 @@ object VectorQueries {
       .withColumn("n_commits", lit(nBatches))
   }
 
+  /** st25: STREAMING TAKEDOWN IN THE SPLIT INDEX — the last cell of the
+    * {batch, streaming} × {append, split, delete, compact} maintenance
+    * matrix (e36 proved the batch lifecycle; st24 proved streaming
+    * append+split): a right-to-erasure event arrives MID-STREAM and must
+    * hold against everything that follows. Mechanics on top of st24's
+    * loop: (a) the takedown batch commits the doomed-id set as its own
+    * keyed TOMBSTONE table, then [[deleteSnapshotBins]] rewrites only the
+    * bins holding a doomed vector (a keyed commit — replay no-ops, calm
+    * bins carried by reference) and refreshes the map off the live
+    * manifest; (b) EVERY batch's append anti-joins the current tombstones,
+    * so a doomed id arriving AFTER its takedown never resurrects — the
+    * erasure is henceforth, not point-in-time (the u2/u8 semantic at
+    * index granularity; without the tombstone discipline batch 3's
+    * arrivals silently re-insert what batch 2 erased); (c) split
+    * maintenance keeps running around the takedown (splits at batches 1
+    * and 3 bracket the delete at batch 2), so the takedown lands in a
+    * SPLIT landscape and the final split pass re-derives the map over the
+    * post-delete, post-append state. Oracle: e21's corpus-minus-doomed
+    * serving SQL plus the exactly-once batch count — ingest, two splits,
+    * a mid-stream takedown, and tombstone filtering compose to exactly
+    * "the search over everything that arrived, minus the erased set".
+    *
+    * Scale shape: tombstones are a bounded broadcast (takedown sets are
+    * small by nature); the delete rewrite ∝ bins holding doomed ids; the
+    * per-batch anti-join is map-side against the broadcast set; splits
+    * stay ∝ overflow volume. Nothing in the loop ever rewrites ∝ index.
+    */
+  def st25StreamingSplitTakedown(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+    val (splitDir, nEmb) = embSplitFixture(spark, sfDir)
+    val bound = math.max(1L, (nEmb - 1) / 8)
+    val indexDir = new java.io.File(s"target/parity/ivf-st25index-$sfTag")
+      .getAbsoluteFile.toString
+    val mapDirF = new java.io.File(s"target/parity/ivf-st25map-$sfTag")
+      .getAbsoluteFile.toString
+    val mapPath = s"file:$mapDirF"
+    val tombDir = new java.io.File(s"target/parity/ivf-st25tomb-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/ivf-st25ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(indexDir); wipeLocalDir(ckptDir)
+    wipeLocalDir(mapDirF); wipeLocalDir(tombDir)
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        // the takedown EVENT: batch 2 commits the doomed-id set (keyed —
+        // replay no-ops) BEFORE building its own delta, so its own
+        // arrivals are filtered too
+        if (batchId == 2) {
+          val doomed = table(bs, sfDir, "embeddings")
+            .filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id")
+          val tombPrior = SnapshotLog.latestVersion(bs, s"file:$tombDir")
+            .map(v => SnapshotLog.manifest(bs, s"file:$tombDir", v))
+            .getOrElse(Nil)
+          SnapshotLog.commit(bs, s"file:$tombDir", doomed, tombPrior,
+            commitKey = Some("tomb-2"))
+        }
+        // current tombstones (empty frame before the takedown batch) —
+        // every append honors them, so erasure holds against later
+        // arrivals of the same ids
+        val tombs = SnapshotLog.latestVersion(bs, s"file:$tombDir")
+          .map(v => bs.read.parquet(
+            SnapshotLog.manifest(bs, s"file:$tombDir", v): _*))
+          .getOrElse(batch.sparkSession.range(0).select(col("id").as("vec_id")))
+        val delta = assignToCentroids(bs, sfDir,
+            batch.join(broadcast(tombs), Seq("vec_id"), "left_anti"))
+          .withColumn("pbin", col("centroid_id"))
+        val prior = SnapshotLog.latestVersion(bs, s"file:$indexDir")
+          .map(v => SnapshotLog.manifest(bs, s"file:$indexDir", v))
+          .getOrElse(Nil)
+        SnapshotLog.commit(bs, s"file:$indexDir", delta, prior,
+          commitKey = Some(s"batch-$batchId"),
+          partitionBy = Some("pbin"))
+        maintainStreamLog(bs, s"file:$indexDir", Some("pbin"),
+          maxFilesPerPartition = 2, batchId)
+        // the takedown's index half: rewrite only the bins holding doomed
+        // vectors already ingested (batches 0/1 and this batch's own,
+        // already filtered), refresh the map off the live manifest
+        if (batchId == 2) {
+          val doomed = table(bs, sfDir, "embeddings")
+            .filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id")
+          deleteSnapshotBins(bs, s"file:$indexDir", doomed, mapPath,
+            commitKey = "delete-2")
+          ()
+        }
+        if (batchId % 2 == 1) {
+          splitSnapshotBins(bs, s"file:$indexDir", mapPath, bound,
+            commitKey = s"split-$batchId")
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // st24's serving through the persisted map; queries exclude the
+    // doomed ids (the e21 convention)
+    val queries = assignToCentroids(spark, sfDir,
+      emb.filter(col("vec_id") < 10 && pmod(col("vec_id"), lit(10)) =!= 3))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val pbins = spark.read.parquet(mapPath)
+      .filter(col("bin").isin(probed.toSeq: _*))
+      .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted
+    val vIdx = SnapshotLog.latestVersion(spark, s"file:$indexDir")
+      .getOrElse(sys.error("st25: no index commits"))
+    val mf = SnapshotLog.manifest(spark, s"file:$indexDir", vIdx)
+    val idxFiles = mf.filter(f => pbins.exists(p => f.contains(s"/_pbin=$p/")))
+    val nBatches = SnapshotLog.commitKeys(spark, s"file:$indexDir")
+      .count(_.startsWith("batch-"))
+    serveManifestFiles(spark, queries, mf, idxFiles, k)
+      .withColumn("n_commits", lit(nBatches))
+  }
+
   /** Bounded-log MAINTENANCE for a streaming loop's SnapshotLog (result
     * logs, stream-built index logs): the st19MaintainState discipline wired
     * INTO the loop, so a long-lived stream never accretes one manifest
@@ -2825,6 +2958,62 @@ object VectorQueries {
     }
     writeBinMap(spark, mapPath, logicalOf.toMap)
     splits.toSeq
+  }
+
+  /** [[deleteFromIvfIndex]] for a SnapshotLog-backed split index (st25):
+    * the takedown is itself a keyed SnapshotLog COMMIT — the bins holding
+    * a doomed vector are found by a column-pruned semi-join over the live
+    * manifest, ONLY those bins' files are read and rewritten anti-joined
+    * against the tombstones, every other file is CARRIED by reference, and
+    * a replay no-ops on the key. A fully-doomed bin simply contributes no
+    * fresh files and its old ones are not carried, so it vanishes from the
+    * manifest without any directory surgery (cleaner than the raw-dir
+    * case's emptied-partition sweep). The logical→physical map re-persists
+    * from the post-delete manifest so serving never probes a dead child.
+    * Returns the rewritten bin ids (empty on replay or no-match).
+    */
+  def deleteSnapshotBins(spark: SparkSession, tablePath: String,
+      doomed: DataFrame, mapPath: String, commitKey: String): Seq[Long] = {
+    val v = SnapshotLog.latestVersion(spark, tablePath)
+      .getOrElse(return Nil)
+    val replayed = SnapshotLog.commitKeys(spark, tablePath).contains(commitKey)
+    var affected: Seq[Long] = Nil
+    if (!replayed) {
+      val mf = SnapshotLog.manifest(spark, tablePath, v)
+      val scanned = spark.read.parquet(mf: _*)
+      affected = scanned
+        .join(broadcast(doomed), Seq("vec_id"), "left_semi")
+        .select(col("pbin").cast("long").as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      if (affected.nonEmpty) {
+        val parentFiles = mf.filter(f =>
+          affected.exists(b => f.contains(s"/_pbin=$b/")))
+        // schema-derived projection (the deleteFromIvfIndex rule):
+        // metadata columns in the lists must survive the rewrite
+        val touched = spark.read.parquet(parentFiles: _*)
+        val dataCols = touched.columns.filterNot(_ == "pbin").toSeq
+        val kept = touched
+          .join(broadcast(doomed), Seq("vec_id"), "left_anti")
+          .select(dataCols.map(col) :+
+            col("pbin").cast("long").as("pbin"): _*)
+        SnapshotLog.commit(spark, tablePath, kept,
+          carried = mf.filterNot(parentFiles.toSet),
+          commitKey = Some(commitKey), partitionBy = Some("pbin"))
+      }
+    }
+    // map refresh from the LIVE manifest — bounded agg, the
+    // splitSnapshotBins discipline: serving must never probe a child the
+    // delete emptied out of the manifest
+    val vNow = SnapshotLog.latestVersion(spark, tablePath).getOrElse(return affected)
+    val mfNow = SnapshotLog.manifest(spark, tablePath, vNow)
+    if (mfNow.nonEmpty) {
+      val live = spark.read.parquet(mfNow: _*)
+        .select(col("pbin").cast("long").as("pbin"),
+          col("centroid_id").cast("long").as("l"))
+        .distinct().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      writeBinMap(spark, mapPath, live)
+    }
+    affected
   }
 
   /** e35: BIN-SPLIT MAINTENANCE — the missing piece between e20 (append

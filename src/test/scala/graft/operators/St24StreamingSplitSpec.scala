@@ -60,4 +60,47 @@ class St24StreamingSplitSpec extends SparkSpec {
     assert(all.count() == emb.count())
     assert(all.select("vec_id").distinct().count() == emb.count())
   }
+
+  test("st25: a mid-stream takedown erases doomed ids and HOLDS against " +
+      "later arrivals; maintenance commits stay keyed and bounded") {
+    import spark.implicits._
+    VectorQueries.st25StreamingSplitTakedown(spark, sfDir).collect()
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+    val indexDir = new java.io.File(s"target/parity/ivf-st25index-$sfTag")
+      .getAbsoluteFile.toString
+
+    // the final index holds EXACTLY corpus minus doomed — batches 0/1's
+    // doomed rows were rewritten out, batch 2's own were pre-filtered,
+    // and batch 3's arrivals (AFTER the takedown) were tombstone-blocked
+    val v = SnapshotLog.latestVersion(spark, s"file:$indexDir").get
+    val mf = SnapshotLog.manifest(spark, s"file:$indexDir", v)
+    val left = spark.read.parquet(mf: _*)
+      .select("vec_id").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    val doomed = all.filter(_ % 10 == 3)
+    assert(left == all -- doomed,
+      s"index != corpus minus doomed: extra=${(left -- (all -- doomed)).take(5)}, " +
+        s"missing=${((all -- doomed) -- left).take(5)}")
+
+    // the takedown and tombstone commits are keyed (replays no-op); the
+    // batch count stays exactly-once
+    val keys = SnapshotLog.commitKeys(spark, s"file:$indexDir")
+    assert(keys.count(_.startsWith("batch-")) == 4, keys.toString)
+    assert(keys.contains("delete-2"), s"no keyed takedown commit: $keys")
+    assert(keys.exists(_.startsWith("split-")), s"no split commit: $keys")
+    val tombDir = new java.io.File(s"target/parity/ivf-st25tomb-$sfTag")
+      .getAbsoluteFile.toString
+    assert(SnapshotLog.commitKeys(spark, s"file:$tombDir")
+      .contains("tomb-2"), "no keyed tombstone commit")
+
+    // the refreshed map names exactly the live physical bins
+    val mapPath = s"file:" + new java.io.File(
+      s"target/parity/ivf-st25map-$sfTag").getAbsoluteFile.toString
+    val mapped = spark.read.parquet(mapPath)
+      .select(col("pbin").cast("long")).collect().map(_.getLong(0)).toSet
+    val live = spark.read.parquet(mf: _*)
+      .select(col("pbin").cast("long")).distinct()
+      .as[Long].collect().toSet
+    assert(mapped == live, s"map bins $mapped != live bins $live")
+  }
 }
