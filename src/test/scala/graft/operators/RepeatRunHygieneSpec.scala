@@ -36,7 +36,11 @@ class RepeatRunHygieneSpec extends SparkSpec {
       // r18: e36 rebuilds per run via the same static-overwrite base write
       // as e35, so a prior run's split children, tombstoned bins, and
       // refreshed map can never leak into the next
-      "e36" -> (() => VectorQueries.e36SplitLifecycle(spark, sfDir)))
+      "e36" -> (() => VectorQueries.e36SplitLifecycle(spark, sfDir)),
+      // st25 wipes index/checkpoint/map/tombstone state at query start
+      // (the st17 discipline) — a second run must replay the whole
+      // arrival history, including the mid-stream takedown, identically
+      "st25" -> (() => VectorQueries.st25StreamingSplitTakedown(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())
