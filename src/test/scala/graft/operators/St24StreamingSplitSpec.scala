@@ -102,5 +102,19 @@ class St24StreamingSplitSpec extends SparkSpec {
       .select(col("pbin").cast("long")).distinct()
       .as[Long].collect().toSet
     assert(mapped == live, s"map bins $mapped != live bins $live")
+
+    // REPLAY no-ops, proven not argued: re-issuing the takedown with its
+    // original key (the at-least-once foreachBatch case) must leave the
+    // manifest byte-identical and report zero rewritten bins
+    val doomedDf = {
+      import spark.implicits._
+      doomed.toSeq.toDF("vec_id")
+    }
+    val replayed = VectorQueries.deleteSnapshotBins(spark, s"file:$indexDir",
+      doomedDf, mapPath, commitKey = "delete-2")
+    assert(replayed.isEmpty, s"replayed takedown rewrote bins: $replayed")
+    val vAfter = SnapshotLog.latestVersion(spark, s"file:$indexDir").get
+    assert(SnapshotLog.manifest(spark, s"file:$indexDir", vAfter).toSet ==
+      mf.toSet, "replayed takedown changed the manifest")
   }
 }
