@@ -300,7 +300,14 @@ object Bench {
           }
           if (probe <= DegradedFactor * recordedAnchor) {
             midRunWaits += 1
+            // Charge the re-run's own wall time against the shared budget:
+            // on a host with brief periodic flaps (dirty post-segment probe,
+            // healthy immediate re-probe) the sleep loop above never spins,
+            // so without this the number of segment re-runs is unbounded
+            // and the "always terminates" claim fails (r18 ADVICE).
+            val t0 = System.nanoTime()
             runSegmentOnce("healthy-window retry")
+            waitBudgetMs -= (System.nanoTime() - t0) / 1000000L
           }
         }
         if (!clean) residualFlap = true

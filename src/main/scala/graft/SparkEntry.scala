@@ -135,6 +135,8 @@ object SparkEntry {
       ((s, d) => X.x1CorpusPipeline(s, d, requireFlatOracle = oracleGate(s))),
     "x2_bpe_tokenized_corpus" ->
       ((s, d) => X.x2BpeTokenizedCorpus(s, d, requireFlatOracle = oracleGate(s))),
+    "x3_packed_sequences" ->
+      ((s, d) => X.x3PackedSequences(s, d, requireFlatOracle = oracleGate(s))),
     "st19_streaming_corpus_build" ->
       ((s, d) => X.st19StreamingCorpusBuild(s, d, requireFlatOracle = oracleGate(s))),
     "d41_imi_cobin_recall" -> (V.d41ImiCobinRecall(_, _)),
@@ -157,8 +159,11 @@ object SparkEntry {
     "e34_filtered_serve_range" -> ((s, d) => V.e34FilteredServeRange(s, d)),
     "e35_bin_split_maintain" -> ((s, d) => V.e35BinSplitMaintain(s, d)),
     "e36_split_lifecycle" -> ((s, d) => V.e36SplitLifecycle(s, d)),
+    "e37_retrain_swap" -> ((s, d) => V.e37RetrainSwap(s, d)),
     "st25_streaming_split_takedown" ->
       ((s, d) => V.st25StreamingSplitTakedown(s, d)),
+    "st26_streaming_generation_swap" ->
+      ((s, d) => V.st26StreamingGenerationSwap(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -1404,10 +1409,19 @@ object SparkEntry {
     // equal the plain search over corpus minus the doomed set — which is
     // exactly e21's SQL (the split/compact/map machinery is invisible)
     "e36_split_lifecycle" -> e21OracleSql,
+    // e37: after the blue-green re-index, serving must answer the e18
+    // search UNDER THE RE-TRAINED GEOMETRY (one Lloyd round over the live
+    // corpus) — a swap that lost vectors, served the stale generation, or
+    // vacuumed a live file diverges here
+    "e37_retrain_swap" -> e37OracleSql,
     // st25 is the STREAMING takedown: ingest + two split passes + a
     // mid-stream tombstoned erasure compose to e21's corpus-minus-doomed
     // search, plus the exactly-once batch count
     "st25_streaming_split_takedown" -> e21OracleSqlWith(", 4 AS n_commits"),
+    // st26: the swap lands mid-stream — batches 0-1 must answer under
+    // gen-1 (demo) geometry, 2-3 under the re-trained geometry, each
+    // exactly twice, with 4 exactly-once result commits
+    "st26_streaming_generation_swap" -> st26OracleSql,
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
@@ -1423,6 +1437,7 @@ object SparkEntry {
     "d36_semantic_dedup" -> d36OracleSql,
     "x1_corpus_pipeline" -> x1OracleSql,
     "x2_bpe_tokenized_corpus" -> x2OracleSql(),
+    "x3_packed_sequences" -> x3OracleSql(),
     "st19_streaming_corpus_build" -> st19OracleSql,
     "d41_imi_cobin_recall" -> d41OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
@@ -2835,6 +2850,62 @@ object SparkEntry {
     materializeCtes(prefix + tail)
   }
 
+  /** x3 (sequence packing): x2's survivor-chain + merge-chain prefix, then
+    * per-doc piece counts, the plain per-split running piece sum (the
+    * engine's two-pass distributed prefix sum computes the identical
+    * integers), and the per-split pack census: sequence/straddler/boundary
+    * bookkeeping at [[graft.operators.CorpusPipeline.X3SeqLen]] pieces per
+    * sequence. sum_start_seq/sum_end_seq pin every document's placement in
+    * sequence space; n_seqs + tot_pieces + last_seq_len pin the
+    * per-sequence piece counts (every non-tail sequence holds exactly L).
+    */
+  private def x3OracleSql(budget: Int = 10): String = {
+    val L = graft.operators.CorpusPipeline.X3SeqLen
+    val full = x1ChainSql("0 AS unused")
+    val cut = full.indexOf(",\nsp AS (")
+    require(cut > 0, "x1ChainSql shape changed: packing-CTE marker not found")
+    val prefix = full.substring(0, cut)
+    val tail = s""",
+       |${d38ChainCtes(budget, "surv4")},
+       |xsp AS (
+       | SELECT doc_id, text,
+       |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
+       |       THEN 'train'
+       |       WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 90
+       |       THEN 'valid' ELSE 'test' END AS split
+       | FROM surv4),
+       |xtoks AS (
+       | SELECT doc_id, split,
+       |  unnest(string_split_regex(trim(text), '\\s+')) AS w
+       | FROM xsp),
+       |xdp AS (
+       | SELECT d.doc_id, d.split, count(*) AS n
+       | FROM xtoks d JOIN seg$budget s ON s.w_id = d.w
+       | WHERE len(d.w) > 0
+       | GROUP BY d.doc_id, d.split),
+       |xcum AS (
+       | SELECT doc_id, split, n,
+       |  sum(n) OVER (PARTITION BY split ORDER BY doc_id) AS cum
+       | FROM xdp),
+       |xplaced AS (
+       | SELECT split, doc_id, n, cum,
+       |  (cum - n) // $L AS start_seq, (cum - 1) // $L AS end_seq
+       | FROM xcum)
+       |SELECT split, count(*) AS n_docs,
+       | CAST(sum(n) AS BIGINT) AS tot_pieces,
+       | CAST((max(cum) + $L - 1) // $L AS BIGINT) AS n_seqs,
+       | CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_straddlers,
+       | CAST(sum(start_seq) AS BIGINT) AS sum_start_seq,
+       | CAST(sum(end_seq) AS BIGINT) AS sum_end_seq,
+       | CAST(sum(CASE WHEN cum % $L = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |  AS n_aligned_ends,
+       | CAST(max(cum) - ((max(cum) + $L - 1) // $L - 1) * $L AS BIGINT)
+       |  AS last_seq_len
+       |FROM xplaced GROUP BY split""".stripMargin
+    materializeCtes(prefix + tail)
+  }
+
   private def x1ChainSql(finalCol: String): String = {
     val iters = 2
     s"""WITH sal AS (
@@ -3657,6 +3728,70 @@ object SparkEntry {
       |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM cand)
       |SELECT query_id, rank, neighbor_id, CAST(sim_dec AS DOUBLE) AS ivf_sim$extraCol
       |FROM r WHERE rank <= 3""".stripMargin
+
+  /** The e18-shaped serving tail over a pre-built assignment CTE `asg`
+    * (vec_id, embedding, centroid_id): queries = `queryPred` rows of the
+    * assignment, candidates joined on bin, decimal-ranked top-3. No
+    * leading comma; emits the query/cand/rank CTE bodies and the final
+    * SELECT with optional extra constant columns. Shared by the
+    * re-trained-geometry oracles (e37/st26), which differ from
+    * [[ivfServeOracleSql]] only in WHERE the assignment comes from.
+    */
+  private def serveTailSqlOver(asg: String, px: String,
+      extraCols: String): String =
+    s"""${px}q AS (
+      | SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+      | FROM $asg WHERE vec_id < 10),
+      |${px}cand AS (
+      | SELECT q.query_id, a.vec_id AS neighbor_id,
+      |  CAST(list_aggregate(list_transform(range(1, len(q.q_emb)+1),
+      |    i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), 'sum')
+      |   AS DECIMAL(20,6)) AS sim_dec
+      | FROM $asg a JOIN ${px}q q ON a.centroid_id = q.centroid_id
+      |  AND a.vec_id <> q.query_id),
+      |${px}rnk AS (
+      | SELECT query_id, neighbor_id, sim_dec,
+      |  row_number() OVER (PARTITION BY query_id
+      |    ORDER BY sim_dec DESC, neighbor_id ASC) AS rank FROM ${px}cand)
+      |SELECT query_id, rank, neighbor_id,
+      | CAST(sim_dec AS DOUBLE) AS ivf_sim$extraCols
+      |FROM ${px}rnk WHERE rank <= 3""".stripMargin
+
+  /** duckdb mirror of [[graft.operators.VectorQueries.e37RetrainSwap]] —
+    * the e18 serving math under the RE-TRAINED coarse geometry: one Lloyd
+    * round over the live corpus seeded from the serving geometry (the
+    * kmeans chain at iters=1), full-corpus assignment under the new
+    * centroids, nprobe=1 top-3. The blue-green machinery (replace-all
+    * snapshot, atomic manifest cut, retention vacuum) must be invisible:
+    * serving answers as if the index had been built fresh under the new
+    * geometry — which is this SQL.
+    */
+  private def e37OracleSql: String =
+    s"""WITH ${kmeansChainSqlFrom("", "embeddings", 1, 4)},
+      |${assignCteFrom("asg", "c1", "embeddings")},
+      |${serveTailSqlOver("asg", "", "")}""".stripMargin
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.st26StreamingGenerationSwap]] — the
+    * fixed query set answered under BOTH geometries: gen 1 = the demo
+    * seeds (the chain's c0, e18's geometry), gen 2 = the re-trained c1.
+    * Each generation's rows appear from exactly 2 of the 4 batches
+    * (n_gen_batches pins the swap landing at batch 2), and the result log
+    * records exactly 4 keyed commits.
+    */
+  private def st26OracleSql: String =
+    s"""WITH ${kmeansChainSqlFrom("", "embeddings", 1, 4)},
+      |${assignCteFrom("oldasg", "c0", "embeddings")},
+      |${assignCteFrom("newasg", "c1", "embeddings")},
+      |g1 AS (
+      |WITH ${serveTailSqlOver("oldasg", "o",
+         ", 2 AS n_gen_batches, 4 AS n_commits")}),
+      |g2 AS (
+      |WITH ${serveTailSqlOver("newasg", "n",
+         ", 2 AS n_gen_batches, 4 AS n_commits")})
+      |SELECT 1 AS gen, * FROM g1
+      |UNION ALL
+      |SELECT 2 AS gen, * FROM g2""".stripMargin
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e22FilteredRecall]] —
     * e19's serving CTEs plus the filtered brute-force baseline, joined per

@@ -625,6 +625,96 @@ object CorpusPipeline {
         sum(length(col("sym")).cast("long")).as("sum_piece_chars"))
   }
 
+  /** Pieces per packed sequence for [[x3PackedSequences]] — small enough
+    * that the gate corpus yields many sequences per split (discriminative
+    * boundary bookkeeping), large enough that most documents pack several
+    * to a row; production uses the model's context length (2048/4096/8192)
+    * through the same arithmetic.
+    */
+  private[graft] val X3SeqLen = 128L
+
+  /** x3: SEQUENCE PACKING OF THE TOKENIZED CORPUS — the final stage of a
+    * pretraining-data path: x2's BPE pieces, laid out per split as one
+    * contiguous piece stream in doc_id order and cut into fixed-length
+    * sequences of [[X3SeqLen]] pieces, with DOCUMENT-BOUNDARY bookkeeping
+    * (where each document starts and ends in sequence space — the EOD/
+    * attention-reset positions a trainer needs). A document's pieces
+    * occupy positions [cum−n, cum) of its split's stream, so its start
+    * sequence is (cum−n) div L and its end sequence (cum−1) div L; the
+    * pack map is exactly that per-doc frame, and the gate output censuses
+    * it per split: doc/piece/sequence totals, straddler count (documents
+    * crossing a sequence boundary), the summed start/end sequence ids
+    * (which pin EVERY document's placement — any off-by-one anywhere in
+    * the running sum shifts them), boundary-aligned document ends, and
+    * the tail sequence's length (every other sequence holds exactly L
+    * pieces by construction, so per-sequence piece counts are pinned by
+    * n_seqs + tot_pieces + last_seq_len).
+    *
+    * The running piece sum is the TWO-PASS DISTRIBUTED PREFIX-SUM of
+    * [[packCensus]] (shard-local window + tiny offset aggregate — no
+    * window partition ever exceeds [[PackShardW]] rows), because packing
+    * is per SPLIT: a plain `sum OVER (PARTITION BY split ORDER BY
+    * doc_id)` puts ~80% of a 10¹⁰-document corpus through ONE sort task
+    * (the r14 finding, worse here — three strata, not #splits×#sources).
+    * The arithmetic is identical, so the DuckDB oracle restates it as the
+    * plain window unchanged.
+    *
+    * Scale shape: per-doc piece counts are one words⋈segmentation
+    * broadcast hash-join + a doc-grouped count (pieces never materialize
+    * as rows beyond the count); the prefix sum is two bounded windows +
+    * one broadcast; the census is a 3-group aggregate. Nothing scales
+    * superlinearly in corpus size.
+    */
+  def x3PackedSequences(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, budget: Int = 10): DataFrame = {
+    val L = X3SeqLen
+    val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
+    val surv4 = x1Survivors(spark, sfDir, requireFlatOracle, cuts)
+      .localCheckpoint(true)
+    cuts.foreach(freeCut)
+    val (_, seg, _) =
+      TextQueries.bpeTrainClassicFrom(surv4.select(col("text")), budget)
+    val b = pmod(h60(col("text")), lit(100L))
+    val dtoks = surv4.select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        .as("split"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    // per-doc piece counts under the trained segmentation (docs whose text
+    // tokenizes to nothing have no pieces and drop out, both engines)
+    val dp = dtoks.join(seg, dtoks("w") === seg("w_id"))
+      .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
+    // two-pass distributed prefix sum per split (packCensus's shards)
+    val W = org.apache.spark.sql.expressions.Window
+    val wLoc = W.partitionBy("split", "shard").orderBy("doc_id")
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wOff = W.partitionBy("split").orderBy("shard")
+      .rowsBetween(W.unboundedPreceding, -1)
+    val sharded = dp.withColumn("shard", expr(s"doc_id div $PackShardW"))
+    val offsets = sharded.groupBy("split", "shard")
+      .agg(sum(col("n")).as("stot"))
+      .withColumn("off", coalesce(sum(col("stot")).over(wOff), lit(0L)))
+      .select("split", "shard", "off")
+    val placed = sharded
+      .withColumn("lcum", sum(col("n")).over(wLoc))
+      .join(broadcast(offsets), Seq("split", "shard"))
+      .withColumn("cum", col("lcum") + col("off"))
+      .withColumn("start_seq", expr(s"(cum - n) div $L"))
+      .withColumn("end_seq", expr(s"(cum - 1) div $L"))
+    placed.groupBy("split").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n")).as("tot_pieces"),
+      expr(s"(max(cum) + $L - 1) div $L").as("n_seqs"),
+      sum(when(col("end_seq") > col("start_seq"), 1L).otherwise(0L))
+        .as("n_straddlers"),
+      sum(col("start_seq")).as("sum_start_seq"),
+      sum(col("end_seq")).as("sum_end_seq"),
+      sum(when(expr(s"cum % $L") === 0, 1L).otherwise(0L))
+        .as("n_aligned_ends"),
+      expr(s"max(cum) - ((max(cum) + $L - 1) div $L - 1) * $L")
+        .as("last_seq_len"))
+  }
+
   /** st19: the STREAMING TWIN of [[x1CorpusPipeline]] — the same corpus
     * build run as a micro-batched recurring ingest (the pipeline-scope
     * analogue of the reference's hourly workflow loop,
@@ -1444,5 +1534,51 @@ object CorpusPipeline {
     st19Freeze(spark, cfg).write.format("noop").mode("overwrite").save()
     val freezeSec = (System.nanoTime() - t0) / 1e9
     (lastStreamBatchMillis.map(_ / 1000.0), freezeSec)
+  }
+
+  /** The freeze-certification split of [[st19BatchFlatness]]: build the
+    * post-stream state UNTIMED (the stream half's decade is already
+    * adjudicated on canary-cancelling windows; a dirty host during the
+    * build is harmless), so a caller can then time [[st19FreezeOnly]]
+    * alone inside an insisted-healthy window — the r18 gap was exactly
+    * that the freeze's 417 s x100 sample shared its window with the
+    * stream and a 0.55→1.29 canary swing.
+    */
+  private[graft] def st19BuildFlatState(spark: SparkSession, sfDir: String,
+      nBatches: Int): Unit = {
+    val cfg = st19Config(spark, sfDir, stateTag = s"-flat$nBatches")
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val dir = new java.io.File(s"target/parity/x1s-split$nBatches-$sfTag")
+      .getAbsoluteFile.toString
+    val stamp =
+      s"$sfDir|$nBatches|${RelationalQueries.sourceStamp(sfDir, "documents")}"
+    val marker = new java.io.File(dir, "._split_ok")
+    val ok = marker.isFile && new String(
+      java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8") == stamp
+    if (!ok) {
+      table(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+        .repartitionByRange(nBatches, col("doc_id"))
+        .write.mode("overwrite").parquet(s"file:$dir")
+      java.nio.file.Files.write(marker.toPath, stamp.getBytes("UTF-8"))
+    }
+    wipeFsPath(spark, s"file:${cfg.stateRoot}")
+    wipeFsPath(spark, s"file:${cfg.ckptDir}")
+    st19RunStream(spark, cfg, dir)
+  }
+
+  /** Time st19's freeze pass alone over state a prior
+    * [[st19BuildFlatState]] call left behind (same stateTag namespace).
+    * One rep = one full freeze composition (exact/LSH/semantic dedup +
+    * decontamination + pack census over the accreted state tables).
+    */
+  private[graft] def st19FreezeOnly(spark: SparkSession, sfDir: String,
+      nBatches: Int): Double = {
+    val cfg = st19Config(spark, sfDir, stateTag = s"-flat$nBatches")
+    require(SnapshotLog.latestVersion(spark, cfg.docsPath).nonEmpty,
+      "st19FreezeOnly: no state — run st19BuildFlatState first")
+    val t0 = System.nanoTime()
+    st19Freeze(spark, cfg).write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
   }
 }

@@ -66,6 +66,33 @@ object DedupQueries {
   private val shingleCache =
     new scala.collection.concurrent.TrieMap[String, DataFrame]
 
+  /** CORPUS-CUT CACHE LIFETIME, as an operator contract rather than a
+    * harness rule: the session-scoped per-corpus memos ([[shingledDocs]],
+    * [[closureLabels]]) hold blocks for AT MOST ONE corpus cut — asking
+    * for cut X first releases every other cut's persisted frames. In a
+    * long-lived session working multiple corpus cuts (the 100 TB shape:
+    * one driver, many snapshot/scale cuts), leaving prior cuts cached
+    * evicts the ACTIVE cut's blocks instead — measured in the r18 slope
+    * run: four scales' shingle caches held concurrently pushed the block
+    * manager into eviction + recompute thrash and inflated d13's x100 rep
+    * from its ~60 s steady to 192 s (SURVEY §8); the fix lived in the
+    * ScaleSlope harness (`clearCache()` between scales) until this
+    * promoted it into the operators themselves. Releasing a cut another
+    * thread still computes over is safe (unpersist falls back to
+    * recompute), so the eager release never changes results. Pinned by
+    * `CacheLifetimeSpec`: after a second cut's request, the first cut's
+    * frame reports no storage.
+    */
+  private def releaseOtherCuts[K](
+      cache: scala.collection.concurrent.TrieMap[K, DataFrame],
+      cutOf: K => String, active: String): Unit =
+    cache.keys.filter(k => cutOf(k) != active).foreach { k =>
+      cache.remove(k).foreach { df =>
+        try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+        catch { case _: Throwable => () }
+      }
+    }
+
   /** The corpus shingled once per session: (doc_id, sh) persisted
     * MEMORY_AND_DISK and shared by every consumer (d7 signatures, d9/d13
     * Jaccard verification, d12's exploded UDAF form). Shingling is the
@@ -80,6 +107,8 @@ object DedupQueries {
     * session when possible and rebuilt.
     */
   def shingledDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    releaseOtherCuts(shingleCache, identity[String], sfDir)
+    releaseOtherCuts(ccCache, (k: (String, Double)) => k._1, sfDir)
     def build() = table(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"), toks(col("text")).as("t"))
       .select(col("doc_id"), shingles3(col("t"), col("text")).as("sh"))
@@ -262,6 +291,8 @@ object DedupQueries {
     */
   def closureLabels(spark: SparkSession, sfDir: String,
       threshold: Double = 0.5): DataFrame = {
+    releaseOtherCuts(shingleCache, identity[String], sfDir)
+    releaseOtherCuts(ccCache, (k: (String, Double)) => k._1, sfDir)
     val key = (sfDir, threshold)
     ccCache.get(key) match {
       case Some(df) if df.sparkSession eq spark => df

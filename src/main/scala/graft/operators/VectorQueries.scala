@@ -3187,6 +3187,219 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** e37: INDEX RE-TRAIN + BLUE-GREEN GENERATION SWAP — the one ANN
+    * lifecycle event the maintenance matrix (append e20 / split e35 /
+    * delete e21 / compact e23, batch and streaming) does not cover: every
+    * maintenance operator keeps the coarse centroids FROZEN (deleting
+    * corpus vectors never changes bin geometry — correct for takedowns),
+    * so under sustained corpus drift assignment QUALITY degrades — splits
+    * cap bin size but never improve where vectors land. The production
+    * answer is a periodic re-index: re-train the coarse codebook on the
+    * live corpus, rebuild the inverted lists under the new geometry as a
+    * NEW GENERATION, atomically cut serving over, keep the old generation
+    * for rollback, vacuum after. (Reference analogue: the whole-table
+    * `CREATE_NEVER`/`WRITE_TRUNCATE` refresh discipline of
+    * `bq_create_table_ddl.sql:1-13` + `commands.sh:17-26`, applied at
+    * index granularity — replace the artifact wholesale, never patch it.)
+    *
+    * The generation mechanics are [[graft.sources.SnapshotLog]] used
+    * blue-green: generation 1 (blue) is the v1 commit (demo-centroid
+    * geometry, e18's); the re-train commits the rebuilt lists as a
+    * REPLACE-ALL snapshot (`carried = Nil` — no gen-1 file survives into
+    * v2's manifest) whose key carries every superseded generation's keys
+    * forward (the compact discipline: retention must never reopen a
+    * replay window, and a replayed gen-1 build after the swap must
+    * no-op). The manifest rename IS the atomic cut-over: a reader pinned
+    * to `latestVersion` sees the old generation or the new one, never a
+    * mix — mid-rebuild (gen-2 data staged, manifest unpublished) serving
+    * reads only gen-1, post-swap only gen-2, both spec-pinned in
+    * `GenerationSwapSpec` along with the rollback read (v1 stays
+    * byte-identical until retention). The gate query runs the FULL
+    * lifecycle — build → re-train → swap → close the rollback window
+    * ([[SnapshotLog.retainVersions]] keep=1 reclaims gen-1's files) →
+    * serve — and the oracle restates serving under the re-trained
+    * geometry (one Lloyd round over the live corpus seeded from the
+    * serving geometry), so a swap that lost vectors, served stale bins,
+    * or vacuumed a live file fails the hash.
+    *
+    * Scale shape: the rebuild is one corpus-sized assignment scan + one
+    * partitioned write — a BUDGETED, schedulable background job (st17's
+    * job class), NOT serving work; serving cost is unchanged (bin-pruned
+    * manifest read). The swap itself is O(manifest): one rename. Rollback
+    * is O(1) (read the prior version). Vacuum is bounded by the replaced
+    * generation's file count. Nothing here scales with query traffic —
+    * the blue-green discipline is exactly what lets a 10^10-vector index
+    * re-train online without a serving gap.
+    */
+  def e37RetrainSwap(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tblDir = new java.io.File(s"target/parity/ivf-genlog-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(tblDir)
+    val tbl = s"file:$tblDir"
+
+    // generation 1 (blue): the serving geometry to date — e18's demo
+    // centroids; committed keyed so a replayed build after the swap no-ops
+    val gen1 = assignToCentroids(spark, sfDir, emb)
+    SnapshotLog.commit(spark, tbl, gen1, Nil, Some("gen-1-build"),
+      partitionBy = Some("centroid_id"))
+
+    // corpus-drift re-train: one Lloyd round over the LIVE corpus seeded
+    // from the serving geometry — new centroid PARAMETERS (bin means, not
+    // corpus rows); then the full rebuild under the new geometry lands as
+    // a replace-all commit. The manifest rename is the blue-green cut.
+    val cents2 = kmeansCentroids(spark, sfDir, iters = 1, k = 4)
+    val gen2 = assignTrained(emb, cents2)
+    SnapshotLog.commit(spark, tbl, gen2, Nil, Some("gen-2-retrain"),
+      partitionBy = Some("centroid_id"),
+      carriedKeys = SnapshotLog.commitKeys(spark, tbl))
+
+    // rollback window closes: retention keeps only the head generation and
+    // reclaims gen-1's now-unreferenced files (zero horizon is safe — the
+    // table is quiescent, this thread is its only writer). Serving below
+    // proves the vacuum touched nothing live.
+    SnapshotLog.retainVersions(spark, tbl, keep = 1, olderThanMillis = 0L)
+
+    // serving under the NEW geometry: queries assign against the re-trained
+    // codebook, probed bins resolve to the head manifest's files by their
+    // `_centroid_id=` path level — the e18 discipline, new generation
+    val queries = assignTrained(emb.filter(col("vec_id") < 10), cents2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val head = SnapshotLog.latestVersion(spark, tbl)
+      .getOrElse(sys.error("e37: no generations committed"))
+    val mf = SnapshotLog.manifest(spark, tbl, head)
+    val idxFiles = mf
+      .filter(f => probed.exists(b => f.contains(s"/_centroid_id=$b/")))
+    serveManifestFiles(spark, queries, mf, idxFiles, k)
+  }
+
+  /** st26: STREAMING SERVING ACROSS THE GENERATION SWAP — e37's blue-green
+    * re-index landing MID-STREAM in the st20/st22 serving-loop shape: a
+    * 4-batch serving stream answers the same query set every batch, the
+    * re-train + replace-all swap commits at batch 2 (keyed — a replayed
+    * batch 2 must not re-index twice), and each batch serves through
+    * whatever generation the HEAD manifest records at that moment —
+    * resolved by [[SnapshotLog.versionKeys]], never by wall clock, so the
+    * serve/swap interleaving is deterministic under replay. Batches 0-1
+    * answer under gen-1 geometry, batches 2-3 under gen-2; earlier
+    * batches' committed results stay valid (their batchId-keyed commits
+    * are never rewritten — the exactly-once ledger is the proof that the
+    * swap invalidated no prior answer). The output collapses the per-batch
+    * results to distinct rows per generation plus, per row, the count of
+    * batches that produced it — exactly 2 per generation, which pins the
+    * swap TIMING (a batch serving the wrong generation shifts a count),
+    * and the total keyed commit count pins exactly-once.
+    *
+    * Scale shape: per batch, cost = one bin-pruned manifest read of the
+    * current generation (nprobe/C of the index) + a result commit; the
+    * swap adds ONE manifest-header read per batch (versionKeys — O(bytes))
+    * to resolve the generation, which is the entire coordination cost of
+    * re-indexing under a live serving stream. No batch ever reads both
+    * generations; no serving pause.
+    */
+  def st26StreamingGenerationSwap(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val genDirF = new java.io.File(s"target/parity/ivf-st26gen-$sfTag")
+      .getAbsoluteFile.toString
+    val resDirF = new java.io.File(s"target/parity/ivf-st26res-$sfTag")
+      .getAbsoluteFile.toString
+    val tickDirF = new java.io.File(s"target/parity/ivf-st26tick-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/ivf-st26ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(genDirF); wipeLocalDir(resDirF); wipeLocalDir(ckptDir)
+    val genTbl = s"file:$genDirF"
+    val resTbl = s"file:$resDirF"
+
+    // 4 one-row serving-tick files → 4 micro-batches (the stream carries
+    // serving REQUESTS; the query set itself is fixed, so results depend
+    // only on which generation each batch resolves — order-independent)
+    spark.range(4).select(col("id").as("tick"))
+      .repartitionByRange(4, col("tick"))
+      .write.mode("overwrite").parquet(s"file:$tickDirF")
+
+    // generation 1 (blue) is live before the stream starts
+    SnapshotLog.commit(spark, genTbl, assignToCentroids(spark, sfDir, emb),
+      Nil, Some("gen-1-build"), partitionBy = Some("centroid_id"))
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tick",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$tickDirF")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        if (batchId == 2) {
+          // the re-index event: e37's re-train + replace-all swap, keyed
+          // so a replay of this batch finds the key and no-ops
+          val cents2 = kmeansCentroids(bs, sfDir, iters = 1, k = 4)
+          val gen2 = assignTrained(
+            table(bs, sfDir, "embeddings")
+              .select(col("vec_id"), col("embedding")), cents2)
+          SnapshotLog.commit(bs, genTbl, gen2, Nil, Some("gen-2-retrain"),
+            partitionBy = Some("centroid_id"),
+            carriedKeys = SnapshotLog.commitKeys(bs, genTbl))
+          ()
+        }
+        // resolve the generation THIS batch serves from the head
+        // manifest's keys — the atomic-cut read side
+        val head = SnapshotLog.latestVersion(bs, genTbl)
+          .getOrElse(sys.error("st26: no generation live"))
+        val genNow =
+          if (SnapshotLog.versionKeys(bs, genTbl, head)
+              .contains("gen-2-retrain")) 2 else 1
+        val embq = table(bs, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 10)
+        val queries = (if (genNow == 2)
+            assignTrained(embq, kmeansCentroids(bs, sfDir, iters = 1, k = 4))
+          else assignToCentroids(bs, sfDir, embq))
+          .select(col("vec_id").as("query_id"),
+            col("embedding").as("q_emb"), col("centroid_id"))
+        val probed = queries.select(col("centroid_id").cast("long").as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        val mf = SnapshotLog.manifest(bs, genTbl, head)
+        val idxFiles = mf
+          .filter(f => probed.exists(b => f.contains(s"/_centroid_id=$b/")))
+        val res = serveManifestFiles(bs, queries, mf, idxFiles, k)
+          .withColumn("gen", lit(genNow))
+          .withColumn("batch_id", lit(batchId))
+        val prior = SnapshotLog.latestVersion(bs, resTbl)
+          .map(v => SnapshotLog.manifest(bs, resTbl, v)).getOrElse(Nil)
+        SnapshotLog.commit(bs, resTbl, res, prior,
+          commitKey = Some(s"batch-$batchId"))
+        maintainStreamLog(bs, resTbl, None, maxFilesPerPartition = 4, batchId)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val nBatches = SnapshotLog.commitKeys(spark, resTbl)
+      .count(_.startsWith("batch-"))
+    val vRes = SnapshotLog.latestVersion(spark, resTbl)
+      .getOrElse(sys.error("st26: no result commits"))
+    SnapshotLog.read(spark, resTbl, vRes)
+      .groupBy("gen", "query_id", "rank", "neighbor_id", "ivf_sim")
+      .agg(countDistinct(col("batch_id")).cast("int").as("n_gen_batches"))
+      .withColumn("n_commits", lit(nBatches))
+  }
+
   /** e21: INDEX DELETE — the takedown half of index maintenance (e20 adds,
     * this removes): a doomed-id list (content takedown / right-to-erasure,
     * the u2 scenario at index granularity) is removed from the persisted

@@ -314,6 +314,17 @@ object SnapshotLog {
     listVersions(fs, root).flatMap(keysOf(fs, root, _)).distinct
   }
 
+  /** The commit keys ONE version's manifest records (own + carried) — how
+    * a reader identifies WHICH logical state a version serves (e.g. "does
+    * the head already include the gen-2 re-index?"), as opposed to
+    * [[commitKeys]]'s table-wide replay ledger. O(one manifest header).
+    */
+  def versionKeys(spark: SparkSession, tablePath: String,
+      version: Int): Seq[String] = {
+    val (fs, root) = fsFor(spark, tablePath)
+    keysOf(fs, root, version)
+  }
+
   /** COMPACT the head version's small files (e23's per-bin rewrite,
     * lifted to any SnapshotLog table): group the live files by partition
     * segment (`_col=value` manifest-path level when `partitionCol` is set;

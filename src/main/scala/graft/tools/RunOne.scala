@@ -14,8 +14,18 @@ object RunOne {
     val out = s"target/verify-one/$name"
     graft.SparkEntry.queries(name)(spark, dir)
       .write.mode("overwrite").parquet(out)
-    val sql = graft.SparkEntry.oracleSql(name)
-      .replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", "\\n")
+    // JSON-escape the oracle SQL: beyond backslash/quote/newline, ANY
+    // control char < 0x20 (\r, \t, ...) must be escaped or the emitted
+    // file is invalid JSON and compare_oracle.py fails to parse it.
+    val sql = graft.SparkEntry.oracleSql(name).flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("target/verify-one/oracle_sql.json"),
       s"""{"$name": "$sql"}""")

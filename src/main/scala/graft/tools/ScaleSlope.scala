@@ -138,7 +138,7 @@ object ScaleSlope {
     out.toString
   }
 
-  private def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
+  private[graft] def ensureScaled(spark: SparkSession, src: String, factor: Int): String = {
     val out = new java.io.File(s"target/scale/x$factor").getAbsoluteFile
     val marker = new java.io.File(out, "._scale_ok")
     // v3: sign-flip-decorrelated emb replicas; sourceStamp: rebuild replicas

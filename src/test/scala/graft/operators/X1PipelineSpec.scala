@@ -163,4 +163,72 @@ class X1PipelineSpec extends SparkSpec {
         s"$split: fewer pieces than words — some word lost its pieces")
     }
   }
+
+  test("x3: the distributed pack census equals the one-window restatement " +
+      "and is consistent with x2's piece totals") {
+    val L = CorpusPipeline.X3SeqLen
+    val rows = CorpusPipeline.x3PackedSequences(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("train", "valid", "test"))
+
+    // cross-query invariant: x3 packs exactly the pieces x2 censused —
+    // the packing stage loses or invents nothing
+    val x2 = CorpusPipeline.x2BpeTokenizedCorpus(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (split, r) =>
+      assert(r.getAs[Long]("tot_pieces") == x2(split),
+        s"$split: packed ${r.getAs[Long]("tot_pieces")} pieces, " +
+          s"x2 censused ${x2(split)}")
+    }
+
+    // per-sequence bookkeeping arithmetic: every non-tail sequence holds
+    // exactly L pieces; boundary sums are internally consistent
+    rows.foreach { case (split, r) =>
+      val tot = r.getAs[Long]("tot_pieces")
+      val nSeqs = r.getAs[Long]("n_seqs")
+      val tail = r.getAs[Long]("last_seq_len")
+      assert(nSeqs == (tot + L - 1) / L, s"$split: n_seqs")
+      assert(tail >= 1 && tail <= L, s"$split: tail $tail outside (0,$L]")
+      assert((nSeqs - 1) * L + tail == tot, s"$split: piece accounting")
+      val ss = r.getAs[Long]("sum_start_seq")
+      val se = r.getAs[Long]("sum_end_seq")
+      val straddlers = r.getAs[Long]("n_straddlers")
+      assert(se - ss >= straddlers,
+        s"$split: end-start sequence mass below straddler count")
+      assert(straddlers <= r.getAs[Long]("n_docs"))
+    }
+
+    // the two-pass prefix sum computes the SAME census as the plain
+    // one-window form (the packCensus equivalence, restated for x3's
+    // per-split strata): recompute placement with a single window
+    val surv = CorpusPipeline.x1Survivors(spark, sfDir)
+    val (_, seg, _) =
+      TextQueries.bpeTrainClassicFrom(surv.select(col("text")), 10)
+    val b = pmod(graft.functions.GraftFunctions.h60(col("text")), lit(100L))
+    val dtoks = surv.select(col("doc_id"),
+      when(b < 80, "train").when(b < 90, "valid").otherwise("test")
+        .as("split"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dp = dtoks.join(seg, dtoks("w") === seg("w_id"))
+      .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("split").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val oneWindow = dp.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("start_seq", expr(s"(cum - n) div $L"))
+      .withColumn("end_seq", expr(s"(cum - 1) div $L"))
+      .groupBy("split")
+      .agg(sum(col("start_seq")).as("ss"), sum(col("end_seq")).as("se"),
+        count(lit(1)).as("nd"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    rows.foreach { case (split, r) =>
+      val (ss, se, nd) = oneWindow(split)
+      assert(r.getAs[Long]("sum_start_seq") == ss &&
+        r.getAs[Long]("sum_end_seq") == se &&
+        r.getAs[Long]("n_docs") == nd,
+        s"$split: two-pass prefix sum diverged from the one-window form")
+    }
+  }
 }
