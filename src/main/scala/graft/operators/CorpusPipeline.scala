@@ -1307,7 +1307,8 @@ object CorpusPipeline {
     * re-freezing and comparing the census.
     */
   private[operators] def st19Freeze(spark: SparkSession,
-      cfg: St19Config, checkTorn: Boolean = true): DataFrame = {
+      cfg: St19Config, checkTorn: Boolean = true,
+      phaseTimer: (String, Double) => Unit = (_, _) => ()): DataFrame = {
     val docsPath = cfg.docsPath
     val pairsPath = cfg.pairsPath
     val vDocs = SnapshotLog.latestVersion(spark, docsPath)
@@ -1349,14 +1350,24 @@ object CorpusPipeline {
     // re-paid the corpus scrub per branch, 245 s vs ~40 s at x10). All
     // cut frames are freed before the tiny census frame returns.
     val cuts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    def cut(df: DataFrame): DataFrame = {
-      val c = df.localCheckpoint(true); cuts += c; c
+    // Each cut is an EAGER materialization (localCheckpoint(true)), so the
+    // cut points are the freeze's phase boundaries — the optional
+    // phaseTimer sees (label, wall seconds) per phase, the instrument
+    // behind the x100 freeze-decade decomposition (phases are 5-60 s,
+    // short enough to certify individually on a host whose healthy
+    // windows are thinner than the whole freeze).
+    def cutL(label: String, df: DataFrame): DataFrame = {
+      val t0 = System.nanoTime()
+      val c = df.localCheckpoint(true); cuts += c
+      phaseTimer(label, (System.nanoTime() - t0) / 1e9)
+      c
     }
 
     val exactKeep = docsS
       .groupBy("text_hash").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val surv1 = cut(docsS.join(exactKeep, Seq("doc_id"), "left_semi"))
+    val surv1 = cutL("exact_dedup",
+      docsS.join(exactKeep, Seq("doc_id"), "left_semi"))
 
     // The pair log holds band-collision CANDIDATES (the per-batch state is
     // narrow — see st19RunStream (b)); the exact-Jaccard verification runs
@@ -1366,11 +1377,12 @@ object CorpusPipeline {
     // arrays are identical) and only candidate pairs pay the array
     // intersect/union. Heavy bytes: one corpus scan at freeze, ∝ corpus —
     // not ∝ batches × corpus as when state carried the arrays.
-    val lshCand = cut(bothIn(pairsS.filter(col("kind") === "lsh"), surv1)
+    val lshCand = cutL("lsh_candidates",
+      bothIn(pairsS.filter(col("kind") === "lsh"), surv1)
       .select("id_a", "id_b").distinct())
     val candEnds = lshCand.select(col("id_a").as("doc_id"))
       .unionByName(lshCand.select(col("id_b").as("doc_id"))).distinct()
-    val candSh = cut(contentShingles(DedupQueries.shingleFrameFrom(
+    val candSh = cutL("candidate_shingles", contentShingles(DedupQueries.shingleFrameFrom(
       scrubbedQualityDocs(
         table(spark, cfg.sfDir, "documents")
           .select(col("doc_id"), col("text"), col("source"))
@@ -1390,7 +1402,8 @@ object CorpusPipeline {
           .cast("decimal(10,6)").cast("double"))
       .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
-    val surv2 = cut(surv1.join(lshLosers, Seq("doc_id"), "left_anti"))
+    val surv2 = cutL("lsh_verify",
+      surv1.join(lshLosers, Seq("doc_id"), "left_anti"))
 
     // Same deferral for the semantic stage: candidates are same-bin pairs
     // (bins from the frozen codebooks); the cosine verify joins the SOURCE
@@ -1398,13 +1411,15 @@ object CorpusPipeline {
     // semi-restricted to candidate ENDPOINTS before norms are computed and
     // then cut, so the table is scanned once and norm'd only for the ids
     // the verify will touch (the candSh discipline).
-    val semCand = cut(bothIn(pairsS.filter(col("kind") === "sem"), surv2)
+    val semCand = cutL("sem_candidates",
+      bothIn(pairsS.filter(col("kind") === "sem"), surv2)
       .select("id_a", "id_b").distinct())
     val semEnds = semCand.select(col("id_a").as("vec_id"))
       .unionByName(semCand.select(col("id_b").as("vec_id"))).distinct()
     val nrmE = (c: Column) => sqrt(aggregate(c, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val candEmb = cut(table(spark, cfg.sfDir, "embeddings")
+    val candEmb = cutL("candidate_embeddings",
+      table(spark, cfg.sfDir, "embeddings")
       .select(col("vec_id"), col("embedding"))
       .join(semEnds, Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("embedding"),
@@ -1422,26 +1437,43 @@ object CorpusPipeline {
         (dotAB / (col("nrm_a") * col("nrm_b"))).cast("decimal(20,6)"))
       .filter(col("sim_dec") >= 0.25)
       .select(col("id_b").as("doc_id")).distinct()
-    val surv3 = cut(surv2.join(semLosers, Seq("doc_id"), "left_anti"))
+    val surv3 = cutL("sem_verify",
+      surv2.join(semLosers, Seq("doc_id"), "left_anti"))
     // Decontamination from the gram CENSUS state, not a pair log: leaked
     // gram hashes = eval-survivor grams (a distinct SET), each surviving
-    // train doc counts its distinct grams in that set — all semi-joins, so
-    // no intermediate ever holds |train × eval| products (x1's own evalSh
-    // broadcast shape, over the streamed census instead of the in-chain
-    // frame). Pre-restricted to survivors and cut: the census — the
-    // largest state table — is scanned once, not once per branch.
-    val gramsS = cut(spark.read
+    // train doc counts its distinct grams in that set. Plan shape matters
+    // more here than anywhere else in the freeze — the census is the
+    // LARGEST state table, and the r19 phase instrument measured two wrong
+    // shapes before this one: (1) cutting the survivor-restricted census
+    // (localCheckpoint of corpus × grams/doc rows) cost 101.8 s of a 226 s
+    // x100 freeze, 60× across the x10→x100 decade while every other phase
+    // stayed ≤ 7.8×; (2) uncut branch-local scans re-executed the whole
+    // decon once per packCensus consumer AND sort-merge-shuffled the full
+    // census against the stats-less survivor frame — 302 s. The shape that
+    // scales: the probe scan filters by the BROADCAST eval set FIRST (the
+    // selective predicate — shuffle carries only LEAKED gram instances,
+    // never the census), survivor semi-joins apply to the already-small
+    // leaked/eval sides, and the resulting per-doc leak counts — a tiny
+    // frame — are the only thing cut, so downstream multi-consumers replay
+    // nothing. (At corpora where the eval gram set outgrows a broadcast,
+    // the same plan runs with the h-equi-join shuffled — cost ∝ census,
+    // once, with no materialization; the broadcast is the gate-scale
+    // fast path, not a correctness dependency.)
+    val gramsRaw = spark.read
       .parquet(SnapshotLog.manifest(spark, cfg.gramsPath, vGrams): _*)
       .select(col("doc_id"), col("h"))
-      .join(surv3.select("doc_id"), Seq("doc_id"), "left_semi"))
-    val evalH = gramsS.filter(pmod(col("doc_id"), lit(40L)) === 0)
+    val surv3Ids = surv3.select("doc_id")
+    val evalH = gramsRaw.filter(pmod(col("doc_id"), lit(40L)) === 0)
+      .join(surv3Ids, Seq("doc_id"), "left_semi")
       .select("h").distinct()
-    val contaminated = gramsS.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
-      .join(broadcast(evalH), Seq("h"), "left_semi")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("leaked"))
-      .filter(col("leaked") >= 3)
-      .select("doc_id")
+    val contaminated = cutL("decon_leak_counts",
+      gramsRaw.filter(pmod(col("doc_id"), lit(40L)) =!= 0)
+        .join(broadcast(evalH), Seq("h"), "left_semi")
+        .join(surv3Ids, Seq("doc_id"), "left_semi")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("leaked"))
+        .filter(col("leaked") >= 3)
+        .select("doc_id"))
     val surv4 = surv3
       .filter(pmod(col("doc_id"), lit(40L)) =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
@@ -1450,10 +1482,12 @@ object CorpusPipeline {
     // materialize the (tiny) census eagerly so every cut frame above can
     // be freed before returning — callers get a 3-row checkpointed frame,
     // not a plan over freed blocks
+    val tC = System.nanoTime()
     val census = packCensus(surv4.withColumn("split",
         when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
       .withColumn("n_commits", lit(vDocs))
       .localCheckpoint(true)
+    phaseTimer("decon_pack_census", (System.nanoTime() - tC) / 1e9)
     cuts.foreach(freeCut)
     census
   }
@@ -1565,6 +1599,17 @@ object CorpusPipeline {
     wipeFsPath(spark, s"file:${cfg.stateRoot}")
     wipeFsPath(spark, s"file:${cfg.ckptDir}")
     st19RunStream(spark, cfg, dir)
+    // A production long-arrival deployment runs [[st19MaintainState]] on a
+    // cadence (St19RestartMaintenanceSpec proves it leaves the census
+    // unchanged); the certification state gets one post-build pass so the
+    // timed freeze reads a MAINTAINED log — without it the 8-batch x100
+    // build accretes ~218k tiny state files (gb-buckets × writers ×
+    // batches) and the freeze's census scans measure file-open syscalls,
+    // not the operator (r19 phase instrument: 207 s of decon at x100,
+    // ~100 s per census scan). Zero reclaim horizon is safe: this thread
+    // is the table's only writer.
+    st19MaintainState(spark, cfg, keepVersions = 1,
+      maxFilesPerPartition = 1, reclaimOlderThanMillis = 0L)
   }
 
   /** Time st19's freeze pass alone over state a prior
@@ -1578,7 +1623,27 @@ object CorpusPipeline {
     require(SnapshotLog.latestVersion(spark, cfg.docsPath).nonEmpty,
       "st19FreezeOnly: no state — run st19BuildFlatState first")
     val t0 = System.nanoTime()
-    st19Freeze(spark, cfg).write.format("noop").mode("overwrite").save()
+    // checkTorn=false: the build's post-stream maintenance legitimately
+    // de-locksteps the state tables' version numbers (the re-freeze rule)
+    st19Freeze(spark, cfg, checkTorn = false)
+      .write.format("noop").mode("overwrite").save()
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** [[st19FreezeOnly]] with per-phase wall seconds: each phase is one
+    * eager cut of the freeze composition (5-60 s even at x100), so on a
+    * host whose healthy windows are thinner than the whole freeze the
+    * DECOMPOSITION is still certifiable phase by phase — the `onPhase`
+    * callback runs between phases (e.g. a canary probe) and the returned
+    * labels carry which phases a flap landed on.
+    */
+  private[graft] def st19FreezePhases(spark: SparkSession, sfDir: String,
+      nBatches: Int,
+      onPhase: (String, Double) => Unit): Unit = {
+    val cfg = st19Config(spark, sfDir, stateTag = s"-flat$nBatches")
+    require(SnapshotLog.latestVersion(spark, cfg.docsPath).nonEmpty,
+      "st19FreezePhases: no state — run st19BuildFlatState first")
+    st19Freeze(spark, cfg, checkTorn = false, phaseTimer = onPhase)
+      .write.format("noop").mode("overwrite").save()
   }
 }

@@ -109,6 +109,30 @@ object Certify {
         }
         report("st19_freeze_only", s""""scale":"x$factor",""", rs)
 
+      case "st19phases" =>
+        // per-phase freeze decomposition over EXISTING flat state (built by
+        // a prior st19freeze run): phases are short enough to certify
+        // individually — each gets a post-phase canary, so a flap localizes
+        // to the phases it landed on instead of poisoning the whole freeze
+        val factor = if (args.length > 1) args(1).toInt else 100
+        val nBatches = if (args.length > 2) args(2).toInt else 8
+        val dir = ScaleSlope.ensureScaled(spark, "/root/testdata/sf0.1", factor)
+        spark.catalog.clearCache()
+        val c0 = waitHealthy(spark, maxRounds = 20)
+        val phases = scala.collection.mutable.Buffer.empty[(String, Double, Double)]
+        graft.operators.CorpusPipeline.st19FreezePhases(spark, dir, nBatches,
+          (label, sec) => {
+            val c = graft.Bench.canary(spark)
+            println(f"[certify] phase $label: $sec%.2fs canary_after $c%.3f")
+            phases += ((label, sec, c))
+          })
+        val pj = phases.map { case (l, s, c) =>
+          f"""{"phase":"$l","sec":$s%.3f,"canary_after":$c%.3f}"""
+        }.mkString("[", ",", "]")
+        println(s"""{"certify":"st19_freeze_phases","scale":"x$factor",""" +
+          s""""anchor":${f"$anchor%.3f"},"canary_start":${f"$c0%.3f"},""" +
+          s""""total_sec":${f"${phases.map(_._2).sum}%.3f"},"phases":$pj}""")
+
       case other => sys.error(s"unknown certify mode: $other")
     }
     spark.stop()

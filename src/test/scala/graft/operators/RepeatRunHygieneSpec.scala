@@ -40,7 +40,15 @@ class RepeatRunHygieneSpec extends SparkSpec {
       // st25 wipes index/checkpoint/map/tombstone state at query start
       // (the st17 discipline) — a second run must replay the whole
       // arrival history, including the mid-stream takedown, identically
-      "st25" -> (() => VectorQueries.st25StreamingSplitTakedown(spark, sfDir)))
+      "st25" -> (() => VectorQueries.st25StreamingSplitTakedown(spark, sfDir)),
+      // r19: e37 wipes its generation log per run (fresh v1/v2 + retention
+      // each time); st26 wipes gen/result/checkpoint state and replays the
+      // 4-batch serving stream with the mid-stream swap; x3 shares x1's
+      // stamp-memoized landing/codebook fixtures and must census
+      // identically on reuse
+      "e37" -> (() => VectorQueries.e37RetrainSwap(spark, sfDir)),
+      "st26" -> (() => VectorQueries.st26StreamingGenerationSwap(spark, sfDir)),
+      "x3" -> (() => CorpusPipeline.x3PackedSequences(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())
