@@ -160,6 +160,8 @@ object SparkEntry {
     "e35_bin_split_maintain" -> ((s, d) => V.e35BinSplitMaintain(s, d)),
     "e36_split_lifecycle" -> ((s, d) => V.e36SplitLifecycle(s, d)),
     "e37_retrain_swap" -> ((s, d) => V.e37RetrainSwap(s, d)),
+    "e38_retrain_swap_compressed" ->
+      ((s, d) => V.e38RetrainSwapCompressed(s, d)),
     "st25_streaming_split_takedown" ->
       ((s, d) => V.st25StreamingSplitTakedown(s, d)),
     "st26_streaming_generation_swap" ->
@@ -1414,6 +1416,13 @@ object SparkEntry {
     // corpus) — a swap that lost vectors, served the stale generation, or
     // vacuumed a live file diverges here
     "e37_retrain_swap" -> e37OracleSql,
+    // e38: the blue-green re-index of the COMPRESSED artifact — after the
+    // coarse+fine re-train, the re-encode, and the swap, serving from the
+    // head generation (codes + both codebook sidecars, no corpus access)
+    // must answer e26's fully-trained ADC search verbatim: the THIRD
+    // restatement of e26 (e32 persisted, st21 stream-built, e38
+    // re-trained) — build history is invisible to answers
+    "e38_retrain_swap_compressed" -> e26OracleSql,
     // st25 is the STREAMING takedown: ingest + two split passes + a
     // mid-stream tombstoned erasure compose to e21's corpus-minus-doomed
     // search, plus the exactly-once batch count

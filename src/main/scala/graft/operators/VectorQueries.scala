@@ -1362,9 +1362,19 @@ object VectorQueries {
     * exactly the same (vector → bin) map as one full pass.
     */
   def assignToCentroids(spark: SparkSession, sfDir: String,
-      rows: DataFrame): DataFrame = {
-    val cents = table(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+      rows: DataFrame): DataFrame =
+    assignToGivenCentroids(rows,
+      table(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb")))
+
+  /** [[assignToCentroids]] against an EXPLICIT demo-schema codebook
+    * (centroid_id, c_emb: array<float>) — the serving side of a
+    * generation whose geometry rides its own sidecar: the codebook comes
+    * from the generation commit, never re-derived from the corpus, but
+    * the float-dot assignment math stays bit-identical to the historical
+    * demo path (the oracles restate exactly that arithmetic).
+    */
+  def assignToGivenCentroids(rows: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy("vec_id").orderBy(col("a_sim").desc, col("centroid_id").asc)
     rows.select("vec_id", "embedding").crossJoin(broadcast(cents))
@@ -1454,8 +1464,12 @@ object VectorQueries {
     */
   private def serveManifestFiles(spark: SparkSession, queries: DataFrame,
       mf: Seq[String], idxFiles: Seq[String], k: Int): DataFrame = {
+    // the zero-match schema fallback must read DATA files only — a
+    // sidecar-bearing generation manifest would otherwise merge the
+    // codebook's schema into the (empty) index scan
     val idxRaw =
-      if (idxFiles.isEmpty) spark.read.parquet(mf: _*).filter(lit(false))
+      if (idxFiles.isEmpty)
+        spark.read.parquet(SnapshotLog.dataFiles(mf): _*).filter(lit(false))
       else spark.read.parquet(idxFiles: _*)
     val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
@@ -2927,7 +2941,11 @@ object VectorQueries {
     val v = SnapshotLog.latestVersion(spark, tablePath)
       .getOrElse(return Nil)
     val replayed = SnapshotLog.commitKeys(spark, tablePath).contains(commitKey)
-    val mf = SnapshotLog.manifest(spark, tablePath, v)
+    val mfAll = SnapshotLog.manifest(spark, tablePath, v)
+    // scan DATA files only — a generation's codebook sidecar has its own
+    // schema and describes the whole index, never one bin; it is carried
+    // forward by reference with every other non-rewritten file
+    val mf = SnapshotLog.dataFiles(mfAll)
     // ONE bounded aggregation yields both the logical map (each physical
     // bin holds a single logical bin — appends target logical ids, splits
     // inherit the parent's) and the per-bin sizes
@@ -2952,7 +2970,7 @@ object VectorQueries {
         val rewritten = splitAssign(rows,
           over.map(b => b -> sizes(b)).toMap, bound, logicalOf, splits)
         SnapshotLog.commit(spark, tablePath, rewritten,
-          carried = mf.filterNot(parentFiles.toSet),
+          carried = mfAll.filterNot(parentFiles.toSet),
           commitKey = Some(commitKey), partitionBy = Some("pbin"))
       }
     }
@@ -2979,7 +2997,8 @@ object VectorQueries {
     val replayed = SnapshotLog.commitKeys(spark, tablePath).contains(commitKey)
     var affected: Seq[Long] = Nil
     if (!replayed) {
-      val mf = SnapshotLog.manifest(spark, tablePath, v)
+      val mfAll = SnapshotLog.manifest(spark, tablePath, v)
+      val mf = SnapshotLog.dataFiles(mfAll) // sidecars carried, never scanned
       val scanned = spark.read.parquet(mf: _*)
       affected = scanned
         .join(broadcast(doomed), Seq("vec_id"), "left_semi")
@@ -2997,7 +3016,7 @@ object VectorQueries {
           .select(dataCols.map(col) :+
             col("pbin").cast("long").as("pbin"): _*)
         SnapshotLog.commit(spark, tablePath, kept,
-          carried = mf.filterNot(parentFiles.toSet),
+          carried = mfAll.filterNot(parentFiles.toSet),
           commitKey = Some(commitKey), partitionBy = Some("pbin"))
       }
     }
@@ -3005,7 +3024,8 @@ object VectorQueries {
     // splitSnapshotBins discipline: serving must never probe a child the
     // delete emptied out of the manifest
     val vNow = SnapshotLog.latestVersion(spark, tablePath).getOrElse(return affected)
-    val mfNow = SnapshotLog.manifest(spark, tablePath, vNow)
+    val mfNow = SnapshotLog.dataFiles(
+      SnapshotLog.manifest(spark, tablePath, vNow))
     if (mfNow.nonEmpty) {
       val live = spark.read.parquet(mfNow: _*)
         .select(col("pbin").cast("long").as("pbin"),
@@ -3242,20 +3262,29 @@ object VectorQueries {
     val tbl = s"file:$tblDir"
 
     // generation 1 (blue): the serving geometry to date — e18's demo
-    // centroids; committed keyed so a replayed build after the swap no-ops
-    val gen1 = assignToCentroids(spark, sfDir, emb)
+    // centroids; committed keyed so a replayed build after the swap no-ops.
+    // The codebook rides the commit as a SIDECAR: the geometry the lists
+    // were built under publishes in the SAME manifest rename as the lists,
+    // so no replica can ever pair gen-1 files with non-gen-1 centroids.
+    val demoCents = table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    val gen1 = assignToGivenCentroids(emb, demoCents)
     SnapshotLog.commit(spark, tbl, gen1, Nil, Some("gen-1-build"),
-      partitionBy = Some("centroid_id"))
+      partitionBy = Some("centroid_id"),
+      sidecars = Seq("coarse" -> demoCents))
 
     // corpus-drift re-train: one Lloyd round over the LIVE corpus seeded
     // from the serving geometry — new centroid PARAMETERS (bin means, not
     // corpus rows); then the full rebuild under the new geometry lands as
-    // a replace-all commit. The manifest rename is the blue-green cut.
+    // a replace-all commit carrying ITS codebook sidecar. The manifest
+    // rename is the blue-green cut — data and geometry swap together.
     val cents2 = kmeansCentroids(spark, sfDir, iters = 1, k = 4)
     val gen2 = assignTrained(emb, cents2)
     SnapshotLog.commit(spark, tbl, gen2, Nil, Some("gen-2-retrain"),
       partitionBy = Some("centroid_id"),
-      carriedKeys = SnapshotLog.commitKeys(spark, tbl))
+      carriedKeys = SnapshotLog.commitKeys(spark, tbl),
+      sidecars = Seq("coarse" -> cents2))
 
     // rollback window closes: retention keeps only the head generation and
     // reclaims gen-1's now-unreferenced files (zero horizon is safe — the
@@ -3263,18 +3292,43 @@ object VectorQueries {
     // proves the vacuum touched nothing live.
     SnapshotLog.retainVersions(spark, tbl, keep = 1, olderThanMillis = 0L)
 
-    // serving under the NEW geometry: queries assign against the re-trained
-    // codebook, probed bins resolve to the head manifest's files by their
-    // `_centroid_id=` path level — the e18 discipline, new generation
-    val queries = assignTrained(emb.filter(col("vec_id") < 10), cents2)
+    // serving resolves EVERYTHING from the generation: geometry from the
+    // head's sidecar, candidates from the head's manifest — the corpus the
+    // codebook was trained on is not consulted (GenerationSidecarSpec pins
+    // that a replica with no corpus access serves identically)
+    serveIvfGeneration(spark, tbl, emb.filter(col("vec_id") < 10), k)
+  }
+
+  /** Serve the e18-family top-k over whatever generation is at a
+    * generation-log's HEAD — geometry from the head's `coarse` sidecar,
+    * candidate files from the head's manifest, NOTHING from the training
+    * corpus (`qEmb` is the caller's query batch, the one input serving
+    * legitimately needs). The generation is identified by its commit keys
+    * (one manifest-header read, O(bytes)); the assignment arithmetic
+    * follows the generation — demo float-dot for gen-1 (sidecar schema
+    * c_emb: array<float>), trained double-dot for gen-2 (c: array<double>)
+    * — so answers are bit-identical to the path that built each
+    * generation. Shared by e37 (one-shot) and st26 (per serving batch);
+    * the no-corpus-access contract is what makes a fresh serving replica
+    * correct by construction: geometry drift between a replica's
+    * re-derivation and the index's build (r19 verdict "what's wrong" #3)
+    * is impossible when there is nothing to re-derive.
+    */
+  private[operators] def serveIvfGeneration(spark: SparkSession, tbl: String,
+      qEmb: DataFrame, k: Int): DataFrame = {
+    val head = SnapshotLog.latestVersion(spark, tbl)
+      .getOrElse(sys.error("serveIvfGeneration: no generations committed"))
+    val gen2 = SnapshotLog.versionKeys(spark, tbl, head)
+      .contains("gen-2-retrain")
+    val cents = SnapshotLog.readSidecar(spark, tbl, head, "coarse")
+    val queries = (if (gen2) assignTrained(qEmb, cents)
+      else assignToGivenCentroids(qEmb, cents))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("centroid_id"))
     val probed = queries.select(col("centroid_id").cast("long").as("b"))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    val head = SnapshotLog.latestVersion(spark, tbl)
-      .getOrElse(sys.error("e37: no generations committed"))
     val mf = SnapshotLog.manifest(spark, tbl, head)
-    val idxFiles = mf
+    val idxFiles = SnapshotLog.dataFiles(mf)
       .filter(f => probed.exists(b => f.contains(s"/_centroid_id=$b/")))
     serveManifestFiles(spark, queries, mf, idxFiles, k)
   }
@@ -3327,9 +3381,15 @@ object VectorQueries {
       .repartitionByRange(4, col("tick"))
       .write.mode("overwrite").parquet(s"file:$tickDirF")
 
-    // generation 1 (blue) is live before the stream starts
-    SnapshotLog.commit(spark, genTbl, assignToCentroids(spark, sfDir, emb),
-      Nil, Some("gen-1-build"), partitionBy = Some("centroid_id"))
+    // generation 1 (blue) is live before the stream starts — its demo
+    // codebook rides the commit as the `coarse` sidecar (e37's discipline)
+    val demoCents = table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    SnapshotLog.commit(spark, genTbl,
+      assignToGivenCentroids(emb, demoCents),
+      Nil, Some("gen-1-build"), partitionBy = Some("centroid_id"),
+      sidecars = Seq("coarse" -> demoCents))
 
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", "8")
@@ -3345,18 +3405,22 @@ object VectorQueries {
         val bs = batch.sparkSession
         if (batchId == 2) {
           // the re-index event: e37's re-train + replace-all swap, keyed
-          // so a replay of this batch finds the key and no-ops
+          // so a replay of this batch finds the key and no-ops; the
+          // re-trained codebook publishes IN the swap commit (sidecar)
           val cents2 = kmeansCentroids(bs, sfDir, iters = 1, k = 4)
           val gen2 = assignTrained(
             table(bs, sfDir, "embeddings")
               .select(col("vec_id"), col("embedding")), cents2)
           SnapshotLog.commit(bs, genTbl, gen2, Nil, Some("gen-2-retrain"),
             partitionBy = Some("centroid_id"),
-            carriedKeys = SnapshotLog.commitKeys(bs, genTbl))
+            carriedKeys = SnapshotLog.commitKeys(bs, genTbl),
+            sidecars = Seq("coarse" -> cents2))
           ()
         }
         // resolve the generation THIS batch serves from the head
-        // manifest's keys — the atomic-cut read side
+        // manifest's keys — the atomic-cut read side; geometry comes from
+        // the head's sidecar (serveIvfGeneration), NEVER re-derived from
+        // the corpus, so a serving replica needs only the generation log
         val head = SnapshotLog.latestVersion(bs, genTbl)
           .getOrElse(sys.error("st26: no generation live"))
         val genNow =
@@ -3365,17 +3429,7 @@ object VectorQueries {
         val embq = table(bs, sfDir, "embeddings")
           .select(col("vec_id"), col("embedding"))
           .filter(col("vec_id") < 10)
-        val queries = (if (genNow == 2)
-            assignTrained(embq, kmeansCentroids(bs, sfDir, iters = 1, k = 4))
-          else assignToCentroids(bs, sfDir, embq))
-          .select(col("vec_id").as("query_id"),
-            col("embedding").as("q_emb"), col("centroid_id"))
-        val probed = queries.select(col("centroid_id").cast("long").as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq.sorted
-        val mf = SnapshotLog.manifest(bs, genTbl, head)
-        val idxFiles = mf
-          .filter(f => probed.exists(b => f.contains(s"/_centroid_id=$b/")))
-        val res = serveManifestFiles(bs, queries, mf, idxFiles, k)
+        val res = serveIvfGeneration(bs, genTbl, embq, k)
           .withColumn("gen", lit(genNow))
           .withColumn("batch_id", lit(batchId))
         val prior = SnapshotLog.latestVersion(bs, resTbl)
@@ -3398,6 +3452,145 @@ object VectorQueries {
       .groupBy("gen", "query_id", "rank", "neighbor_id", "ivf_sim")
       .agg(countDistinct(col("batch_id")).cast("int").as("n_gen_batches"))
       .withColumn("n_commits", lit(nBatches))
+  }
+
+  /** e38: BLUE-GREEN RE-TRAIN OF THE COMPRESSED INDEX — e37's generation
+    * swap carried to the repo's own production ANN artifact, the IVF-PQ
+    * index (e32: bin-partitioned inverted lists of M-byte PQ codes). A
+    * re-index here is strictly more than e37's: the coarse codebook AND
+    * the M per-subspace fine codebooks re-train on the live corpus, and
+    * every vector's CODES are re-encoded under the new fine geometry —
+    * PQ codes are meaningless outside the codebook that produced them, so
+    * a generation of this index is the triple (lists, coarse book, fine
+    * books) and must swap as one unit. That is exactly what the sidecar
+    * commit gives: both codebooks publish in the SAME manifest rename as
+    * the re-encoded lists, so no reader can ever decode gen-2 codes with
+    * gen-1 books (the ADC failure mode that silently returns garbage
+    * scores rather than erroring). Lifecycle = e37's verbatim: gen-1
+    * build (iters=1 geometry, keyed) → re-train + re-encode → replace-all
+    * swap commit carrying all keys + both sidecars → retention closes the
+    * rollback window → serve. Serving resolves coarse book, fine books,
+    * and candidate files ALL from the head generation
+    * ([[serveIvfPqGeneration]] — no corpus access), answering e26's
+    * fully-trained ADC search under the re-trained (iters=2, the
+    * production) geometry; the oracle is e26's SQL verbatim, the third
+    * artifact to restate it (e32 persisted, st21 stream-built, now the
+    * re-trained generation), which is the whole claim: build history —
+    * one-shot, streamed, or re-indexed — must be invisible to answers.
+    * (Reference analogue: the whole-artifact `CREATE_NEVER`/
+    * `WRITE_TRUNCATE` refresh of `bq_create_table_ddl.sql:1-13` +
+    * `commands.sh:17-26`, at compressed-index granularity.)
+    *
+    * Scale shape: re-training is the bounded per-round Lloyd scans the
+    * training queries pin (coarse N·k dots, fine N·M·K sub-dots per
+    * round); re-encoding is ONE corpus-sized assignment scan writing
+    * M-byte codes (32× fewer output bytes than e37's raw rebuild — the
+    * compressed re-index is CHEAPER than the raw one on the write side);
+    * the swap stays O(manifest), rollback O(1), vacuum bounded by gen-1's
+    * file count; serving I/O stays nprobe/C of the CODE table. A
+    * 10^10-vector compressed index re-trains online with no serving gap
+    * and no geometry ambiguity.
+    */
+  def e38RetrainSwapCompressed(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val tblDir = new java.io.File(s"target/parity/ivfpq-genlog-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(tblDir)
+    val tbl = s"file:$tblDir"
+
+    // generation 1 (blue): the serving geometry to date — coarse + fine
+    // codebooks at ONE Lloyd round, every vector encoded under them; the
+    // whole triple (lists, coarse, fine) publishes in one keyed commit
+    SnapshotLog.commit(spark, tbl, ivfPqIndexRows(spark, sfDir, iters = 1),
+      Nil, Some("gen-1-build"), partitionBy = Some("bin"),
+      sidecars = Seq(
+        "coarse" -> kmeansCentroids(spark, sfDir, iters = 1),
+        "fine" -> pqTrainedCodebooks(spark, sfDir, iters = 1)))
+
+    // the re-index: coarse AND fine geometry re-train to the production
+    // iters=2 books, every vector re-encodes, and the replace-all commit
+    // (all keys carried — a replayed gen-1 build must no-op forever)
+    // swaps lists + both codebooks in one manifest rename
+    SnapshotLog.commit(spark, tbl, ivfPqIndexRows(spark, sfDir, iters = 2),
+      Nil, Some("gen-2-retrain"), partitionBy = Some("bin"),
+      carriedKeys = SnapshotLog.commitKeys(spark, tbl),
+      sidecars = Seq(
+        "coarse" -> kmeansCentroids(spark, sfDir, iters = 2),
+        "fine" -> pqTrainedCodebooks(spark, sfDir, iters = 2)))
+
+    // rollback window closes (e37's rule: quiescent table, zero horizon)
+    SnapshotLog.retainVersions(spark, tbl, keep = 1, olderThanMillis = 0L)
+
+    // serve e26's query set through the head generation alone
+    serveIvfPqGeneration(spark, tbl, emb.filter(col("vec_id") < 10), k)
+  }
+
+  /** The compressed index rows for one geometry generation: every corpus
+    * vector's M PQ codes (fine books at `iters`) tagged with its coarse
+    * bin (coarse book at `iters`) — e32's build, parameterized by training
+    * depth so e38 can materialize two genuinely different generations.
+    */
+  private[operators] def ivfPqIndexRows(spark: SparkSession, sfDir: String,
+      iters: Int): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    pqCodes(spark, sfDir, iters)
+      .select(col("vec_id"), col("m"), col("centroid_id").as("code"))
+      .join(assignTrained(emb, kmeansCentroids(spark, sfDir, iters))
+        .select(col("vec_id"), col("centroid_id").as("bin")), "vec_id")
+  }
+
+  /** Serve e26's trained ADC search over whatever generation is at a
+    * compressed-index generation-log's HEAD: coarse book, fine books, and
+    * probed-bin candidate files ALL resolve from the head commit — the
+    * training corpus is never consulted (GenerationSidecarSpec pins that a
+    * replica with zero corpus access answers identically). Per query the
+    * plan is e32's: encode the query batch against the broadcast fine
+    * books (Q·M·K rows), coarse-assign it against the broadcast coarse
+    * book, prune the read to probed bins by manifest path matching, then
+    * the (bin, m, code) equi-join + partial-agg'd score sum and the
+    * deterministic top-k.
+    */
+  private[operators] def serveIvfPqGeneration(spark: SparkSession,
+      tbl: String, qEmb: DataFrame, k: Int): DataFrame = {
+    val head = SnapshotLog.latestVersion(spark, tbl)
+      .getOrElse(sys.error("serveIvfPqGeneration: no generations committed"))
+    val coarse = SnapshotLog.readSidecar(spark, tbl, head, "coarse")
+    val fine = SnapshotLog.readSidecar(spark, tbl, head, "fine")
+    val dotc = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+      lit(0.0), (acc, t) => acc + t).cast("decimal(20,6)")
+    val qdots = subspaces(qEmb)
+      .join(broadcast(fine), "m")
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("centroid_id").as("code"), dotc.as("qd"))
+      .join(assignTrained(qEmb, coarse)
+        .select(col("vec_id").as("query_id"),
+          col("centroid_id").as("bin")), "query_id")
+    val probed = qdots.select(col("bin").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    val mf = SnapshotLog.manifest(spark, tbl, head)
+    val idxFiles = SnapshotLog.dataFiles(mf)
+      .filter(f => probed.exists(b => f.contains(s"/_bin=$b/")))
+    val idxRaw =
+      if (idxFiles.isEmpty)
+        spark.read.parquet(SnapshotLog.dataFiles(mf): _*).filter(lit(false))
+      else spark.read.parquet(idxFiles: _*)
+    val idx = idxRaw
+      .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
+        col("bin").cast("long").as("bin"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim_sum").desc, col("neighbor_id").asc)
+    idx.join(broadcast(qdots), Seq("bin", "m", "code"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("qd")).as("sim_sum"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("sim_sum").cast("double").as("fivfpq_sim"))
   }
 
   /** e21: INDEX DELETE — the takedown half of index maintenance (e20 adds,

@@ -54,6 +54,27 @@ object SnapshotLog {
     */
   private val KeyHeader = "#commitKey="
 
+  /** Path level marking a SIDECAR file — a small typed artifact committed
+    * ATOMICALLY with the data it describes (e.g. the trained codebook a
+    * re-indexed generation's codes were encoded under). Sidecars ride the
+    * same manifest (so carry-forward, retention, and vacuum treat them as
+    * first-class members of the version), but [[read]] excludes them (their
+    * schema differs from the data's) and [[compact]] always carries them by
+    * reference (a rewrite mixing sidecar and data schemas would corrupt
+    * both). The `=name` suffix addresses one sidecar among several.
+    */
+  private val SidecarSeg = "/_sidecar="
+
+  private def isSidecar(line: String): Boolean = line.contains(SidecarSeg)
+
+  /** The data-file subset of a manifest file list — what a scan of the
+    * version's DATA should read. Maintenance operators that rewrite bins
+    * selected from the manifest must scan this subset while carrying the
+    * sidecar lines forward untouched (they describe the whole generation,
+    * not any one bin).
+    */
+  def dataFiles(mf: Seq[String]): Seq[String] = mf.filterNot(isSidecar)
+
   /** A slot lock older than this with no published manifest is a crashed
     * attempt and may be broken by the next committer. Must comfortably
     * exceed the longest plausible write-manifest-to-publish window (the
@@ -140,7 +161,8 @@ object SnapshotLog {
       carried: Seq[String], commitKey: Option[String] = None,
       lockStaleMs: Long = DefaultLockStaleMs,
       partitionBy: Option[String] = None,
-      carriedKeys: Seq[String] = Nil): Int = {
+      carriedKeys: Seq[String] = Nil,
+      sidecars: Seq[(String, DataFrame)] = Nil): Int = {
     val (fs, root) = fsFor(spark, tablePath)
     commitKey.flatMap(versionOfKey(fs, root, _)) match {
       case Some(v) => v // replayed batch: already live, nothing to do
@@ -163,6 +185,17 @@ object SnapshotLog {
               .write.mode("error").partitionBy(s"_$c").parquet(dataDir.toString)
           case None =>
             newData.write.mode("error").parquet(dataDir.toString)
+        }
+        // sidecars land INSIDE this attempt's data dir under their own
+        // `_sidecar=name` level, so the recursive listing below folds them
+        // into the same manifest — one rename publishes data + sidecars
+        // together (the geometry a generation's codes were encoded under
+        // can never be published separately from the codes themselves)
+        sidecars.foreach { case (name, df) =>
+          require(!name.contains("/") && !name.contains("="),
+            s"sidecar name must be a plain token: $name")
+          df.write.mode("error")
+            .parquet(new Path(dataDir, s"_sidecar=$name").toString)
         }
         def listParquet(dir: Path): Seq[String] = {
           val (files, dirs) = fs.listStatus(dir).toSeq.partition(_.isFile)
@@ -297,9 +330,29 @@ object SnapshotLog {
       .map { st => fs.delete(st.getPath, true); st.getPath.toString }
   }
 
-  /** Scan exactly the files of `version` — immune to any later commit. */
+  /** Scan exactly the DATA files of `version` — immune to any later commit.
+    * Sidecar files (different schema by design) are excluded; read them
+    * with [[readSidecar]].
+    */
   def read(spark: SparkSession, tablePath: String, version: Int): DataFrame =
-    spark.read.parquet(manifest(spark, tablePath, version): _*)
+    spark.read.parquet(
+      manifest(spark, tablePath, version).filterNot(isSidecar): _*)
+
+  /** Read one named sidecar of `version` — the typed artifact committed
+    * atomically with the data (see [[SidecarSeg]]). A version that never
+    * committed the sidecar is a contract violation, not an empty frame:
+    * serving geometry must come FROM the generation, so a missing sidecar
+    * fails loudly instead of letting a caller silently re-derive it from
+    * a corpus that may have drifted since the generation was built.
+    */
+  def readSidecar(spark: SparkSession, tablePath: String, version: Int,
+      name: String): DataFrame = {
+    val files = manifest(spark, tablePath, version)
+      .filter(_.contains(s"$SidecarSeg$name/"))
+    require(files.nonEmpty,
+      s"version $version of $tablePath carries no sidecar '$name'")
+    spark.read.parquet(files: _*)
+  }
 
   /** Distinct commit keys recorded across ALL live version manifests (own
     * keys plus keys carried forward by compactions). This — not the head
@@ -346,7 +399,10 @@ object SnapshotLog {
       partitionCol: Option[String] = None,
       maxFilesPerPartition: Int = 1): Option[Int] = {
     val head = latestVersion(spark, tablePath).getOrElse(return None)
-    val mf = manifest(spark, tablePath, head)
+    // sidecars are never compaction candidates: their schema differs from
+    // the data's (a mixed rewrite would corrupt both) and they are tiny by
+    // contract — always carried by reference, physical identity untouched
+    val (sidecarMf, mf) = manifest(spark, tablePath, head).partition(isSidecar)
     val seg: String => String = partitionCol match {
       case Some(c) =>
         val re = (s"/_${java.util.regex.Pattern.quote(c)}=([^/]+)/").r
@@ -370,7 +426,8 @@ object SnapshotLog {
     // maintenance must never reopen an exactly-once window
     val (fs, root) = fsFor(spark, tablePath)
     val allKeys = listVersions(fs, root).flatMap(keysOf(fs, root, _)).distinct
-    Some(commit(spark, tablePath, compacted, carry.values.flatten.toSeq,
+    Some(commit(spark, tablePath,
+      compacted, carry.values.flatten.toSeq ++ sidecarMf,
       partitionBy = partitionCol, carriedKeys = allKeys))
   }
 

@@ -26,7 +26,11 @@ import graft.GraftSession
   * notes in SURVEY §8 / SCALESLOPE.json.
   */
 object Certify {
-  private def anchor: Double = math.min(graft.Bench.HistoricalAnchor,
+  // Snapshotted ONCE per run (lazy val, forced at first use inside main):
+  // a def would re-read the best-norm file on every comparison, so a
+  // concurrent Bench updating it mid-run could classify the same rep
+  // against different thresholds within one certification (r19 ADVICE).
+  private lazy val anchor: Double = math.min(graft.Bench.HistoricalAnchor,
     graft.Bench.readBestNorm().getOrElse(Double.MaxValue))
 
   private val HealthyFactor = 1.15

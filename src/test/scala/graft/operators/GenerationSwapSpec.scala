@@ -72,8 +72,13 @@ class GenerationSwapSpec extends SparkSpec {
       .select(col("vec_id"), col("centroid_id").cast("long"))
       .as[(Long, Long)].collect().toSet
     assert(postRows == gen2Asg, "post-swap read is not the re-trained index")
-    // the re-train genuinely moved geometry: at least one vector changed bins
-    // (one Lloyd round replaces corpus-row seeds with bin means)
+    // the re-train genuinely moved geometry: at least one vector changed
+    // bins (one Lloyd round replaces corpus-row seeds with bin means) —
+    // without this the swap/rollback/vacuum assertions below could pass
+    // vacuously on a gen-2 identical to gen-1 (r19 ADVICE)
+    assert(gen2Asg != gen1Asg,
+      "re-train left every assignment unchanged — the spec is not " +
+        "exercising a real geometry change")
     assert(SnapshotLog.versionKeys(spark, tbl, 2).toSet ==
       Set("gen-2-retrain", "gen-1-build"))
 

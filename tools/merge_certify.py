@@ -23,9 +23,20 @@ for name, path in [('st19_freeze_only_x10', 'target/certify_freeze_x10.log'),
     if j:
         cert[name] = j
 if 'st19_freeze_only_x10' in cert and 'st19_freeze_only_x100' in cert:
-    cert['freeze_decade_min_over_min'] = round(
-        cert['st19_freeze_only_x100']['min_sec'] /
-        cert['st19_freeze_only_x10']['min_sec'], 2)
+    # The decade ratio is a CERTIFIED number, so it must come from
+    # min_healthy_sec (reps whose both-end canaries were healthy) — min_sec
+    # over all reps stays recorded per-run as an informational field only.
+    # When either side has no healthy rep the ratio is explicitly
+    # uncertified (null), never silently derived from dirty reps.
+    lo = cert['st19_freeze_only_x10'].get('min_healthy_sec')
+    hi = cert['st19_freeze_only_x100'].get('min_healthy_sec')
+    if lo and hi:
+        cert['freeze_decade_min_over_min'] = round(hi / lo, 2)
+    else:
+        cert['freeze_decade_min_over_min'] = None
+        cert['freeze_decade_uncertified_reason'] = (
+            'no healthy rep on one or both sides (min_healthy_sec null); '
+            'see freeze_phase_min_composite for the per-phase instrument')
 d['r19_certify'] = cert
 json.dump(d, open('SCALESLOPE.json', 'w'))
 print(sorted(cert.keys()))
