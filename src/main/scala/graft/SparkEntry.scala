@@ -137,6 +137,8 @@ object SparkEntry {
       ((s, d) => X.x2BpeTokenizedCorpus(s, d, requireFlatOracle = oracleGate(s))),
     "x3_packed_sequences" ->
       ((s, d) => X.x3PackedSequences(s, d, requireFlatOracle = oracleGate(s))),
+    "x4_persisted_pack_map" ->
+      ((s, d) => X.x4PersistedPackMap(s, d, requireFlatOracle = oracleGate(s))),
     "st19_streaming_corpus_build" ->
       ((s, d) => X.st19StreamingCorpusBuild(s, d, requireFlatOracle = oracleGate(s))),
     "d41_imi_cobin_recall" -> (V.d41ImiCobinRecall(_, _)),
@@ -1447,6 +1449,11 @@ object SparkEntry {
     "x1_corpus_pipeline" -> x1OracleSql,
     "x2_bpe_tokenized_corpus" -> x2OracleSql(),
     "x3_packed_sequences" -> x3OracleSql(),
+    // x4 persists the pack map (split-partitioned dynamic-overwrite
+    // landing write) and censuses the RE-READ artifact with placement
+    // reconstructed from the stored columns alone — round-trip ≡
+    // in-flight, so x3's oracle restates it verbatim
+    "x4_persisted_pack_map" -> x3OracleSql(),
     "st19_streaming_corpus_build" -> st19OracleSql,
     "d41_imi_cobin_recall" -> d41OracleSql,
     "d40_semantic_dedup_imi" -> d40OracleSql,
@@ -2817,9 +2824,26 @@ object SparkEntry {
     * streaming must equal batch — with the final constant column swapped:
     * x1 commits one snapshot (version 1); st19 commits one state version
     * per micro-batch (4 arrival files => 4 commits, pinning exactly-once).
+    * Since r20 the freeze also emits x3's sequence-cut bookkeeping (the
+    * trainer handoff), so the oracle joins x1's census with x3's packing
+    * census per split — both over the SAME surv4 CTE, so the streaming ≡
+    * batch claim now covers the packing stage too.
     */
-  private def st19OracleSql: String =
-    materializeCtes(x1ChainSql("4 AS n_commits"))
+  private def st19OracleSql: String = {
+    val full = x1ChainSql("4 AS n_commits")
+    val selStart = full.indexOf("SELECT split, count(*) AS n_docs,")
+    require(selStart > 0,
+      "x1ChainSql shape changed: census-select marker not found")
+    val ctes = full.substring(0, selStart)
+    val x1Sel = full.substring(selStart)
+    materializeCtes(
+      ctes + ",\nx1c AS (\n" + x1Sel + "\n),\n" + x3PackCtes(10) +
+        ",\nx3c AS (\n" + x3CensusSelect("n_packed_docs") + ")\n" +
+        """SELECT x1c.*, x3c.n_packed_docs, x3c.tot_pieces, x3c.n_seqs,
+          | x3c.n_straddlers, x3c.sum_start_seq, x3c.sum_end_seq,
+          | x3c.n_aligned_ends, x3c.last_seq_len
+          |FROM x1c JOIN x3c ON x3c.split = x1c.split""".stripMargin)
+  }
 
   private def x1OracleSqlInlined: String = x1ChainSql("1 AS snapshot_version")
 
@@ -2869,13 +2893,24 @@ object SparkEntry {
     * per-sequence piece counts (every non-tail sequence holds exactly L).
     */
   private def x3OracleSql(budget: Int = 10): String = {
-    val L = graft.operators.CorpusPipeline.X3SeqLen
     val full = x1ChainSql("0 AS unused")
     val cut = full.indexOf(",\nsp AS (")
     require(cut > 0, "x1ChainSql shape changed: packing-CTE marker not found")
     val prefix = full.substring(0, cut)
-    val tail = s""",
-       |${d38ChainCtes(budget, "surv4")},
+    materializeCtes(prefix + ",\n" + x3PackCtes(budget) + "\n" +
+      x3CensusSelect("n_docs"))
+  }
+
+  /** x3's packing CTEs rebased on `surv4` — the d38 merge chain, per-doc
+    * piece counts, the plain per-split running sum (the engine's two-pass
+    * prefix sum computes identical integers), and the per-doc placement.
+    * No leading/trailing comma. Shared by [[x3OracleSql]],
+    * `x4_persisted_pack_map` (same SQL), and [[st19OracleSql]]'s freeze
+    * extension so the packing restatements can never drift.
+    */
+  private def x3PackCtes(budget: Int): String = {
+    val L = graft.operators.CorpusPipeline.X3SeqLen
+    s"""${d38ChainCtes(budget, "surv4")},
        |xsp AS (
        | SELECT doc_id, text,
        |  CASE WHEN CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 100 < 80
@@ -2899,8 +2934,16 @@ object SparkEntry {
        |xplaced AS (
        | SELECT split, doc_id, n, cum,
        |  (cum - n) // $L AS start_seq, (cum - 1) // $L AS end_seq
-       | FROM xcum)
-       |SELECT split, count(*) AS n_docs,
+       | FROM xcum)""".stripMargin
+  }
+
+  /** x3's per-split pack census over `xplaced`, with the doc-count alias
+    * parameterized (x3/x4 name it `n_docs`; st19's joined form renames to
+    * `n_packed_docs` to avoid clashing with x1's census column).
+    */
+  private def x3CensusSelect(nDocsAlias: String): String = {
+    val L = graft.operators.CorpusPipeline.X3SeqLen
+    s"""SELECT split, count(*) AS $nDocsAlias,
        | CAST(sum(n) AS BIGINT) AS tot_pieces,
        | CAST((max(cum) + $L - 1) // $L AS BIGINT) AS n_seqs,
        | CAST(sum(CASE WHEN end_seq > start_seq THEN 1 ELSE 0 END) AS BIGINT)
@@ -2912,7 +2955,6 @@ object SparkEntry {
        | CAST(max(cum) - ((max(cum) + $L - 1) // $L - 1) * $L AS BIGINT)
        |  AS last_seq_len
        |FROM xplaced GROUP BY split""".stripMargin
-    materializeCtes(prefix + tail)
   }
 
   private def x1ChainSql(finalCol: String): String = {

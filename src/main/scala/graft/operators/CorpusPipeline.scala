@@ -666,6 +666,17 @@ object CorpusPipeline {
     * superlinearly in corpus size.
     */
   def x3PackedSequences(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, budget: Int = 10): DataFrame =
+    packSeqCensus(x3Placed(spark, sfDir, requireFlatOracle, budget))
+
+  /** x3's PLACEMENT frame — every surviving document's position in its
+    * split's packed piece stream: (split, doc_id, n pieces, cum running
+    * total, start_seq, end_seq). Factored out of [[x3PackedSequences]]
+    * because this per-doc frame IS the pack map a trainer consumes —
+    * [[x4PersistedPackMap]] persists it as the handoff artifact while x3
+    * censuses it in-flight.
+    */
+  private[operators] def x3Placed(spark: SparkSession, sfDir: String,
       requireFlatOracle: Boolean = false, budget: Int = 10): DataFrame = {
     val L = X3SeqLen
     val cuts = scala.collection.mutable.Buffer.empty[DataFrame]
@@ -684,7 +695,19 @@ object CorpusPipeline {
     // tokenizes to nothing have no pieces and drop out, both engines)
     val dp = dtoks.join(seg, dtoks("w") === seg("w_id"))
       .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
-    // two-pass distributed prefix sum per split (packCensus's shards)
+    placeDocs(dp)
+  }
+
+  /** The packing PLACEMENT core: per-split running piece sum over a
+    * (doc_id, split, n) frame via the two-pass distributed prefix sum
+    * (packCensus's shards — no window partition ever exceeds
+    * [[PackShardW]] rows), then each document's start/end sequence at
+    * [[X3SeqLen]] pieces per sequence. Shared by [[x3Placed]] (batch
+    * corpus) and the st19 freeze (streaming corpus) so the two packing
+    * paths cannot drift.
+    */
+  private[operators] def placeDocs(dp: DataFrame): DataFrame = {
+    val L = X3SeqLen
     val W = org.apache.spark.sql.expressions.Window
     val wLoc = W.partitionBy("split", "shard").orderBy("doc_id")
       .rowsBetween(W.unboundedPreceding, 0)
@@ -695,12 +718,21 @@ object CorpusPipeline {
       .agg(sum(col("n")).as("stot"))
       .withColumn("off", coalesce(sum(col("stot")).over(wOff), lit(0L)))
       .select("split", "shard", "off")
-    val placed = sharded
+    sharded
       .withColumn("lcum", sum(col("n")).over(wLoc))
       .join(broadcast(offsets), Seq("split", "shard"))
       .withColumn("cum", col("lcum") + col("off"))
       .withColumn("start_seq", expr(s"(cum - n) div $L"))
       .withColumn("end_seq", expr(s"(cum - 1) div $L"))
+  }
+
+  /** x3's per-split census over a placement frame carrying (split, n, cum,
+    * start_seq, end_seq) — shared by x3 (in-flight frame) and x4 (the
+    * frame RECONSTRUCTED from the persisted artifact), so the two gates
+    * census through identical arithmetic and x3's oracle restates both.
+    */
+  private[operators] def packSeqCensus(placed: DataFrame): DataFrame = {
+    val L = X3SeqLen
     placed.groupBy("split").agg(
       count(lit(1)).as("n_docs"),
       sum(col("n")).as("tot_pieces"),
@@ -713,6 +745,81 @@ object CorpusPipeline {
         .as("n_aligned_ends"),
       expr(s"max(cum) - ((max(cum) + $L - 1) div $L - 1) * $L")
         .as("last_seq_len"))
+  }
+
+  /** x4: THE PERSISTED PACK MAP — x3 proves the packing arithmetic but
+    * emits only a census; the artifact a TRAINER actually consumes is the
+    * pack map itself: for every document, which sequence its pieces start
+    * in, at what offset, and how many pieces it contributes — the frame
+    * that turns a piece stream into attention-reset boundaries. x4 writes
+    * exactly that, one row per surviving document — (doc_id, seq_id =
+    * start sequence, start_pos = offset within it, n_pieces) — as a
+    * SPLIT-PARTITIONED landing write under DYNAMIC partition overwrite
+    * (the S2 discipline: re-running a cut replaces exactly the splits it
+    * produces, never the table wholesale, so a re-run is idempotent and a
+    * partial corpus refresh touches only its own splits). The gate output
+    * censuses the PERSISTED artifact, not the in-flight frame: placement
+    * (cum, start_seq, end_seq) is RECONSTRUCTED from the read-back columns
+    * alone (cum = seq_id·L + start_pos + n_pieces), so the hash fails if
+    * the write dropped a row, mangled a column, or the artifact under-
+    * determines the placement. The oracle is x3's SQL verbatim — persisted
+    * round-trip ≡ in-flight computation, the x1-snapshot/e32-index rule
+    * applied to the trainer handoff.
+    *
+    * Scale shape: the artifact is one row per document (narrow: 4 ints + a
+    * string), written split-partitioned in one pass — the write cost of
+    * the pipeline's OUTPUT, not a new compute stage; re-reads prune to the
+    * split a trainer asks for. Idempotency and file-level stability are
+    * spec-pinned (`X4PackMapSpec`).
+    */
+  def x4PersistedPackMap(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, budget: Int = 10): DataFrame = {
+    val dir = x4WritePackMap(spark, sfDir, requireFlatOracle, budget)
+    packSeqCensus(x4ReadPackMap(spark, dir))
+  }
+
+  /** Compute and land x4's pack map; returns the artifact directory. */
+  private[operators] def x4WritePackMap(spark: SparkSession, sfDir: String,
+      requireFlatOracle: Boolean = false, budget: Int = 10): String = {
+    val L = X3SeqLen
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val packMap = x3Placed(spark, sfDir, requireFlatOracle, budget)
+      .select(col("split"), col("doc_id"),
+        col("start_seq").as("seq_id"),
+        expr(s"(cum - n) % $L").as("start_pos"),
+        col("n").as("n_pieces"))
+    val dir = new java.io.File(s"target/parity/x4-packmap-$sfTag")
+      .getAbsoluteFile.toString
+    // dynamic partition overwrite: only the split partitions THIS cut
+    // produces are replaced (LandingTable.overwritePartitionsDynamic's
+    // conf discipline, restore-on-exit so the session default is untouched)
+    val prev = spark.conf
+      .getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try packMap.write.mode("overwrite").partitionBy("split")
+      .parquet(s"file:$dir")
+    finally prev match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    dir
+  }
+
+  /** Read x4's persisted pack map back and RECONSTRUCT the placement frame
+    * from the stored columns alone — the proof the artifact fully
+    * determines every document's placement.
+    */
+  private[operators] def x4ReadPackMap(spark: SparkSession,
+      dir: String): DataFrame = {
+    val L = X3SeqLen
+    spark.read.parquet(s"file:$dir")
+      .withColumn("n", col("n_pieces"))
+      .withColumn("cum",
+        col("seq_id") * L + col("start_pos") + col("n_pieces"))
+      .withColumn("start_seq", col("seq_id"))
+      .withColumn("end_seq", expr(s"(cum - 1) div $L"))
   }
 
   /** st19: the STREAMING TWIN of [[x1CorpusPipeline]] — the same corpus
@@ -1478,6 +1585,38 @@ object CorpusPipeline {
       .filter(pmod(col("doc_id"), lit(40L)) =!= 0)
       .join(contaminated, Seq("doc_id"), "left_anti")
 
+    // x3's SEQUENCE-CUT bookkeeping over the frozen corpus — the freeze
+    // hands a trainer sequence boundaries, not just token totals, so the
+    // streaming build's output is trainer-ready like the batch path's
+    // (x3 ≡ this, pinned by the shared oracle CTEs). State is NARROW by
+    // design (no text), so the survivor text re-derives from the source
+    // corpus through the same deterministic scrub chain the batches ran —
+    // one linear corpus scan, the freeze's contract class ("at corpus
+    // freeze, linear"); the BPE tokenizer trains on exactly that frozen
+    // survivor corpus (x2's discipline: the tokenizer is a corpus-freeze
+    // artifact), and placement is placeDocs' sharded prefix sum.
+    val surv4Ids = surv4.select("doc_id")
+    val survText = cutL("pack_survivor_text",
+      scrubbedQualityDocs(
+        table(spark, cfg.sfDir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+          .join(surv4Ids, Seq("doc_id"), "left_semi")
+          .repartition(spark.sessionState.conf.numShufflePartitions))
+        .select(col("doc_id"), col("text")))
+    val (_, seg, _) =
+      TextQueries.bpeTrainClassicFrom(survText.select(col("text")), 10)
+    val segC = cutL("bpe_train_seg", seg)
+    val bT = pmod(h60(col("text")), lit(100L))
+    val dtoks = survText.select(col("doc_id"),
+      when(bT < 80, "train").when(bT < 90, "valid").otherwise("test")
+        .as("split"),
+      explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val dp = dtoks.join(segC, dtoks("w") === segC("w_id"))
+      .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
+    val x3c = packSeqCensus(placeDocs(dp))
+      .withColumnRenamed("n_docs", "n_packed_docs")
+
     val b = pmod(col("h60"), lit(100L))
     // materialize the (tiny) census eagerly so every cut frame above can
     // be freed before returning — callers get a 3-row checkpointed frame,
@@ -1486,6 +1625,7 @@ object CorpusPipeline {
     val census = packCensus(surv4.withColumn("split",
         when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
       .withColumn("n_commits", lit(vDocs))
+      .join(x3c, Seq("split"))
       .localCheckpoint(true)
     phaseTimer("decon_pack_census", (System.nanoTime() - tC) / 1e9)
     cuts.foreach(freeCut)
