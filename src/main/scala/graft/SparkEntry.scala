@@ -168,6 +168,8 @@ object SparkEntry {
       ((s, d) => V.st25StreamingSplitTakedown(s, d)),
     "st26_streaming_generation_swap" ->
       ((s, d) => V.st26StreamingGenerationSwap(s, d)),
+    "st27_swap_under_split_maintain" ->
+      ((s, d) => V.st27SwapUnderMaintenance(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -1433,6 +1435,12 @@ object SparkEntry {
     // gen-1 (demo) geometry, 2-3 under the re-trained geometry, each
     // exactly twice, with 4 exactly-once result commits
     "st26_streaming_generation_swap" -> st26OracleSql,
+    // st27: the swap lands mid-stream INSIDE st24's maintenance loop —
+    // splits at batches 1 and 3 bracket the batch-2 re-index, so
+    // ingest + compaction + two splits + the swap must answer e37's
+    // re-trained serving SQL verbatim, with exactly-once counts for
+    // both job classes (4 appends; 1 swap, 2 splits)
+    "st27_swap_under_split_maintain" -> st27OracleSql,
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
@@ -3843,6 +3851,20 @@ object SparkEntry {
       |SELECT 1 AS gen, * FROM g1
       |UNION ALL
       |SELECT 2 AS gen, * FROM g2""".stripMargin
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.st27SwapUnderMaintenance]] — e37's
+    * re-trained serving math (the swap's after-state), because the whole
+    * maintained-stream history — 4 keyed appends, per-list compaction,
+    * splits bracketing the swap at batches 1 and 3, the batch-2 re-encode
+    * — must be invisible to answers. The count columns pin exactly-once
+    * for BOTH job classes: 4 ingest commits, 1 swap, 2 split commits.
+    */
+  private def st27OracleSql: String =
+    s"""WITH ${kmeansChainSqlFrom("", "embeddings", 1, 4)},
+      |${assignCteFrom("asg", "c1", "embeddings")},
+      |${serveTailSqlOver("asg", "",
+         ", 4 AS n_commits, 1 AS n_swaps, 2 AS n_splits")}""".stripMargin
 
   /** duckdb mirror of [[graft.operators.VectorQueries.e22FilteredRecall]] —
     * e19's serving CTEs plus the filtered brute-force baseline, joined per

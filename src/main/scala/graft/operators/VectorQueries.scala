@@ -3454,6 +3454,158 @@ object VectorQueries {
       .withColumn("n_commits", lit(nBatches))
   }
 
+  /** st27: GENERATION SWAP UNDER LIVE SPLIT MAINTENANCE — the last
+    * composition in the index-lifecycle story: e37's blue-green re-train
+    * lands in the MIDDLE of st24's maintained ingest stream, proving the
+    * re-index does not race the maintenance commits. The loop is st24's
+    * verbatim — batchId-keyed appends into `pbin`-keyed inverted lists,
+    * in-loop per-list compaction, [[splitSnapshotBins]] capping bins at
+    * odd batches — with two generation twists: (a) the serving GEOMETRY
+    * deploys as the index's FIRST commit (a codebook sidecar with zero
+    * data rows — the production order: a trained codebook ships, then
+    * ingest populates its lists), and every batch resolves the geometry
+    * it assigns under from the head generation's sidecar (one manifest-
+    * header read, never a wall clock, never the corpus); (b) at batch 2
+    * the re-train + replace-all swap commits mid-stream — everything
+    * arrived so far re-encodes under the re-trained codebook, the swap
+    * carries every live key (appends, splits, gen-1) so no replay window
+    * reopens, and the new codebook rides the swap as its sidecar. Splits
+    * at batches 1 and 3 BRACKET the swap (st25's delete-bracketing
+    * pattern), so batch 3's split re-caps the post-swap landscape and
+    * re-derives the map over re-encoded bins + post-swap arrivals. Both
+    * job classes serialize through keyed SnapshotLog commits on one
+    * table, which is the whole interleaving proof: a split and a swap
+    * can never half-apply over each other, and a replay of either finds
+    * its key and no-ops (spec-pinned). The oracle is e37's re-trained
+    * serving SQL — ingest, two splits, in-loop compaction, and a
+    * mid-stream re-index must answer exactly what a fresh one-shot build
+    * under the new geometry answers — plus exactly-once counts for BOTH
+    * job classes (4 appends, 1 swap, 2 splits).
+    *
+    * Scale shape: per batch cost is st24's (batch-sized assignment,
+    * bin-scoped maintenance); the swap adds one corpus-so-far re-encode
+    * scan (the irreducible cost of new geometry) and O(manifest) key
+    * bookkeeping; geometry resolution is one header read per batch. A
+    * re-train never pauses ingest and maintenance never pauses for the
+    * re-train — the keyed log is the only coordination either needs.
+    */
+  def st27SwapUnderMaintenance(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val (splitDir, nEmb) = embSplitFixture(spark, sfDir)
+    val bound = math.max(1L, (nEmb - 1) / 8)
+    val indexDir = new java.io.File(s"target/parity/ivf-st27index-$sfTag")
+      .getAbsoluteFile.toString
+    val mapDirF = new java.io.File(s"target/parity/ivf-st27map-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/ivf-st27ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(indexDir); wipeLocalDir(ckptDir); wipeLocalDir(mapDirF)
+    val tbl = s"file:$indexDir"
+    val mapPath = s"file:$mapDirF"
+
+    // gen-1 geometry deploys BEFORE any data: the demo codebook is the
+    // index's first keyed commit — sidecar only, zero data rows — so
+    // batch 0 already finds a generation to assign under
+    val demoCents = table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    SnapshotLog.commit(spark, tbl,
+      assignToGivenCentroids(emb.filter(lit(false)), demoCents)
+        .withColumn("pbin", col("centroid_id")),
+      Nil, Some("gen-1-geom"), partitionBy = Some("pbin"),
+      sidecars = Seq("coarse" -> demoCents))
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$splitDir")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        // assign under whatever generation is live NOW — geometry from
+        // the head's sidecar, generation identified by its commit keys
+        // (the st26 read side), arithmetic following the generation so
+        // pre-swap appends are bit-identical to st24's and post-swap
+        // appends to a fresh trained build
+        val head = SnapshotLog.latestVersion(bs, tbl)
+          .getOrElse(sys.error("st27: no generation live"))
+        val cents = SnapshotLog.readSidecar(bs, tbl, head, "coarse")
+        val gen2Live = SnapshotLog.versionKeys(bs, tbl, head)
+          .contains("gen-2-retrain")
+        val delta = (if (gen2Live) assignTrained(batch.toDF(), cents)
+          else assignToGivenCentroids(batch.toDF(), cents))
+          .withColumn("pbin", col("centroid_id"))
+        SnapshotLog.commit(bs, tbl, delta,
+          SnapshotLog.manifest(bs, tbl, head),
+          commitKey = Some(s"batch-$batchId"), partitionBy = Some("pbin"))
+        maintainStreamLog(bs, tbl, Some("pbin"),
+          maxFilesPerPartition = 2, batchId)
+        if (batchId == 2) {
+          // the re-index event, bracketed by the batch-1 and batch-3
+          // splits: everything arrived so far re-encodes under the
+          // re-trained codebook; the replace-all commit carries EVERY
+          // live key (appends, split, gen-1) so retention after it can
+          // never reopen a replay window, and the new geometry rides
+          // the same manifest rename as the re-encoded lists
+          val cents2 = kmeansCentroids(bs, sfDir, iters = 1, k = 4)
+          val vNow = SnapshotLog.latestVersion(bs, tbl).get
+          val arrived = SnapshotLog.read(bs, tbl, vNow)
+            .select(col("vec_id"), col("embedding"))
+          SnapshotLog.commit(bs, tbl,
+            assignTrained(arrived, cents2)
+              .withColumn("pbin", col("centroid_id")),
+            Nil, Some("gen-2-retrain"), partitionBy = Some("pbin"),
+            carriedKeys = SnapshotLog.commitKeys(bs, tbl),
+            sidecars = Seq("coarse" -> cents2))
+          ()
+        }
+        if (batchId % 2 == 1) {
+          splitSnapshotBins(bs, tbl, mapPath, bound,
+            commitKey = s"split-$batchId")
+          ()
+        }
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // serving: geometry from the head generation's sidecar (post-swap =
+    // the re-trained codebook), probed logical bins routed through the
+    // persisted map to physical children, files from the head manifest
+    val vIdx = SnapshotLog.latestVersion(spark, tbl)
+      .getOrElse(sys.error("st27: no index commits"))
+    val centsHead = SnapshotLog.readSidecar(spark, tbl, vIdx, "coarse")
+    val queries = assignTrained(emb.filter(col("vec_id") < 10), centsHead)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
+    val probed = queries.select(col("centroid_id").cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val pbins = spark.read.parquet(mapPath)
+      .filter(col("bin").isin(probed.toSeq: _*))
+      .select(col("pbin")).collect().map(_.getLong(0)).toSeq.sorted
+    val mf = SnapshotLog.manifest(spark, tbl, vIdx)
+    val idxFiles = SnapshotLog.dataFiles(mf)
+      .filter(f => pbins.exists(p => f.contains(s"/_pbin=$p/")))
+    val keys = SnapshotLog.commitKeys(spark, tbl)
+    serveManifestFiles(spark, queries, mf, idxFiles, k)
+      .withColumn("n_commits", lit(keys.count(_.startsWith("batch-"))))
+      .withColumn("n_swaps", lit(keys.count(_ == "gen-2-retrain")))
+      .withColumn("n_splits", lit(keys.count(_.startsWith("split-"))))
+  }
+
   /** e38: BLUE-GREEN RE-TRAIN OF THE COMPRESSED INDEX — e37's generation
     * swap carried to the repo's own production ANN artifact, the IVF-PQ
     * index (e32: bin-partitioned inverted lists of M-byte PQ codes). A
