@@ -300,16 +300,19 @@ object Bench {
           }
           if (probe <= DegradedFactor * recordedAnchor) {
             midRunWaits += 1
-            // Charge only the re-run's EXCESS over the segment's own best
-            // known work time against the shared budget: charging full wall
-            // time bounds the retry count (the r18 termination fix) but a
-            // slow-yet-healthy segment would drain budget meant for genuine
-            // degradation waits, forcing residualFlap on later real flaps
-            // (r19 ADVICE). The excess — retry wall minus the sum of the
-            // segment's best per-query times — is the part attributable to
-            // host state, and it stays strictly positive whenever the retry
-            // beat nothing (best times only ratchet down), so the budget
-            // still decreases every iteration and termination holds.
+            // Charge the re-run's EXCESS over the segment's own best known
+            // work time against the shared budget, floored at HALF the
+            // retry's wall: charging full wall time bounds the retry count
+            // (the r18 termination fix) but a slow-yet-healthy segment
+            // would drain budget meant for genuine degradation waits,
+            // forcing residualFlap on later real flaps (r19 ADVICE) —
+            // while a fixed 1s floor re-opens the periodic-flap pathology
+            // from the other side (a dirty-probe/healthy-reprobe cycle
+            // whose retries run at best speed would charge ~nothing and
+            // admit budget/1s full segment re-runs). The wall/2 floor
+            // bounds TOTAL retry wall at 2x budget regardless of how
+            // cheap each retry looks, and still leaves at least half of
+            // every healthy-speed retry's cost off the wait budget.
             val t0 = System.nanoTime()
             runSegmentOnce("healthy-window retry")
             val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -317,7 +320,8 @@ object Bench {
               val s = best.getOrElse(name, 0.0)
               if (s == Double.MaxValue) 0.0 else s * 1000.0
             }.sum.toLong
-            waitBudgetMs -= math.max(wallMs - segmentBestMs, 1000L)
+            waitBudgetMs -= math.max(wallMs - segmentBestMs,
+              math.max(wallMs / 2, 1000L))
           }
         }
         if (!clean) residualFlap = true

@@ -1466,11 +1466,26 @@ object VectorQueries {
       mf: Seq[String], idxFiles: Seq[String], k: Int): DataFrame = {
     // the zero-match schema fallback must read DATA files only — a
     // sidecar-bearing generation manifest would otherwise merge the
-    // codebook's schema into the (empty) index scan
+    // codebook's schema into the (empty) index scan — and must survive a
+    // manifest with NO data files at all (st27's geometry-first deploy:
+    // a generation commit carrying only the codebook sidecar, before any
+    // ingest lands): a zero-path parquet read throws, so that case gets
+    // an explicitly-typed empty frame instead
+    val dataMf = SnapshotLog.dataFiles(mf)
     val idxRaw =
-      if (idxFiles.isEmpty)
-        spark.read.parquet(SnapshotLog.dataFiles(mf): _*).filter(lit(false))
-      else spark.read.parquet(idxFiles: _*)
+      if (idxFiles.nonEmpty) spark.read.parquet(idxFiles: _*)
+      else if (dataMf.nonEmpty)
+        spark.read.parquet(dataMf: _*).filter(lit(false))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("embedding",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("centroid_id",
+            org.apache.spark.sql.types.LongType))))
     val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
@@ -3726,10 +3741,26 @@ object VectorQueries {
     val mf = SnapshotLog.manifest(spark, tbl, head)
     val idxFiles = SnapshotLog.dataFiles(mf)
       .filter(f => probed.exists(b => f.contains(s"/_bin=$b/")))
+    // the serveManifestFiles fallback rule, compressed: data files only,
+    // and an explicitly-typed empty frame when the generation holds ONLY
+    // its codebook sidecars (geometry deployed, no codes ingested yet) —
+    // a zero-path parquet read would throw
+    val dataMf = SnapshotLog.dataFiles(mf)
     val idxRaw =
-      if (idxFiles.isEmpty)
-        spark.read.parquet(SnapshotLog.dataFiles(mf): _*).filter(lit(false))
-      else spark.read.parquet(idxFiles: _*)
+      if (idxFiles.nonEmpty) spark.read.parquet(idxFiles: _*)
+      else if (dataMf.nonEmpty)
+        spark.read.parquet(dataMf: _*).filter(lit(false))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("m",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("code",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bin",
+            org.apache.spark.sql.types.LongType))))
     val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
         col("bin").cast("long").as("bin"))

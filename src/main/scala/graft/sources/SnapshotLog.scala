@@ -181,6 +181,13 @@ object SnapshotLog {
         // reference, at O(manifest) decision cost.
         partitionBy match {
           case Some(c) =>
+            // a column literally named "sidecar" would write data under
+            // `_sidecar=value/` — the sidecar path level — and every data
+            // file of the version would silently vanish from read()/
+            // dataFiles(); fail loudly instead of returning empty scans
+            require(c != "sidecar",
+              "partition column 'sidecar' collides with the sidecar " +
+                "manifest path level; rename the column")
             newData.withColumn(s"_$c", newData(c))
               .write.mode("error").partitionBy(s"_$c").parquet(dataDir.toString)
           case None =>

@@ -113,6 +113,22 @@ object Certify {
         }
         report("st19_freeze_only", s""""scale":"x$factor",""", rs)
 
+      case "st19freezeonly" =>
+        // freeze-only reps over EXISTING flat state (built by a prior
+        // st19freeze run) in a FRESH JVM — decouples the freeze
+        // measurement from the same-JVM-as-build warm state the
+        // `st19freeze` mode inherits (r20: its reps ran in the builder
+        // JVM; this mode answers whether that flattered or hurt them)
+        val factor = if (args.length > 1) args(1).toInt else 100
+        val nBatches = if (args.length > 2) args(2).toInt else 8
+        val reps = if (args.length > 3) args(3).toInt else 2
+        val dir = ScaleSlope.ensureScaled(spark, "/root/testdata/sf0.1", factor)
+        spark.catalog.clearCache()
+        val rs = brackets(spark, reps, maxWaitRounds = 40) {
+          graft.operators.CorpusPipeline.st19FreezeOnly(spark, dir, nBatches)
+        }
+        report("st19_freeze_only", s""""scale":"x$factor","fresh_jvm":true,""", rs)
+
       case "st19phases" =>
         // per-phase freeze decomposition over EXISTING flat state (built by
         // a prior st19freeze run): phases are short enough to certify

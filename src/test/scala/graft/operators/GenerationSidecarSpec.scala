@@ -82,6 +82,30 @@ class GenerationSidecarSpec extends SparkSpec {
     assert(SnapshotLog.readSidecar(spark, tbl, vc.get, "coarse").count() == 2)
   }
 
+  test("a geometry-only generation (codebook sidecar, zero data rows) " +
+      "serves an EMPTY result, not a zero-path read error") {
+    // st27's deploy order: the codebook ships as the index's first commit,
+    // ingest lands later. Serving in the gap must degrade to no candidates
+    // — both the raw and the compressed serving paths.
+    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dirF = new java.io.File(s"target/parity/geomonly-spec-$sfTag")
+      .getAbsoluteFile.toString
+    wipe(dirF)
+    val tbl = s"file:$dirF"
+    val demoCents = RelationalQueries.table(spark, sfDir, "embeddings")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("c_emb"))
+    SnapshotLog.commit(spark, tbl,
+      VectorQueries.assignToGivenCentroids(emb.filter(lit(false)), demoCents),
+      Nil, Some("gen-1-geom"), partitionBy = Some("centroid_id"),
+      sidecars = Seq("coarse" -> demoCents))
+    val served = VectorQueries.serveIvfGeneration(spark, tbl,
+      emb.filter(col("vec_id") < 10), k = 3)
+    assert(served.count() == 0,
+      "geometry-only generation served rows from nowhere")
+  }
+
   test("e38: mid-rebuild serves gen-1 codes, the swap moves codes and " +
       "books together, rollback reads, replay no-ops, vacuum is exact") {
     import spark.implicits._

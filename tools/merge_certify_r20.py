@@ -32,11 +32,34 @@ def lines(path):
 d = json.load(open('SCALESLOPE.json'))
 cert = d.get('r20_certify', {})
 
-for name, path in [('st19_freeze_only_x10', 'target/certify_freeze_x10.log'),
-                   ('st19_freeze_only_x100', 'target/certify_freeze_x100.log')]:
-    ls = lines(path)
-    if ls:
-        cert[name] = ls[-1]
+# whole-freeze reps aggregate across EVERY freeze-only log for the scale
+# (the builder-JVM runs of both state builds plus the fresh-JVM reps), each
+# rep keeping its own canary bracket; min_healthy over the union
+for name, paths in [
+        ('st19_freeze_only_x10', ['target/certify_freeze_x10.log',
+                                  'target/certify_freeze_x10_fresh.log']),
+        ('st19_freeze_only_x100', ['target/certify_freeze_x100.log',
+                                   'target/certify_freeze_x100_b.log',
+                                   'target/certify_freeze_x100_fresh.log'])]:
+    reps = []
+    anchor = None
+    for p in paths:
+        for j in lines(p):
+            if j.get('certify') != 'st19_freeze_only':
+                continue
+            anchor = j['anchor']
+            for r in j['reps']:
+                reps.append(dict(r, fresh_jvm=bool(j.get('fresh_jvm'))))
+    if reps:
+        thr = HEALTHY_FACTOR * anchor
+        healthy = [r['sec'] for r in reps
+                   if r['canary_before'] <= thr and r['canary_after'] <= thr]
+        cert[name] = {
+            'certify': 'st19_freeze_only', 'anchor': anchor,
+            'healthy_factor': HEALTHY_FACTOR, 'reps': reps,
+            'n_healthy_reps': len(healthy),
+            'min_sec': min(r['sec'] for r in reps),
+            'min_healthy_sec': min(healthy) if healthy else None}
 
 if 'st19_freeze_only_x10' in cert and 'st19_freeze_only_x100' in cert:
     # the whole-freeze decade is a CERTIFIED number: healthy-rep minima
@@ -46,6 +69,9 @@ if 'st19_freeze_only_x10' in cert and 'st19_freeze_only_x100' in cert:
     hi = cert['st19_freeze_only_x100'].get('min_healthy_sec')
     cert['freeze_decade_min_over_min'] = (
         round(hi / lo, 2) if lo and hi else None)
+    cert['freeze_decade_min_over_min_all_reps'] = round(
+        cert['st19_freeze_only_x100']['min_sec'] /
+        cert['st19_freeze_only_x10']['min_sec'], 2)
 
 comp = {}
 for scale, path in [('x10', 'target/certify_phases_x10.log'),
