@@ -170,6 +170,8 @@ object SparkEntry {
       ((s, d) => V.st26StreamingGenerationSwap(s, d)),
     "st27_swap_under_split_maintain" ->
       ((s, d) => V.st27SwapUnderMaintenance(s, d)),
+    "st28_streaming_pq_generation_swap" ->
+      ((s, d) => V.st28StreamingPqGenerationSwap(s, d)),
     "st23_streaming_filtered_serve" ->
       ((s, d) => V.st23StreamingFilteredServe(s, d)),
     "st21_streaming_pq_ingest" -> ((s, d) => V.st21StreamingPqIngest(s, d)),
@@ -1441,6 +1443,12 @@ object SparkEntry {
     // re-trained serving SQL verbatim, with exactly-once counts for
     // both job classes (4 appends; 1 swap, 2 splits)
     "st27_swap_under_split_maintain" -> st27OracleSql,
+    // st28: the compressed swap lands mid-stream in the ADC serving loop
+    // — batches 0-1 answer under the one-round books, 2-3 under the
+    // production two-round books, each exactly twice, 4 keyed commits;
+    // a batch pairing codes with the wrong generation's fine books
+    // produces scores with no row in either generation's oracle half
+    "st28_streaming_pq_generation_swap" -> st28OracleSql,
     "st23_streaming_filtered_serve" ->
       e33OracleSqlWith(", 4 AS n_commits"),
     // st21 builds e32's compressed index from a stream under frozen
@@ -2709,39 +2717,76 @@ object SparkEntry {
     * names), candidates restricted to the query's coarse bin, relational
     * ADC scoring.
     */
-  private def e26OracleSql: String = {
-    val iters = 2
-    s"""WITH ${pqChainSql(iters)},
-       |${kmeansChainSql(iters)},
-       |${kmeansAssignCte("casg0", s"c$iters")},
-       |bins AS (SELECT vec_id, centroid_id AS bin FROM casg0),
-       |${pqAssignCte("pafin", s"pc$iters")},
-       |codes AS (
+  /** e26's own-bin ADC serving CTEs under the books at chain depth
+    * `iters`, every CTE name prefixed `px` (final ranked CTE
+    * `${px}ranked`). Assumes the shared subspace/pq/kmeans chains
+    * (`sub`, `pc*`, `c*`) are already in scope — the iters=1 books
+    * (pc1/c1) are a PREFIX of the iters=2 chain, so one chain serves
+    * every training depth. Shared by [[e26OracleSql]] (one generation)
+    * and [[st28OracleSql]] (both generations of the compressed swap) so
+    * the ADC restatements cannot drift.
+    */
+  private def adcServeCtesAt(px: String, iters: Int): String =
+    s"""${kmeansAssignCte(s"${px}casg", s"c$iters")},
+       |${px}bins AS (SELECT vec_id, centroid_id AS bin FROM ${px}casg),
+       |${pqAssignCte(s"${px}pafin", s"pc$iters")},
+       |${px}codes AS (
        | SELECT p.vec_id AS neighbor_id, p.m, p.centroid_id, b.bin
-       | FROM pafin p JOIN bins b ON b.vec_id = p.vec_id),
-       |qd AS (
+       | FROM ${px}pafin p JOIN ${px}bins b ON b.vec_id = p.vec_id),
+       |${px}qd AS (
        | SELECT s.vec_id AS query_id, s.m, c.centroid_id, b.bin,
        |  CAST(list_aggregate(list_transform(range(1, len(s.v)+1),
        |    i -> s.v[i] * c.c[i]), 'sum') AS DECIMAL(20,6)) AS qd
        | FROM sub s
        | JOIN pc$iters c ON c.m = s.m
-       | JOIN bins b ON b.vec_id = s.vec_id
+       | JOIN ${px}bins b ON b.vec_id = s.vec_id
        | WHERE s.vec_id < 10),
-       |scored AS (
+       |${px}scored AS (
        | SELECT q.query_id, c.neighbor_id, sum(q.qd) AS sim_sum
-       | FROM codes c
-       | JOIN qd q ON q.bin = c.bin AND q.m = c.m
+       | FROM ${px}codes c
+       | JOIN ${px}qd q ON q.bin = c.bin AND q.m = c.m
        |  AND q.centroid_id = c.centroid_id
        | WHERE c.neighbor_id <> q.query_id
        | GROUP BY q.query_id, c.neighbor_id),
-       |ranked AS (
+       |${px}ranked AS (
        | SELECT query_id, neighbor_id, sim_sum,
        |  row_number() OVER (PARTITION BY query_id
        |                     ORDER BY sim_sum DESC, neighbor_id ASC) AS rank
-       | FROM scored)
+       | FROM ${px}scored)""".stripMargin
+
+  private def e26OracleSql: String = {
+    val iters = 2
+    s"""WITH ${pqChainSql(iters)},
+       |${kmeansChainSql(iters)},
+       |${adcServeCtesAt("", iters)}
        |SELECT query_id, rank, neighbor_id, CAST(sim_sum AS DOUBLE) AS fivfpq_sim
        |FROM ranked WHERE rank <= 3""".stripMargin
   }
+
+  /** duckdb mirror of
+    * [[graft.operators.VectorQueries.st28StreamingPqGenerationSwap]] —
+    * e26's ADC serving under BOTH training depths of the shared chain:
+    * gen 1 = the one-round books (pc1/c1), gen 2 = the production
+    * two-round books (pc2/c2). Each generation's rows come from exactly
+    * 2 of the 4 serving batches and the result log records 4 keyed
+    * commits; the union only matches if every batch decoded codes with
+    * exactly the books they were encoded under (the ADC garbage mode a
+    * torn codes/books swap would produce has no row here to hide in).
+    */
+  private def st28OracleSql: String =
+    s"""WITH ${pqChainSql(2)},
+       |${kmeansChainSql(2)},
+       |${adcServeCtesAt("g1", 1)},
+       |${adcServeCtesAt("g2", 2)}
+       |SELECT 1 AS gen, query_id, rank, neighbor_id,
+       | CAST(sim_sum AS DOUBLE) AS fivfpq_sim,
+       | 2 AS n_gen_batches, 4 AS n_commits
+       |FROM g1ranked WHERE rank <= 3
+       |UNION ALL
+       |SELECT 2 AS gen, query_id, rank, neighbor_id,
+       | CAST(sim_sum AS DOUBLE) AS fivfpq_sim,
+       | 2 AS n_gen_batches, 4 AS n_commits
+       |FROM g2ranked WHERE rank <= 3""".stripMargin
 
   /** duckdb mirror of
     * [[graft.operators.VectorQueries.st22StreamingPqServe]] — e26's

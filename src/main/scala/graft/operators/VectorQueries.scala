@@ -3695,6 +3695,127 @@ object VectorQueries {
     serveIvfPqGeneration(spark, tbl, emb.filter(col("vec_id") < 10), k)
   }
 
+  /** st28: STREAMING ADC SERVING ACROSS THE COMPRESSED GENERATION SWAP —
+    * st26's proof (serving never pauses, never reads a torn generation,
+    * and resolves WHICH generation per batch from the manifest's commit
+    * keys alone) carried to the production artifact: e38's compressed
+    * IVF-PQ generations, where a swap replaces lists AND both codebook
+    * families at once. The stakes are higher here than in st26: a raw
+    * index served against slightly-stale centroids returns valid (if
+    * differently-binned) scores, but PQ codes decoded with the WRONG
+    * fine books return silent garbage — so the triple-swap atomicity
+    * (codes + coarse + fine in one manifest rename, e38's sidecar
+    * discipline) is exactly what lets a serving loop run through the
+    * re-index with no coordination beyond one manifest-header read per
+    * batch. Mechanics: a 4-batch serving stream answers e26's query set
+    * every batch via [[serveIvfPqGeneration]] (geometry from the HEAD
+    * generation's sidecars, candidates from its manifest, zero corpus
+    * access); the iters=1→iters=2 re-train + re-encode + swap commits
+    * keyed at batch 2 (replay no-ops); batches 0-1 answer under gen-1
+    * books, 2-3 under gen-2, each result landing as a batchId-keyed
+    * commit that the swap never rewrites. Output: distinct rows per
+    * generation + per-row producing-batch count (exactly 2 pins the
+    * swap timing) + the exactly-once commit total. Oracle: e26's ADC
+    * SQL under BOTH training depths — the one-round books (pc1/c1 of
+    * the shared chain) and the production two-round books (pc2/c2) —
+    * which only matches if every batch decoded codes with exactly the
+    * books they were encoded under.
+    *
+    * Scale shape: per batch, one bin-pruned read of the current
+    * generation's code table (nprobe/C of M-byte codes) + broadcast
+    * query sub-dots + a result commit; the swap adds one header read
+    * per batch. Re-indexing a 10^10-vector compressed index under a
+    * live ADC serving stream costs the serving loop nothing but that
+    * header read.
+    */
+  def st28StreamingPqGenerationSwap(spark: SparkSession, sfDir: String,
+      k: Int = 3): DataFrame = {
+    val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val genDirF = new java.io.File(s"target/parity/ivfpq-st28gen-$sfTag")
+      .getAbsoluteFile.toString
+    val resDirF = new java.io.File(s"target/parity/ivfpq-st28res-$sfTag")
+      .getAbsoluteFile.toString
+    val tickDirF = new java.io.File(s"target/parity/ivfpq-st28tick-$sfTag")
+      .getAbsoluteFile.toString
+    val ckptDir = new java.io.File(s"target/parity/ivfpq-st28ckpt-$sfTag")
+      .getAbsoluteFile.toString
+    wipeLocalDir(genDirF); wipeLocalDir(resDirF); wipeLocalDir(ckptDir)
+    val genTbl = s"file:$genDirF"
+    val resTbl = s"file:$resDirF"
+
+    spark.range(4).select(col("id").as("tick"))
+      .repartitionByRange(4, col("tick"))
+      .write.mode("overwrite").parquet(s"file:$tickDirF")
+
+    // generation 1 (blue) live before the stream: e38's gen-1 verbatim —
+    // the whole triple (codes, coarse book, fine books) in one keyed commit
+    SnapshotLog.commit(spark, genTbl, ivfPqIndexRows(spark, sfDir, iters = 1),
+      Nil, Some("gen-1-build"), partitionBy = Some("bin"),
+      sidecars = Seq(
+        "coarse" -> kmeansCentroids(spark, sfDir, iters = 1),
+        "fine" -> pqTrainedCodebooks(spark, sfDir, iters = 1)))
+
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val q = ss.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tick",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"file:$tickDirF")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+          org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        if (batchId == 2) {
+          // e38's re-index event mid-stream: coarse AND fine books
+          // re-train to the production iters=2 geometry, every code
+          // re-encodes, and the keyed replace-all commit swaps all
+          // three in one manifest rename (replay finds the key, no-ops)
+          SnapshotLog.commit(bs, genTbl,
+            ivfPqIndexRows(bs, sfDir, iters = 2),
+            Nil, Some("gen-2-retrain"), partitionBy = Some("bin"),
+            carriedKeys = SnapshotLog.commitKeys(bs, genTbl),
+            sidecars = Seq(
+              "coarse" -> kmeansCentroids(bs, sfDir, iters = 2),
+              "fine" -> pqTrainedCodebooks(bs, sfDir, iters = 2)))
+          ()
+        }
+        val head = SnapshotLog.latestVersion(bs, genTbl)
+          .getOrElse(sys.error("st28: no generation live"))
+        val genNow =
+          if (SnapshotLog.versionKeys(bs, genTbl, head)
+              .contains("gen-2-retrain")) 2 else 1
+        val embq = table(bs, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") < 10)
+        val res = serveIvfPqGeneration(bs, genTbl, embq, k)
+          .withColumn("gen", lit(genNow))
+          .withColumn("batch_id", lit(batchId))
+        val prior = SnapshotLog.latestVersion(bs, resTbl)
+          .map(v => SnapshotLog.manifest(bs, resTbl, v)).getOrElse(Nil)
+        SnapshotLog.commit(bs, resTbl, res, prior,
+          commitKey = Some(s"batch-$batchId"))
+        maintainStreamLog(bs, resTbl, None, maxFilesPerPartition = 4, batchId)
+        ()
+      }
+      .option("checkpointLocation", ckptDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val nBatches = SnapshotLog.commitKeys(spark, resTbl)
+      .count(_.startsWith("batch-"))
+    val vRes = SnapshotLog.latestVersion(spark, resTbl)
+      .getOrElse(sys.error("st28: no result commits"))
+    SnapshotLog.read(spark, resTbl, vRes)
+      .groupBy("gen", "query_id", "rank", "neighbor_id", "fivfpq_sim")
+      .agg(countDistinct(col("batch_id")).cast("int").as("n_gen_batches"))
+      .withColumn("n_commits", lit(nBatches))
+  }
+
   /** The compressed index rows for one geometry generation: every corpus
     * vector's M PQ codes (fine books at `iters`) tagged with its coarse
     * bin (coarse book at `iters`) — e32's build, parameterized by training

@@ -148,4 +148,31 @@ class GenerationSwapSpec extends SparkSpec {
     assert(byGen(2).map(key).toSet == e37,
       "st26 gen-2 drifted from e37's one-shot re-trained serving")
   }
+
+  test("st28: the COMPRESSED swap serves each generation from exactly the " +
+      "batches bracketing it, and gen-2 matches e38's one-shot re-index") {
+    val out = VectorQueries.st28StreamingPqGenerationSwap(spark, sfDir)
+      .collect()
+    val byGen = out.groupBy(_.getAs[Int]("gen"))
+    assert(byGen.keySet == Set(1, 2), s"generations served: ${byGen.keySet}")
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_gen_batches") == 2,
+        s"row served by ${r.getAs[Int]("n_gen_batches")} batches: $r")
+      assert(r.getAs[Int]("n_commits") == 4)
+    }
+    // the two generations genuinely differ (the re-train moved geometry —
+    // identical answer sets would mean the swap was vacuous)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("fivfpq_sim"))
+    assert(byGen(1).map(key).toSet != byGen(2).map(key).toSet,
+      "gen-1 and gen-2 ADC answers identical — re-train moved nothing")
+    // gen-2 ≡ e38's one-shot compressed re-index: the streaming loop adds
+    // nothing and loses nothing relative to the batch blue-green path
+    val e38 = VectorQueries.e38RetrainSwapCompressed(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(byGen(2).map(key).toSet == e38,
+      "st28 gen-2 drifted from e38's one-shot compressed re-index serving")
+  }
 }
