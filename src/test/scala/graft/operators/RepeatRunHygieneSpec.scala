@@ -48,7 +48,19 @@ class RepeatRunHygieneSpec extends SparkSpec {
       // identically on reuse
       "e37" -> (() => VectorQueries.e37RetrainSwap(spark, sfDir)),
       "st26" -> (() => VectorQueries.st26StreamingGenerationSwap(spark, sfDir)),
-      "x3" -> (() => CorpusPipeline.x3PackedSequences(spark, sfDir)))
+      "x3" -> (() => CorpusPipeline.x3PackedSequences(spark, sfDir)),
+      // r20: e38 wipes its compressed generation log per run (fresh
+      // gen-1/gen-2 triples + retention each time); st27 wipes
+      // index/map/checkpoint state and replays the full maintained ingest
+      // with the mid-stream swap; st28 wipes gen/result/checkpoint state
+      // and replays the 4-batch ADC serving stream across the compressed
+      // swap; x4 re-lands its pack map via dynamic partition overwrite —
+      // a second run must replace each split's partition in place and
+      // census identically
+      "e38" -> (() => VectorQueries.e38RetrainSwapCompressed(spark, sfDir)),
+      "st27" -> (() => VectorQueries.st27SwapUnderMaintenance(spark, sfDir)),
+      "st28" -> (() => VectorQueries.st28StreamingPqGenerationSwap(spark, sfDir)),
+      "x4" -> (() => CorpusPipeline.x4PersistedPackMap(spark, sfDir)))
     runs.foreach { case (name, fn) =>
       val first = rows(fn())
       val second = rows(fn())
