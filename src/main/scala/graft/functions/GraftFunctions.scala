@@ -53,6 +53,13 @@ object GraftFunctions {
         HilbertIndex(children.head, children(1), order)
       }))
     ext.injectFunction((
+      FunctionIdentifier("graft_opt_barrier"),
+      new ExpressionInfo(classOf[OptBarrier].getName, "graft_opt_barrier"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "graft_opt_barrier takes 1 argument")
+        OptBarrier(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("graft_cclass"),
       new ExpressionInfo(classOf[CharClassCount].getName, "graft_cclass"),
       (children: Seq[Expression]) => {
@@ -86,4 +93,11 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_function("graft_cclass", c,
       org.apache.spark.sql.functions.lit(kind),
       org.apache.spark.sql.functions.lit(set))
+
+  /** Column-API form of `graft_opt_barrier` (requires [[install]]ed
+    * session) — pin an expensive deterministic expression to exactly one
+    * evaluation per row (see [[OptBarrier]]).
+    */
+  def optBarrier(c: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_opt_barrier", c)
 }

@@ -124,18 +124,23 @@ object CorpusPipeline {
       lit(0.05) * size(col("t")) +
       lit(0.02) * cclass(col("text"), "count", "aeiou") -
       lit(0.8) * cclass(col("text"), "count", ".!?,;:")
-    val red = docs.select(col("doc_id"), redactExpr.as("text"), col("source"))
-    // Optimization BARRIER (mapPartitions identity — a narrow, shuffle-free
-    // materialization point): without it, CollapseProject + predicate
-    // pushdown inline `redactExpr` into EVERY reference the quality gate
-    // makes to `text` (two cclass counts, six lowercase substring scans,
-    // the tokenize, the length) — the 3-regex+md5 redact chain re-derives
-    // ~15× per row and the fused expression tree is measured ~90× slower
-    // than evaluating the redaction once (96 s vs 1.1 s over 50k docs).
-    // Behind the barrier `text` is a plain attribute, so every gate
-    // expression reads the materialized string.
-    val bar = red.mapPartitions(it => it)(
-      org.apache.spark.sql.Encoders.row(red.schema))
+    // Optimization BARRIER (graft_opt_barrier, a zero-cost codegen
+    // Expression that reports nondeterministic): without it,
+    // CollapseProject + predicate pushdown inline `redactExpr` into EVERY
+    // reference the quality gate makes to `text` (two cclass counts, six
+    // lowercase substring scans, the tokenize, the length) — the
+    // 3-regex+md5 redact chain re-derives ~15× per row and the fused
+    // expression tree is measured ~90× slower than evaluating the
+    // redaction once (96 s vs 1.1 s over 50k docs). Behind the barrier
+    // `text` is a plain attribute, so every gate expression reads the
+    // materialized string. Historically this was a mapPartitions identity,
+    // which bought the same single evaluation at the price of a full
+    // InternalRow→Row→InternalRow codec round trip per row and a
+    // whole-stage-codegen split; the barrier expression keeps scan, scrub,
+    // gate and tokenize in ONE codegen stage.
+    val bar = docs.select(col("doc_id"),
+      graft.functions.GraftFunctions.optBarrier(redactExpr).as("text"),
+      col("source"))
     bar
       .select(col("doc_id"), col("text"), col("source"),
         tokens(col("text")).as("t"))
@@ -459,15 +464,42 @@ object CorpusPipeline {
     // pass — no evidence either way). Counts shuffle tokens, never text.
     val (uni, big, vocab) = fluencyModel(filt)
     val disfluent = disfluentIds(bigramPairs(filt), uni, big, vocab)
-    // materialized: the fluency stage's bigram⋈model join is the most
-    // expensive pre-dedup computation, and the anti-join cascade below
-    // references its survivor set once per stage — un-cut, every cascade
-    // consumer re-ran the bigram join (Spark reuses exchanges
-    // opportunistically, not whole subplans: measured 11.1× at x10 on the
-    // slope gate — superlinear — against ~6× for the stages alone)
-    val surv0 = filt.join(disfluent, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // trained artifact: the stop-shingle set (see [[stopShingles]]) —
+    // computed on the SAME quality-survivor frame the fluency model
+    // trains on, so st19 can freeze it at corpus start. df counts ONE
+    // representative per DISTINCT text: a text verbatim-duplicated across
+    // >n/2 docs must not vote its own content shingles into the stop set
+    // (exact dedup owns the copies; their near-dup VARIANTS must stay
+    // bandable — left uncapped, a majority-duplicated template blinds the
+    // LSH stage to every variant of itself)
+    val stopKeep = filt.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    // The three expensive independent materializations off `filt` — the
+    // fluency-survivor cut (surv0: the bigram⋈model join, the most
+    // expensive pre-dedup computation), the one corpus shingling (shFull),
+    // and the distinct-text count sizing the stop-set threshold — overlap
+    // as concurrent driver jobs (the guide's idle-tail discipline; each is
+    // read-only over the checkpointed filt, so order is immaterial and a
+    // small core budget degrades to the sequential cost).
+    //
+    // surv0 materialized because the anti-join cascade below references
+    // its survivor set once per stage — un-cut, every cascade consumer
+    // re-ran the bigram join (Spark reuses exchanges opportunistically,
+    // not whole subplans: measured 11.1× at x10 on the slope gate —
+    // superlinear — against ~6× for the stages alone).
+    // shFull materialized because the stop-set training and the banding
+    // input both read this frame (shingledDocs's discipline, scoped to
+    // x1); surv1 ⊆ filt and shingling is row-local, so restricting the
+    // filt-wide frame equals shingling surv1 directly.
+    val (surv0, shFull, nStopKeep) = Overlap.par3(
+      () => filt.join(disfluent, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true),
+      () => DedupQueries.shingleFrameFrom(
+        filt.select(col("doc_id"), col("text"), col("t")))
+        .localCheckpoint(true),
+      () => stopKeep.count())
     cuts += surv0
+    cuts += shFull
 
     // ---- Stage D1: exact dedup — keep the smallest doc_id per content
     // hash (d1's rule; partial-agg'd, shuffle carries one row per hash).
@@ -481,25 +513,8 @@ object CorpusPipeline {
     // over the SURVIVOR corpus — shingling is row-local, so the subset run
     // equals the full run restricted to surviving pairs; d15's drop-id_b
     // rule). Shingles derive from the shared token array.
-    // materialized: the quality survivors shingled ONCE — the stop-set
-    // training and the banding input both read this frame (shingledDocs's
-    // discipline, scoped to x1); surv1 ⊆ filt and shingling is row-local,
-    // so restricting the filt-wide frame equals shingling surv1 directly
-    val shFull = DedupQueries.shingleFrameFrom(
-      filt.select(col("doc_id"), col("text"), col("t"))).localCheckpoint(true)
-    cuts += shFull
-    // trained artifact: the stop-shingle set (see [[stopShingles]]) —
-    // computed on the SAME quality-survivor frame the fluency model
-    // trains on, so st19 can freeze it at corpus start. df counts ONE
-    // representative per DISTINCT text: a text verbatim-duplicated across
-    // >n/2 docs must not vote its own content shingles into the stop set
-    // (exact dedup owns the copies; their near-dup VARIANTS must stay
-    // bandable — left uncapped, a majority-duplicated template blinds the
-    // LSH stage to every variant of itself)
-    val stopKeep = filt.groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val stop = stopShinglesFrom(
-      shFull.join(stopKeep, Seq("doc_id"), "left_semi"), stopKeep.count())
+      shFull.join(stopKeep, Seq("doc_id"), "left_semi"), nStopKeep)
     // the CONTENT shingle array (stop set excluded) feeds the band build
     // AND both sides of the verification join
     val shingled = contentShingles(
@@ -1243,13 +1258,28 @@ object CorpusPipeline {
         val bsurv = bq.join(disfl, Seq("doc_id"), "left_anti")
           .localCheckpoint(true)
 
+        // Sections (a)-(d) below are mutually independent given bsurv —
+        // they read the checkpointed survivor frame and commit to FOUR
+        // DIFFERENT state tables. Running them as concurrent driver jobs
+        // (the guide's overlap-independent-jobs discipline: actions are
+        // only sequential because the driver calls them sequentially, and
+        // each section's tail tasks leave most cores idle) cuts per-batch
+        // wall without changing any commit's content: one keyed commit per
+        // table per batch exactly as before, and a crash that lands
+        // between/among them replays into per-table no-ops identically
+        // whether the commits raced or ran in order. Section (e) consumes
+        // (b)/(c)'s pair FRAMES (checkpointed entries + prior state files,
+        // never the new commits), so it runs after they return.
         // (a) per-doc scalars — everything the corpus-freeze composition
         // needs (hash, census h60, token count); text never enters state
-        val docsDelta = bsurv.select(col("doc_id"), col("source"),
-          md5(col("text")).as("text_hash"), h60(col("text")).as("h60"),
-          size(col("t")).as("n"))
-        SnapshotLog.commit(bs, docsPath, docsDelta, manifestOf(bs, docsPath),
-          commitKey = key)
+        val secA = () => {
+          val docsDelta = bsurv.select(col("doc_id"), col("source"),
+            md5(col("text")).as("text_hash"), h60(col("text")).as("h60"),
+            size(col("t")).as("n"))
+          SnapshotLog.commit(bs, docsPath, docsDelta, manifestOf(bs, docsPath),
+            commitKey = key)
+          ()
+        }
 
         // (b) LSH index entries + incremental CANDIDATE discovery: batch
         // bands against the prior state pruned TWICE — touched band-hash
@@ -1274,41 +1304,44 @@ object CorpusPipeline {
         // batch.
         // CONTENT shingles only — the frozen stop set excluded, exactly
         // as x1's stage D2 (a stop-heavy doc generates no band entries)
-        val sh = contentShingles(DedupQueries.shingleFrameFrom(
-          bsurv.select(col("doc_id"), col("text"), col("t"))), stopSh)
-        val entries = DedupQueries.minhashBandsFrom(sh)
-          .select(col("doc_id"), posexplode(array(
-            col("band0"), col("band1"), col("band2"), col("band3")))
-            .as(Seq("band_idx", "bkey")))
-          .withColumn("pb",
-            pmod(xxhash64(col("bkey")), lit(pbN.toLong)).cast("int"))
-          .localCheckpoint(true)
-        val lshMf = manifestOf(bs, lshPath)
-        val touchedPb = entries.select(col("pb")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val lshPriorFiles = touchedPrior(lshMf,
-          touchedPb.map(b => s"/_pb=$b/"))
-        val lshPrior =
-          if (lshPriorFiles.isEmpty) entries.filter(lit(false))
-          else bs.read.parquet(lshPriorFiles: _*)
-            .select(col("doc_id"), col("band_idx"), col("bkey"),
-              col("pb").cast("int").as("pb"))
-            .join(broadcast(entries.select("bkey").distinct()),
-              Seq("bkey"), "left_semi")
-        val uL = lshPrior.withColumn("src", lit(0))
-          .unionByName(entries.withColumn("src", lit(1)))
-        val lshPairs = uL
-          .select(col("band_idx"), col("bkey"), col("doc_id").as("id_a"),
-            col("src").as("src_a"))
-          .join(uL.select(col("band_idx"), col("bkey"),
-            col("doc_id").as("id_b"), col("src").as("src_b")),
-            Seq("band_idx", "bkey"))
-          .filter(col("id_a") < col("id_b") &&
-            (col("src_a") + col("src_b") > 0))
-          .select(col("id_a"), col("id_b")).distinct()
-          .select(lit("lsh").as("kind"), col("id_a"), col("id_b"))
-        SnapshotLog.commit(bs, lshPath, entries, lshMf,
-          commitKey = key, partitionBy = Some("pb"))
+        val secB = () => {
+          val sh = contentShingles(DedupQueries.shingleFrameFrom(
+            bsurv.select(col("doc_id"), col("text"), col("t"))), stopSh)
+          val entries = DedupQueries.minhashBandsFrom(sh)
+            .select(col("doc_id"), posexplode(array(
+              col("band0"), col("band1"), col("band2"), col("band3")))
+              .as(Seq("band_idx", "bkey")))
+            .withColumn("pb",
+              pmod(xxhash64(col("bkey")), lit(pbN.toLong)).cast("int"))
+            .localCheckpoint(true)
+          val lshMf = manifestOf(bs, lshPath)
+          val touchedPb = entries.select(col("pb")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val lshPriorFiles = touchedPrior(lshMf,
+            touchedPb.map(b => s"/_pb=$b/"))
+          val lshPrior =
+            if (lshPriorFiles.isEmpty) entries.filter(lit(false))
+            else bs.read.parquet(lshPriorFiles: _*)
+              .select(col("doc_id"), col("band_idx"), col("bkey"),
+                col("pb").cast("int").as("pb"))
+              .join(broadcast(entries.select("bkey").distinct()),
+                Seq("bkey"), "left_semi")
+          val uL = lshPrior.withColumn("src", lit(0))
+            .unionByName(entries.withColumn("src", lit(1)))
+          val lshPairs = uL
+            .select(col("band_idx"), col("bkey"), col("doc_id").as("id_a"),
+              col("src").as("src_a"))
+            .join(uL.select(col("band_idx"), col("bkey"),
+              col("doc_id").as("id_b"), col("src").as("src_b")),
+              Seq("band_idx", "bkey"))
+            .filter(col("id_a") < col("id_b") &&
+              (col("src_a") + col("src_b") > 0))
+            .select(col("id_a"), col("id_b")).distinct()
+            .select(lit("lsh").as("kind"), col("id_a"), col("id_b"))
+          SnapshotLog.commit(bs, lshPath, entries, lshMf,
+            commitKey = key, partitionBy = Some("pb"))
+          (lshPairs, entries)
+        }
 
         // (c) semantic index entries + incremental same-bin cosine pairs
         // (frozen codebooks; st18's touched-bin discipline, append-only).
@@ -1319,47 +1352,50 @@ object CorpusPipeline {
         // (`sb`, stateBuckets-scaled like pb/gb), the file prune matches
         // touched sb dirs, and the row-level semi-join on the batch's
         // exact bin set restores bin-precision before the pair join.
-        val bemb = bs.read.parquet(s"$sfDir/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-          .join(bsurv.select(col("doc_id").as("vec_id")),
-            Seq("vec_id"), "left_semi")
-        val batchBooks = {
-          import bs.implicits._
-          bookRows.map(_.toDF("centroid_id", "c"))
+        val secC = () => {
+          val bemb = bs.read.parquet(s"$sfDir/embeddings.parquet")
+            .select(col("vec_id"), col("embedding"))
+            .join(bsurv.select(col("doc_id").as("vec_id")),
+              Seq("vec_id"), "left_semi")
+          val batchBooks = {
+            import bs.implicits._
+            bookRows.map(_.toDF("centroid_id", "c"))
+          }
+          // Narrow here too — (vec_id, bin): embeddings and norms never
+          // enter state, the same-bin COSINE verification defers to corpus
+          // freeze (candidates join the source embeddings table once; the
+          // pre-r15 state carried 64-float vectors per row and re-read them
+          // every batch).
+          val asg = VectorQueries.semAssignBins(bemb, batchBooks, kSide)
+            .select(col("vec_id"), col("bin"))
+            .withColumn("sb", pmod(col("bin"), lit(sbN.toLong)).cast("int"))
+            .localCheckpoint(true)
+          val semMf = manifestOf(bs, semPath)
+          val touchedSb = asg.select(col("sb")).distinct()
+            .collect().map(_.getInt(0)).toSet
+          val semPriorFiles = touchedPrior(semMf,
+            touchedSb.map(b => s"/_sb=$b/"))
+          val semPrior =
+            if (semPriorFiles.isEmpty) asg.drop("sb").filter(lit(false))
+            else bs.read.parquet(semPriorFiles: _*)
+              .select(col("vec_id"), col("bin").cast("int").as("bin"))
+              .join(broadcast(asg.select("bin").distinct()),
+                Seq("bin"), "left_semi")
+          val uS = semPrior.withColumn("src", lit(0))
+            .unionByName(asg.drop("sb").withColumn("src", lit(1)))
+          val semPairs = uS
+            .select(col("bin"), col("vec_id").as("id_a"),
+              col("src").as("src_a"))
+            .join(uS.select(col("bin"), col("vec_id").as("id_b"),
+              col("src").as("src_b")), "bin")
+            .filter(col("id_a") < col("id_b") &&
+              (col("src_a") + col("src_b") > 0))
+            .select(col("id_a"), col("id_b")).distinct()
+            .select(lit("sem").as("kind"), col("id_a"), col("id_b"))
+          SnapshotLog.commit(bs, semPath, asg, semMf,
+            commitKey = key, partitionBy = Some("sb"))
+          (semPairs, asg)
         }
-        // Narrow here too — (vec_id, bin): embeddings and norms never
-        // enter state, the same-bin COSINE verification defers to corpus
-        // freeze (candidates join the source embeddings table once; the
-        // pre-r15 state carried 64-float vectors per row and re-read them
-        // every batch).
-        val asg = VectorQueries.semAssignBins(bemb, batchBooks, kSide)
-          .select(col("vec_id"), col("bin"))
-          .withColumn("sb", pmod(col("bin"), lit(sbN.toLong)).cast("int"))
-          .localCheckpoint(true)
-        val semMf = manifestOf(bs, semPath)
-        val touchedSb = asg.select(col("sb")).distinct()
-          .collect().map(_.getInt(0)).toSet
-        val semPriorFiles = touchedPrior(semMf,
-          touchedSb.map(b => s"/_sb=$b/"))
-        val semPrior =
-          if (semPriorFiles.isEmpty) asg.drop("sb").filter(lit(false))
-          else bs.read.parquet(semPriorFiles: _*)
-            .select(col("vec_id"), col("bin").cast("int").as("bin"))
-            .join(broadcast(asg.select("bin").distinct()),
-              Seq("bin"), "left_semi")
-        val uS = semPrior.withColumn("src", lit(0))
-          .unionByName(asg.drop("sb").withColumn("src", lit(1)))
-        val semPairs = uS
-          .select(col("bin"), col("vec_id").as("id_a"),
-            col("src").as("src_a"))
-          .join(uS.select(col("bin"), col("vec_id").as("id_b"),
-            col("src").as("src_b")), "bin")
-          .filter(col("id_a") < col("id_b") &&
-            (col("src_a") + col("src_b") > 0))
-          .select(col("id_a"), col("id_b")).distinct()
-          .select(lit("sem").as("kind"), col("id_a"), col("id_b"))
-        SnapshotLog.commit(bs, semPath, asg, semMf,
-          commitKey = key, partitionBy = Some("sb"))
 
         // (d) 5-gram CENSUS state — one row per distinct (doc, gram-hash)
         // of this batch's survivors, gram-hash-bucketed for maintenance
@@ -1373,15 +1409,24 @@ object CorpusPipeline {
         // per-batch pair phase and the freeze. The freeze computes the
         // leak census directly from this state with semi-joins
         // (intermediates ∝ matched gram rows, never products).
-        val g = bsurv
-          .select(col("doc_id"), explode(gram5(col("t"))).as("g"))
-          .select(col("doc_id"), h60(col("g")).as("h"))
-          .distinct()
-          .withColumn("gb", pmod(col("h"), lit(gbN.toLong)).cast("int"))
-          .localCheckpoint(true)
-        val gramsMf = manifestOf(bs, gramsPath)
-        SnapshotLog.commit(bs, gramsPath, g, gramsMf,
-          commitKey = key, partitionBy = Some("gb"))
+        val secD = () => {
+          val g = bsurv
+            .select(col("doc_id"), explode(gram5(col("t"))).as("g"))
+            .select(col("doc_id"), h60(col("g")).as("h"))
+            .distinct()
+            .withColumn("gb", pmod(col("h"), lit(gbN.toLong)).cast("int"))
+            .localCheckpoint(true)
+          val gramsMf = manifestOf(bs, gramsPath)
+          SnapshotLog.commit(bs, gramsPath, g, gramsMf,
+            commitKey = key, partitionBy = Some("gb"))
+          g
+        }
+
+        // overlap (a)-(d); each runs its own chain of driver actions, the
+        // scheduler backfills tail idle; failures rethrow so foreachBatch
+        // sees the batch fail exactly as in the sequential shape
+        val (_, (lshPairs, entries), (semPairs, asg), g) =
+          graft.operators.Overlap.par4(secA, secB, secC, secD)
 
         // (e) the pair LOG — one append of the batch's LSH/semantic
         // candidates, kind-partitioned so the freeze-time composition

@@ -277,39 +277,48 @@ object MaintenanceQueries {
   def u8CascadingTakedown(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val base = firstDayEvents(spark, sfDir)
-    // store 1: hour-partitioned landing
-    val cfg = cfgFor(s"file:${scratch("u8", sfDir)}")
-    LandingTable.overwritePartitions(base, cfg)
-    // store 2: key-bucket serving table (latest row per user, the st13 shape)
-    val servingDir = s"file:${scratch("u8srv", sfDir)}"
-    MutationOps.upsertLatest(spark, servingDir,
-      base.select(col("user_id"), col("ts"), col("event_id"), col("value")),
-      keys = Seq("user_id"), orderCols = Seq("ts", "event_id"), nBuckets = 8)
-    // store 3: persisted IVF index over the embeddings
-    val idxDir = s"file:${scratch("u8idx", sfDir)}"
-    val emb = RelationalQueries.table(spark, sfDir, "embeddings")
-    VectorQueries.assignToCentroids(spark, sfDir, emb)
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
-
-    def countOf(df: DataFrame): Long = df.count()
-    val before = Seq(
-      "landing" -> countOf(LandingTable.read(spark, cfg)),
-      "serving" -> countOf(spark.read.parquet(servingDir)),
-      "index" -> countOf(spark.read.parquet(idxDir)))
-
     val doomedUsers = base.select(col("user_id")).distinct()
       .filter(col("user_id") % 7 === 0)
-    MutationOps.deleteByKey(spark, cfg, doomedUsers.toDF("k"), "user_id")
-    MutationOps.deleteFromBucketTable(
-      spark, servingDir, doomedUsers, "user_id", nBuckets = 8)
-    VectorQueries.deleteFromIvfIndex(spark, idxDir,
-      emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
-
-    val after = Map(
-      "landing" -> countOf(LandingTable.read(spark, cfg)),
-      "serving" -> countOf(spark.read.parquet(servingDir)),
-      "index" -> countOf(spark.read.parquet(idxDir)))
-    before.map { case (store, nb) => (store, nb, after(store)) }
+    // The three derived stores live in three different directories and
+    // derive from the source tables alone, so each store's
+    // build → count → delete → recount chain is independent of the other
+    // two end to end — they overlap as concurrent driver jobs (the guide's
+    // idle-tail discipline; within a chain the order stays build, count,
+    // delete, recount, which is the semantics). The one-sweep compliance
+    // story is unchanged: one doomed-id list drives all three deletions.
+    // store 1: hour-partitioned landing
+    val chainLanding = () => {
+      val cfg = cfgFor(s"file:${scratch("u8", sfDir)}")
+      LandingTable.overwritePartitions(base, cfg)
+      val nb = LandingTable.read(spark, cfg).count()
+      MutationOps.deleteByKey(spark, cfg, doomedUsers.toDF("k"), "user_id")
+      (nb, LandingTable.read(spark, cfg).count())
+    }
+    // store 2: key-bucket serving table (latest row per user, the st13 shape)
+    val chainServing = () => {
+      val servingDir = s"file:${scratch("u8srv", sfDir)}"
+      MutationOps.upsertLatest(spark, servingDir,
+        base.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+        keys = Seq("user_id"), orderCols = Seq("ts", "event_id"), nBuckets = 8)
+      val nb = spark.read.parquet(servingDir).count()
+      MutationOps.deleteFromBucketTable(
+        spark, servingDir, doomedUsers, "user_id", nBuckets = 8)
+      (nb, spark.read.parquet(servingDir).count())
+    }
+    // store 3: persisted IVF index over the embeddings
+    val chainIndex = () => {
+      val idxDir = s"file:${scratch("u8idx", sfDir)}"
+      val emb = RelationalQueries.table(spark, sfDir, "embeddings")
+      VectorQueries.assignToCentroids(spark, sfDir, emb)
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(idxDir)
+      val nb = spark.read.parquet(idxDir).count()
+      VectorQueries.deleteFromIvfIndex(spark, idxDir,
+        emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      (nb, spark.read.parquet(idxDir).count())
+    }
+    val (l, s, i) = Overlap.par3(chainLanding, chainServing, chainIndex)
+    Seq(("landing", l._1, l._2), ("serving", s._1, s._2),
+      ("index", i._1, i._2))
       .toDF("store", "n_before", "n_after")
   }
 

@@ -848,23 +848,45 @@ object TextQueries {
         posexplode(split(col("w"), "")).as(Seq("pos0", "sym")))
       .select(col("w_id"), col("freq"), (col("pos0") + 1).as("pos"), col("sym"))
       .localCheckpoint(true)
+    // ONE windowed pass per round yields every per-round statistic at once:
+    // each seg row contributes exactly one (sym, next-or-null) group, so
+    // over the grouped totals the best merge is the argmax of the non-null
+    // groups, the freq-weighted token count is Σ cnt over ALL groups, and
+    // the symbol vocabulary is the distinct `a` values. The historical
+    // shape ran three full passes per round (argmax limit-1, rewrite,
+    // stats aggregate) — at gate scale each action costs more in driver
+    // plan/codegen time than in execution (measured: 88 jobs summing
+    // 2.4 s inside a 6 s wall), so collapsing argmax+stats into the one
+    // pair pass removes a third of the passes AND a third of the per-round
+    // plan/compile work. The collect is bounded by the DISTINCT-PAIR
+    // vocabulary (never corpus rows) — the same driver-held-pair-totals
+    // discipline [[bpeTrainIncremental]] already pins; above
+    // [[IncrementalVocabThreshold]] dispatch leaves this path entirely.
+    def pairTotals(s: org.apache.spark.sql.DataFrame)
+        : Array[org.apache.spark.sql.Row] =
+      s.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+        .groupBy(col("sym").as("a"), col("nxt").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .collect()
     val out = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long, Long, Long)]()
     var step = 1
     var exhausted = false
+    var pt = pairTotals(seg)
     while (step <= budget && !exhausted) {
-      // headOption, not (0): a small vocabulary can run out of adjacent
-      // pairs (every word reduced to a single token) before the merge
-      // budget — stop training cleanly instead of indexing an empty array
-      val bestOpt = seg
-        .withColumn("nxt", lead(col("sym"), 1).over(wWin))
-        .filter(col("nxt").isNotNull)
-        .groupBy(col("sym").as("a"), col("nxt").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect().headOption
-      if (bestOpt.isEmpty) exhausted = true
+      // a word fully reduced to one token contributes only a null-next
+      // group: a small vocabulary can run out of adjacent pairs before the
+      // merge budget — stop training cleanly. Argmax order matches the
+      // historical orderBy(cnt desc, a asc, b asc) exactly: Spark string
+      // sort is UTF-8 binary collation, which [[utf8Compare]] mirrors.
+      val cand = pt.filter(!_.isNullAt(1))
+      if (cand.isEmpty) exhausted = true
       else {
-      val best = bestOpt.get
+      val best = cand.reduceLeft { (x, y) =>
+        val c = java.lang.Long.compare(y.getLong(2), x.getLong(2))
+        val ca = if (c != 0) c else utf8Compare(x.getString(0), y.getString(0))
+        val cb = if (ca != 0) ca else utf8Compare(x.getString(1), y.getString(1))
+        if (c > 0 || (c == 0 && (ca > 0 || (ca == 0 && cb > 0)))) y else x
+      }
       val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
       val marked = seg
         .withColumn("nxt", lead(col("sym"), 1).over(wWin))
@@ -882,9 +904,12 @@ object TextQueries {
           row_number().over(wWin).as("pos"),
           when(col("active"), lit(a + b)).otherwise(col("sym")).as("sym"))
         .localCheckpoint(true)
-      val st = seg.agg(sum(col("freq")).as("nt"),
-        countDistinct(col("sym")).as("nv")).collect()(0)
-      out += ((step, a, b, cnt, st.getLong(0), st.getLong(1)))
+      pt = pairTotals(seg)
+      // post-merge census from the same totals: exact integer sums, so the
+      // values are identical to the aggregate they replace
+      val nt = pt.iterator.map(_.getLong(2)).sum
+      val nv = pt.iterator.map(_.getString(0)).toSet.size.toLong
+      out += ((step, a, b, cnt, nt, nv))
       step += 1
       }
     }
