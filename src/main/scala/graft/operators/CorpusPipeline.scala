@@ -1085,25 +1085,31 @@ object CorpusPipeline {
       requireFlatOracle: Boolean = false, stateTag: String = ""): St19Config = {
     val sfTag = sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + stateTag
     val (splitDir, modelDir, _) = st19FrozenFixtures(spark, sfDir)
-    val vocabV: Long = spark.read.parquet(s"file:$modelDir/uni").count()
-    // frozen stop-shingle set — bounded rows (see [[stopShingles]])
-    val stopSh: Seq[String] = spark.read.parquet(s"file:$modelDir/stop")
-      .collect().map(_.getString(0)).toSeq.sorted
     // frozen state-bucket counts, scaled to expected state size (the semK
     // discipline — see stateBuckets): LSH state holds 4 band entries per
     // survivor, gram state one row per distinct (doc, 5-gram)
     val (nQual, nGrams) = st19StateStats(modelDir)
-    // frozen semantic codebooks (st18's pattern: memo-trained once,
-    // carried to each micro-batch session as plain rows)
-    val emb = table(spark, sfDir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val k = VectorQueries.semK(emb.count())
-    if (requireFlatOracle) require(k <= 4,
-      s"st19 gate fixture outgrew the flat-k oracle: semK=$k > 4; " +
-        "regenerate the oracle for the IMI path or shrink the fixture")
-    val (books, kSide) = VectorQueries.semBinning(spark, sfDir, 2, k)
-    val bookRows = books.map(_.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq)
+    // The three independent frozen-artifact loads — the LM vocabulary
+    // count, the stop-shingle collect (bounded rows, see [[stopShingles]]),
+    // and the semantic-codebook resolve+collect (st18's pattern:
+    // memo-trained once, carried to each micro-batch session as plain
+    // rows) — overlap as concurrent driver jobs; all are read-only over
+    // warm fixtures, and only one thread touches the codebook memo.
+    val (vocabV, stopSh, (bookRows, kSide)) = Overlap.par3(
+      () => spark.read.parquet(s"file:$modelDir/uni").count(),
+      () => spark.read.parquet(s"file:$modelDir/stop")
+        .collect().map(_.getString(0)).toSeq.sorted,
+      () => {
+        val emb = table(spark, sfDir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        val k = VectorQueries.semK(emb.count())
+        if (requireFlatOracle) require(k <= 4,
+          s"st19 gate fixture outgrew the flat-k oracle: semK=$k > 4; " +
+            "regenerate the oracle for the IMI path or shrink the fixture")
+        val (books, kSide) = VectorQueries.semBinning(spark, sfDir, 2, k)
+        (books.map(_.collect()
+          .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq), kSide)
+      })
     St19Config(sfDir, splitDir, modelDir, vocabV, stopSh, bookRows, kSide,
       new java.io.File(s"target/parity/x1s-state-$sfTag")
         .getAbsoluteFile.toString,

@@ -1353,6 +1353,39 @@ object VectorQueries {
         col("sim_dec").cast("double").as("ivf_sim"))
   }
 
+  /** The RAW inverted-list index row schema — what [[assignToCentroids]] /
+    * [[assignTrained]] emit and every raw-index generation persists
+    * (vec_id, embedding, centroid_id). Declared ONCE next to the writers
+    * and shared by the geometry-only-generation serving fallbacks
+    * ([[serveManifestFiles]]), so a schema change there cannot silently
+    * leave the empty-generation path analyzing against a stale shape.
+    */
+  private[operators] val RawIndexRowSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("centroid_id",
+        org.apache.spark.sql.types.LongType)))
+
+  /** The COMPRESSED (PQ-code) index row schema — what [[ivfPqIndexRows]]
+    * emits and every compressed generation persists (vec_id, m, code,
+    * bin); shared with [[serveIvfPqGeneration]]'s empty-generation
+    * fallback for the same no-drift reason as [[RawIndexRowSchema]].
+    */
+  private[operators] val PqIndexRowSchema =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("m",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("code",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("bin",
+        org.apache.spark.sql.types.LongType)))
+
   /** Coarse assignment of `rows` (vec_id, embedding) to the demo centroid
     * set (vec_id < 4, the e4/e6/e18 family): each vector goes to its
     * max-dot-product centroid with the deterministic centroid-id tiebreak.
@@ -1470,7 +1503,8 @@ object VectorQueries {
     // manifest with NO data files at all (st27's geometry-first deploy:
     // a generation commit carrying only the codebook sidecar, before any
     // ingest lands): a zero-path parquet read throws, so that case gets
-    // an explicitly-typed empty frame instead
+    // an explicitly-typed empty frame instead (shared constant: see
+    // [[RawIndexRowSchema]] — the writer and this fallback cannot drift)
     val dataMf = SnapshotLog.dataFiles(mf)
     val idxRaw =
       if (idxFiles.nonEmpty) spark.read.parquet(idxFiles: _*)
@@ -1478,14 +1512,7 @@ object VectorQueries {
         spark.read.parquet(dataMf: _*).filter(lit(false))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("embedding",
-            org.apache.spark.sql.types.ArrayType(
-              org.apache.spark.sql.types.FloatType)),
-          org.apache.spark.sql.types.StructField("centroid_id",
-            org.apache.spark.sql.types.LongType))))
+        RawIndexRowSchema)
     val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("embedding"),
         col("centroid_id").cast("long").as("centroid_id"))
@@ -3549,14 +3576,19 @@ object VectorQueries {
           org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
         // assign under whatever generation is live NOW — geometry from
-        // the head's sidecar, generation identified by its commit keys
-        // (the st26 read side), arithmetic following the generation so
-        // pre-swap appends are bit-identical to st24's and post-swap
-        // appends to a fresh trained build
+        // the head's sidecar, generation identified by the TABLE-WIDE
+        // commit-key ledger (still O(manifest headers)): ordinary append
+        // and split commits do not carry prior keys forward, so probing
+        // only the HEAD version's keys detects gen-2 solely while the
+        // swap version itself is head — correct under the current
+        // schedule (swap at batch 2, splits at 1/3), but silently
+        // schedule-coupled (a split in the swap's batch, or a 5th batch,
+        // would misread gen-1). commitKeys scans all live manifests'
+        // headers, so the detection is schedule-independent.
         val head = SnapshotLog.latestVersion(bs, tbl)
           .getOrElse(sys.error("st27: no generation live"))
         val cents = SnapshotLog.readSidecar(bs, tbl, head, "coarse")
-        val gen2Live = SnapshotLog.versionKeys(bs, tbl, head)
+        val gen2Live = SnapshotLog.commitKeys(bs, tbl)
           .contains("gen-2-retrain")
         val delta = (if (gen2Live) assignTrained(batch.toDF(), cents)
           else assignToGivenCentroids(batch.toDF(), cents))
@@ -3865,7 +3897,8 @@ object VectorQueries {
     // the serveManifestFiles fallback rule, compressed: data files only,
     // and an explicitly-typed empty frame when the generation holds ONLY
     // its codebook sidecars (geometry deployed, no codes ingested yet) —
-    // a zero-path parquet read would throw
+    // a zero-path parquet read would throw (shared constant: see
+    // [[PqIndexRowSchema]] — the writer and this fallback cannot drift)
     val dataMf = SnapshotLog.dataFiles(mf)
     val idxRaw =
       if (idxFiles.nonEmpty) spark.read.parquet(idxFiles: _*)
@@ -3873,15 +3906,7 @@ object VectorQueries {
         spark.read.parquet(dataMf: _*).filter(lit(false))
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("vec_id",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("m",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("code",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bin",
-            org.apache.spark.sql.types.LongType))))
+        PqIndexRowSchema)
     val idx = idxRaw
       .select(col("vec_id").as("neighbor_id"), col("m"), col("code"),
         col("bin").cast("long").as("bin"))

@@ -41,6 +41,11 @@ for name, paths in [
         ('st19_freeze_only_x100', ['target/certify_freeze_x100.log',
                                    'target/certify_freeze_x100_b.log',
                                    'target/certify_freeze_x100_fresh.log'])]:
+    # each rep is classified against ITS OWN run's anchor (the Certify run
+    # snapshots the anchor, which ratchets down between runs) — applying
+    # the last parsed line's anchor to every rep could (mis)classify reps
+    # from earlier logs against a threshold they were never certified
+    # under; the phases branch below already does this per run
     reps = []
     anchor = None
     for p in paths:
@@ -49,11 +54,12 @@ for name, paths in [
                 continue
             anchor = j['anchor']
             for r in j['reps']:
-                reps.append(dict(r, fresh_jvm=bool(j.get('fresh_jvm'))))
+                reps.append(dict(r, fresh_jvm=bool(j.get('fresh_jvm')),
+                                 anchor=j['anchor']))
     if reps:
-        thr = HEALTHY_FACTOR * anchor
         healthy = [r['sec'] for r in reps
-                   if r['canary_before'] <= thr and r['canary_after'] <= thr]
+                   if r['canary_before'] <= HEALTHY_FACTOR * r['anchor']
+                   and r['canary_after'] <= HEALTHY_FACTOR * r['anchor']]
         cert[name] = {
             'certify': 'st19_freeze_only', 'anchor': anchor,
             'healthy_factor': HEALTHY_FACTOR, 'reps': reps,
