@@ -115,32 +115,65 @@ object Bench {
     * magnitude slower under the flap (which hits file ops and task dispatch,
     * not arithmetic).
     */
-  private[graft] def canary(spark: SparkSession): Double = {
-    val t0 = System.nanoTime()
-    val dir = "target/bench-canary"
-    spark.range(0, 48, 1, 48).write.mode("overwrite").parquet(dir)
-    require(spark.read.parquet(dir).count() == 48, "canary lost rows")
-    val p = new org.apache.hadoop.fs.Path(dir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
-    (System.nanoTime() - t0) / 1e9
-  }
+  /** A canary probe that FAILS (fs hiccup, lost task, read-back mismatch)
+    * returns this finite sentinel instead of throwing: a probe failure is
+    * the strongest possible "host is sick right now" signal and must feed
+    * the same dirty/degraded/retry machinery as a slow probe — never
+    * escalate to process exit. (Both r21 driver runs died rc-1 with zero
+    * JSON because a transient flap hit an unprotected canary/warm-up
+    * write.) The sentinel is finite so the emitted JSON stays valid, and
+    * large enough to trip every threshold (NormCeiling, DegradedFactor,
+    * FlapFactor) unconditionally.
+    */
+  private val CanaryFailSec = 600.0
+
+  private[graft] def canary(spark: SparkSession): Double =
+    try {
+      val t0 = System.nanoTime()
+      val dir = "target/bench-canary"
+      spark.range(0, 48, 1, 48).write.mode("overwrite").parquet(dir)
+      require(spark.read.parquet(dir).count() == 48, "canary lost rows")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      (System.nanoTime() - t0) / 1e9
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] canary probe FAILED (counts as dirty): " +
+        s"${e.getMessage}")
+      CanaryFailSec
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up steps are individually fail-soft: they are throwaway work, so
+    // a transient fs flap here must never kill the run (the r21 32-core
+    // driver run died rc-1 in an unprotected warm-up parquet write). On
+    // failure the first timed query pays the warm-up — inflated but
+    // recoverable via min-of-reps — versus losing the whole run's output.
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$label' failed (continuing): " +
+          s"${e.getMessage}")
+      }
     // Throwaway actions so JVM/classloading/codegen/parquet-reader warmup
     // isn't billed to whichever query happens to sort first.
-    spark.range(1000).write.format("noop").mode("overwrite").save()
-    spark.read.parquet(s"$sfDir/documents.parquet")
-      .write.format("noop").mode("overwrite").save()
+    warm("range-noop") {
+      spark.range(1000).write.format("noop").mode("overwrite").save()
+    }
+    warm("parquet-scan") {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
     // typed-Aggregator path (encoder resolution + codegen) warms here too
     import org.apache.spark.sql.functions.{col, udaf}
-    val warmAgg = udaf(graft.functions.MinHashAgg.default,
-      org.apache.spark.sql.Encoders.scalaLong)
-    spark.range(1000).groupBy(col("id") % 10).agg(warmAgg(col("id")))
-      .write.format("noop").mode("overwrite").save()
+    warm("typed-agg") {
+      val warmAgg = udaf(graft.functions.MinHashAgg.default,
+        org.apache.spark.sql.Encoders.scalaLong)
+      spark.range(1000).groupBy(col("id") % 10).agg(warmAgg(col("id")))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // Trained serving artifacts (codebooks, PQ code tables, binning
     // models, BPE segmentation) materialize BEFORE timing: they are
@@ -150,8 +183,12 @@ object Bench {
     // against a ~1s serving path). d38 stays un-memoized — it IS the
     // training measurement.
     System.err.println("[bench] warming trained serving artifacts")
-    graft.operators.VectorQueries.warmServingArtifacts(spark, sfDir)
-    graft.operators.TextQueries.d39BpeTokenize(spark, sfDir)
+    warm("serving-artifacts") {
+      graft.operators.VectorQueries.warmServingArtifacts(spark, sfDir)
+    }
+    warm("bpe-tokenize") {
+      graft.operators.TextQueries.d39BpeTokenize(spark, sfDir)
+    }
     // st19's frozen corpus-start fixtures (arrival split + fluency LM) are
     // the same class of train-once artifact; cold, their one-time build
     // bills ~15 s of model training against the recurring-pipeline run.
@@ -160,7 +197,12 @@ object Bench {
     // and the flag makes that visible in the emitted JSON so a reader can
     // attribute a one-round x1/st19 blip to the retrain, not the engine.
     val st19Warm =
-      graft.operators.CorpusPipeline.st19FrozenFixtures(spark, sfDir)._3
+      try graft.operators.CorpusPipeline.st19FrozenFixtures(spark, sfDir)._3
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up 'st19-fixtures' failed " +
+          s"(continuing): ${e.getMessage}")
+        false
+      }
     System.err.println(s"[bench] st19/x1 frozen model was " +
       (if (st19Warm) "already warm" else "REBUILT in the warm step"))
 

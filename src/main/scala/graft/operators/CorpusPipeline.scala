@@ -806,19 +806,13 @@ object CorpusPipeline {
     val dir = new java.io.File(s"target/parity/x4-packmap-$sfTag")
       .getAbsoluteFile.toString
     // dynamic partition overwrite: only the split partitions THIS cut
-    // produces are replaced (LandingTable.overwritePartitionsDynamic's
-    // conf discipline, restore-on-exit so the session default is untouched)
-    val prev = spark.conf
-      .getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try packMap.write.mode("overwrite").partitionBy("split")
+    // produces are replaced. Requested per write via the writer option
+    // (overrides the session conf) so no session-wide toggle can race a
+    // concurrent Overlap chain (the u8 lesson).
+    packMap.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("split")
       .parquet(s"file:$dir")
-    finally prev match {
-      case Some(v) =>
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-      case None =>
-        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    }
     dir
   }
 

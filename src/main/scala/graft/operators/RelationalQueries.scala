@@ -805,28 +805,25 @@ object RelationalQueries {
 
   /** q38: runtime bloom-filter join. The local SFs sit far under the 10 GB
     * application-side default and the broadcast threshold, so the injection
-    * preconditions are forced for the duration of THIS query's execution
-    * (thresholds to 0, broadcast off — a shuffle join is the shape the
-    * filter exists for) and restored after; the tiny grouped result is
-    * collected eagerly under those confs so the gate genuinely executes the
-    * bloom-filtered plan. Values are conf-independent — the oracle is the
-    * plain join.
+    * preconditions are forced (thresholds to 0, broadcast off — a shuffle
+    * join is the shape the filter exists for) on a CHILD session
+    * (`newSession()` shares the SparkContext but has its own conf, which
+    * dies with the child), never by toggling the shared session conf: a
+    * set/restore on the shared session is exactly the race class that
+    * broke u8 under concurrent driver chains. The tiny grouped result is
+    * collected eagerly under those confs so the gate genuinely executes
+    * the bloom-filtered plan. Values are conf-independent — the oracle is
+    * the plain join.
     */
   def q38BloomJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val tweaks = Map(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
-    val saved = tweaks.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    val rows =
-      try {
-        tweaks.foreach { case (k, v) => spark.conf.set(k, v) }
-        q38Plan(spark, sfDir).collect()
-      } finally saved.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None)    => spark.conf.unset(k)
-      }
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter" +
+      ".applicationSideScanSizeThreshold", "0")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val rows = q38Plan(ss, sfDir).collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*),
       q38Plan(spark, sfDir).schema)
   }

@@ -2727,13 +2727,13 @@ object VectorQueries {
       // survivor probe BEFORE the overwrite mutates the directories
       val survivorBins = kept.select(col(partCol).cast("long"))
         .distinct().collect().map(_.getLong(0)).toSet
-      val key = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(key, "static")
-      spark.conf.set(key, "dynamic")
-      try kept.repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol)
+      // per-write dynamic overwrite (the writer option overrides the
+      // session conf) — concurrency-safe under Overlap, unlike the old
+      // session-wide set/restore (the u8 race)
+      kept.repartition(col(partCol))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol)
         .parquet(indexPath)
-      finally spark.conf.set(key, prev)
       // a bin whose vectors were ALL doomed writes zero rows above, which
       // leaves its old files in place (the u2 emptied-partition lesson) —
       // drop such bins' directories explicitly, through the path's own
@@ -2783,12 +2783,10 @@ object VectorQueries {
       .filter(col(partCol).cast("long").isin(frag: _*))
       .select(dataCols.map(col) :+
         col(partCol).cast("long").as(partCol): _*)
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
-    try kept.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(indexPath)
-    finally spark.conf.set(conf, prev)
+    // per-write dynamic overwrite (concurrency-safe, see deleteFromIvfIndex)
+    kept.repartition(col(partCol))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(indexPath)
     frag
   }
 
@@ -2891,12 +2889,10 @@ object VectorQueries {
       val rewritten = splitAssign(rows, over.map(b => b -> sizes(b)).toMap,
         bound, logicalOf, splits)
         .repartition(col("pbin")).localCheckpoint(true)
-      val conf = "spark.sql.sources.partitionOverwriteMode"
-      val prev = spark.conf.get(conf, "static")
-      spark.conf.set(conf, "dynamic")
-      try rewritten
-        .write.mode("overwrite").partitionBy("pbin").parquet(indexPath)
-      finally spark.conf.set(conf, prev)
+      // per-write dynamic overwrite (concurrency-safe, see deleteFromIvfIndex)
+      rewritten
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pbin").parquet(indexPath)
       graft.operators.CorpusPipeline.freeCut(rewritten)
     }
     writeBinMap(spark, mapPath, logicalOf.toMap)

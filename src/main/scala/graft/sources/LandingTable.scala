@@ -86,23 +86,19 @@ object LandingTable {
     withPartitionColumns(df, cfg.partitionField)
       .sortWithinPartitions(col(cfg.clusterField))
 
-  /** The pre-round-3 path: built-in dynamic partition overwrite. */
-  def overwritePartitionsDynamic(df: DataFrame, cfg: IngestConfig): Unit = {
-    val spark = df.sparkSession
-    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      clustered(df, cfg).write
-        .mode("overwrite")
-        .partitionBy(PartitionCols: _*)
-        .parquet(cfg.landingPath)
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-    }
-  }
+  /** The pre-round-3 path: built-in dynamic partition overwrite. The mode
+    * is requested per write via the writer option (which overrides the
+    * session conf), never by mutating the shared session conf: a
+    * set/restore here raced against concurrent driver chains (u8 under
+    * Overlap.par3 — a sibling chain's `finally` restored "static" while
+    * this write was committing, silently wiping untouched partitions).
+    */
+  def overwritePartitionsDynamic(df: DataFrame, cfg: IngestConfig): Unit =
+    clustered(df, cfg).write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(PartitionCols: _*)
+      .parquet(cfg.landingPath)
 
   /** Stage-and-swap commit: the whole data write happens under
     * `.staging-<uuid>` (leading dot ⇒ invisible to partition discovery and

@@ -299,14 +299,16 @@ object MutationOps {
       .unionByName(batch.select(dataCols.map(col): _*).withColumn("__graft_src", lit(1)))
       .withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") === 1).drop("__graft_rn", "__graft_src")
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try merged
+    // dynamic partition overwrite requested PER WRITE (the writer option
+    // overrides the session conf) — a session-wide set/restore here raced
+    // against concurrent chains sharing the SparkSession (u8 under
+    // Overlap.par3: one chain's `finally` restored "static" mid-commit of
+    // another chain's overwrite, wiping its untouched buckets)
+    merged
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
-    finally spark.conf.set(key, prev)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(tablePath)
     touched
   }
 
@@ -332,14 +334,12 @@ object MutationOps {
     val survivorBuckets = kept
       .select(pmod(hash(col(keyCol)), lit(nBuckets)).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val conf = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(conf, "static")
-    spark.conf.set(conf, "dynamic")
-    try kept
+    // per-write dynamic overwrite (concurrency-safe, see upsertLatest)
+    kept
       .withColumn("bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(tablePath)
-    finally spark.conf.set(conf, prev)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(tablePath)
     val emptied = touched.filterNot(survivorBuckets)
     if (emptied.nonEmpty) {
       // Hadoop FS like deleteByKey's emptied-partition drop, so bucket
@@ -383,14 +383,12 @@ object MutationOps {
       .filter(col("bucket").cast("int").isin(touched: _*))
       .drop("bucket")
     val merged = scd2Merge(affectedDim, changes, keys, attrs, tsCol, tiebreak)
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = spark.conf.get(key, "static")
-    spark.conf.set(key, "dynamic")
-    try merged
+    // per-write dynamic overwrite (concurrency-safe, see upsertLatest)
+    merged
       .withColumn("bucket", pmod(hash(keys.map(col): _*), lit(nBuckets)))
       .repartition(col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(dimPath)
-    finally spark.conf.set(key, prev)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("bucket").parquet(dimPath)
     touched
   }
 }
