@@ -59,6 +59,25 @@ object GraftFunctions {
         require(children.length == 1, "graft_opt_barrier takes 1 argument")
         OptBarrier(children.head)
       }))
+    // Spark's own PercentileDisc expression evaluates a WHOLE ARRAY of
+    // percentages from ONE value->count buffer (PercentileBase.percentages
+    // is plural; getPercentile runs per requested p over the same sorted
+    // counts) — only the SQL WITHIN GROUP builder restricts it to a scalar
+    // per call, which forces q42-style queries to keep one full hashmap
+    // buffer PER percentile of the SAME column. Registering the expression
+    // under an array-accepting name collapses those buffers to one with
+    // values identical by construction (it IS the built-in's code path).
+    ext.injectFunction((
+      FunctionIdentifier("graft_percentile_disc"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate
+          .PercentileDisc].getName, "graft_percentile_disc"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "graft_percentile_disc takes (col, percentage-or-array)")
+        org.apache.spark.sql.catalyst.expressions.aggregate.PercentileDisc(
+          children.head, children(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("graft_cclass"),
       new ExpressionInfo(classOf[CharClassCount].getName, "graft_cclass"),

@@ -1212,18 +1212,19 @@ object CorpusPipeline {
     val gramsPath = cfg.gramsPath
     val pairsPath = cfg.pairsPath
 
-    val ss = spark.newSession()
     // per-batch shuffle width: 8 is right at gate scale (micro-batches of
     // a few hundred rows — task overhead dominates), but the per-batch
     // LM-bigram join is a real shuffle at larger corpora and starves at 8
     // (measured: ~30 s/batch at x10 on 32 cores). Scale with the frozen
     // per-batch volume (corpus/4 arrivals), capped at the local core
-    // budget; frozen stats keep it deterministic per corpus.
+    // budget; frozen stats keep it deterministic per corpus. (AQE is off
+    // on the child session — StreamSessions.microBatch — so this explicit
+    // width is the one partitioning the per-batch shuffles get.)
     val shufN = {
       val (nQual, _) = st19StateStats(cfg.modelDir)
       math.max(8, math.min(32, (nQual / 2000L).toInt))
     }
-    ss.conf.set("spark.sql.shuffle.partitions", shufN.toString)
+    val ss = StreamSessions.microBatch(spark, shufN)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -1641,38 +1642,55 @@ object CorpusPipeline {
     // survivor corpus (x2's discipline: the tokenizer is a corpus-freeze
     // artifact), and placement is placeDocs' sharded prefix sum.
     val surv4Ids = surv4.select("doc_id")
-    val survText = cutL("pack_survivor_text",
-      scrubbedQualityDocs(
-        table(spark, cfg.sfDir, "documents")
-          .select(col("doc_id"), col("text"), col("source"))
-          .join(surv4Ids, Seq("doc_id"), "left_semi")
-          .repartition(spark.sessionState.conf.numShufflePartitions))
-        .select(col("doc_id"), col("text")))
-    val (_, seg, _) =
-      TextQueries.bpeTrainClassicFrom(survText.select(col("text")), 10)
-    val segC = cutL("bpe_train_seg", seg)
-    val bT = pmod(h60(col("text")), lit(100L))
-    val dtoks = survText.select(col("doc_id"),
-      when(bT < 80, "train").when(bT < 90, "valid").otherwise("test")
-        .as("split"),
-      explode(split(trim(col("text")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-    val dp = dtoks.join(segC, dtoks("w") === segC("w_id"))
-      .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
-    val x3c = packSeqCensus(placeDocs(dp))
-      .withColumnRenamed("n_docs", "n_packed_docs")
-
-    val b = pmod(col("h60"), lit(100L))
-    // materialize the (tiny) census eagerly so every cut frame above can
-    // be freed before returning — callers get a 3-row checkpointed frame,
-    // not a plan over freed blocks
+    // The two post-surv4 chains are independent until the final join —
+    // (A) the x3-shape sequence bookkeeping (survivor-text rescan + BPE
+    // train + placement census, a long sequential chain of driver
+    // actions) and (B) the per-split doc/char census over surv4 — so they
+    // overlap as concurrent driver jobs (the guide's idle-tail discipline,
+    // r21's "not yet optimized" item 2). Thread notes: only chain (A)
+    // appends to `cuts` / calls phaseTimer, chain (B) touches neither, and
+    // both are read-only over the checkpointed stage frames with no
+    // session-conf toggles (the ConcurrentMutationSpec discipline).
+    val (x3c, censusBase) = Overlap.par2(
+      () => {
+        val survText = cutL("pack_survivor_text",
+          scrubbedQualityDocs(
+            table(spark, cfg.sfDir, "documents")
+              .select(col("doc_id"), col("text"), col("source"))
+              .join(surv4Ids, Seq("doc_id"), "left_semi")
+              .repartition(spark.sessionState.conf.numShufflePartitions))
+            .select(col("doc_id"), col("text")))
+        val (_, seg, _) =
+          TextQueries.bpeTrainClassicFrom(survText.select(col("text")), 10)
+        val segC = cutL("bpe_train_seg", seg)
+        val bT = pmod(h60(col("text")), lit(100L))
+        val dtoks = survText.select(col("doc_id"),
+          when(bT < 80, "train").when(bT < 90, "valid").otherwise("test")
+            .as("split"),
+          explode(split(trim(col("text")), "\\s+")).as("w"))
+          .filter(length(col("w")) > 0)
+        val dp = dtoks.join(segC, dtoks("w") === segC("w_id"))
+          .groupBy("doc_id", "split").agg(count(lit(1)).as("n"))
+        packSeqCensus(placeDocs(dp))
+          .withColumnRenamed("n_docs", "n_packed_docs")
+          .localCheckpoint(true)
+      },
+      () => {
+        val b = pmod(col("h60"), lit(100L))
+        packCensus(surv4.withColumn("split",
+            when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
+          .withColumn("n_commits", lit(vDocs))
+          .localCheckpoint(true)
+      })
+    // materialize the (tiny) joined census eagerly so every cut frame
+    // above can be freed before returning — callers get a 3-row
+    // checkpointed frame, not a plan over freed blocks
     val tC = System.nanoTime()
-    val census = packCensus(surv4.withColumn("split",
-        when(b < 80, "train").when(b < 90, "valid").otherwise("test")))
-      .withColumn("n_commits", lit(vDocs))
+    val census = censusBase
       .join(x3c, Seq("split"))
       .localCheckpoint(true)
     phaseTimer("decon_pack_census", (System.nanoTime() - tC) / 1e9)
+    freeCut(x3c); freeCut(censusBase)
     cuts.foreach(freeCut)
     census
   }

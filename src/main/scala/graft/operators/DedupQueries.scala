@@ -777,8 +777,7 @@ object DedupQueries {
         (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",

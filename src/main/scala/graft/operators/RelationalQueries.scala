@@ -951,17 +951,26 @@ object RelationalQueries {
     */
   def q42Percentile(spark: SparkSession, sfDir: String): DataFrame = {
     table(spark, sfDir, "lineitem").createOrReplaceTempView("q42_lineitem")
+    // One buffer per COLUMN, not per percentile: the three exact-disc
+    // quantiles of l_quantity come from ONE value->count buffer
+    // (graft_percentile_disc = Spark's own PercentileDisc expression with
+    // its native array-of-percentages support exposed — identical values
+    // by construction), and the two interpolated price percentiles from
+    // one percentile(col, array(...)) buffer (percentile_cont IS
+    // RuntimeReplaceable to percentile, so values are the same
+    // expression's output). 5 exact-percentile hashmaps -> 2, one pass.
     spark.sql(
       """SELECT l_returnflag,
-        | percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS q25_qty,
-        | percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity) AS q50_qty,
-        | percentile_disc(0.9)  WITHIN GROUP (ORDER BY l_quantity) AS q90_qty,
-        | CAST(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
-        |   AS DECIMAL(20,6)) AS DOUBLE) AS med_price,
-        | CAST(CAST(percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
-        |   AS DECIMAL(20,6)) AS DOUBLE) AS p95_price,
-        | count(*) AS n
-        |FROM q42_lineitem GROUP BY l_returnflag""".stripMargin)
+        | qd[0] AS q25_qty, qd[1] AS q50_qty, qd[2] AS q90_qty,
+        | CAST(CAST(pc[0] AS DECIMAL(20,6)) AS DOUBLE) AS med_price,
+        | CAST(CAST(pc[1] AS DECIMAL(20,6)) AS DOUBLE) AS p95_price,
+        | n
+        |FROM (SELECT l_returnflag,
+        |        graft_percentile_disc(l_quantity,
+        |          array(0.25D, 0.5D, 0.9D)) AS qd,
+        |        percentile(l_extendedprice, array(0.5D, 0.95D)) AS pc,
+        |        count(*) AS n
+        |      FROM q42_lineitem GROUP BY l_returnflag)""".stripMargin)
   }
 
   /** q43: semi-structured data through the VARIANT type — `parse_json` into

@@ -1576,8 +1576,7 @@ object VectorQueries {
       .getAbsoluteFile.toString
     wipeLocalDir(indexDir); wipeLocalDir(ckptDir)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -1665,8 +1664,7 @@ object VectorQueries {
       .getAbsoluteFile.toString
     wipeLocalDir(indexDir); wipeLocalDir(ckptDir); wipeLocalDir(mapDirF)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -1771,8 +1769,7 @@ object VectorQueries {
     wipeLocalDir(indexDir); wipeLocalDir(ckptDir)
     wipeLocalDir(mapDirF); wipeLocalDir(tombDir)
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -2021,8 +2018,7 @@ object VectorQueries {
       .getAbsoluteFile.toString
     wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -2147,8 +2143,7 @@ object VectorQueries {
     }
     wipeFs(s"file:$indexDir"); wipeFs(s"file:$ckptDir")
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -2370,8 +2365,7 @@ object VectorQueries {
       .getAbsoluteFile.toString
     wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -2569,8 +2563,7 @@ object VectorQueries {
       .getAbsoluteFile.toString
     wipeFs(s"file:$resultsPath"); wipeFs(s"file:$ckptDir")
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -3429,8 +3422,7 @@ object VectorQueries {
       Nil, Some("gen-1-build"), partitionBy = Some("centroid_id"),
       sidecars = Seq("coarse" -> demoCents))
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("tick",
@@ -3556,8 +3548,7 @@ object VectorQueries {
       Nil, Some("gen-1-geom"), partitionBy = Some("pbin"),
       sidecars = Seq("coarse" -> demoCents))
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -3785,8 +3776,7 @@ object VectorQueries {
         "coarse" -> kmeansCentroids(spark, sfDir, iters = 1),
         "fine" -> pqTrainedCodebooks(spark, sfDir, iters = 1)))
 
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val ss = StreamSessions.microBatch(spark, 8)
     val q = ss.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("tick",
