@@ -9,6 +9,24 @@ import org.apache.spark.sql.functions._
 object DbgScrub {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "target/scale/x10"
+    // "explain" mode: print the scrub fragment's FORMATTED plan — the
+    // stage the full-query plan dumps cannot show (x1–x4/st19 explains
+    // start at the post-checkpoint snapshot scan). A reader checks:
+    // (a) no DeserializeToObject/MapPartitions/SerializeFromObject triple
+    // (the row-codec barrier removed in r21), (b) the redact chain appears
+    // exactly once, under graft_opt_barrier, (c) scan → scrub → gate →
+    // tokenize sits in ONE WholeStageCodegen span.
+    if (args.length > 1 && args(1) == "explain") {
+      val spark = GraftSession.builder("local[4]", 4).getOrCreate()
+      spark.sparkContext.setLogLevel("ERROR")
+      val docs = RelationalQueries.table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      println(CorpusPipeline.scrubbedQualityDocs(docs)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      spark.stop()
+      return
+    }
     val spark = GraftSession.builder("local[32]", 32).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = RelationalQueries.table(spark, dir, "documents")
